@@ -1,0 +1,216 @@
+"""Daily-metrics aggregation layer (SURVEY.md §2.4 A1-A6, §2.6 O1-O3).
+
+Re-expresses the reference's hand-coded per-file Python loops
+(``calculate-metrics/lambda_function.py:124-184``,
+``calc-company-metrics/lambda_function.py:76-113``,
+``calc-product-metrics/lambda_function.py:77-113``) as declarative
+DataFrame aggregations.
+
+Scale notes:
+- A1 is one hash aggregation on (store_id, sale_date); Catalyst plans it
+  as partial (map-side) + final HashAggregate, so the shuffle carries one
+  row per group, not per line item — at 100 TB the shuffle is bounded by
+  |stores| x |days|, tiny.
+- A4 company rollup consumes the *materialized* store_daily (one row per
+  store-day), mirroring the reference's pre-aggregation design — it never
+  rescans the fact table.
+- Top-K (A3) ranks over the already-aggregated per-SKU rows; the window
+  input is |stores| x |days| x |skus-sold|, far smaller than the fact
+  table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import cents, dollars, round_to
+
+
+def store_day_metrics(txns: DataFrame) -> DataFrame:
+    """A1: per-(store, day) grand totals.
+
+    Parity trap (SURVEY §7.4): the reference's ``transaction_count`` is
+    ``len(transactions)`` — a *line-item* count
+    (``calculate-metrics/lambda_function.py:151``) — not distinct
+    transaction ids. We keep both: ``transaction_count`` (parity) and
+    ``distinct_transactions`` (the correct business metric).
+    ``avg_transaction`` = net / count rounded to cents
+    (``calculate-metrics/lambda_function.py:152``).
+    """
+    g = txns.groupBy("store_id", "sale_date").agg(
+        F.sum("line_cents").alias("sales_c"),
+        F.sum("discount_cents").alias("disc_c"),
+        F.count(F.lit(1)).alias("transaction_count"),
+        F.countDistinct("transaction_id").alias("distinct_transactions"),
+        F.sum("quantity").alias("item_count"),
+    )
+    net_c = F.col("sales_c") - F.col("disc_c")
+    return g.select(
+        "store_id",
+        "sale_date",
+        dollars(F.col("sales_c")).alias("total_sales"),
+        dollars(F.col("disc_c")).alias("total_discount"),
+        dollars(net_c).alias("net_sales"),
+        "transaction_count",
+        "distinct_transactions",
+        "item_count",
+        (F.round(net_c / F.col("transaction_count")).cast("long") / F.lit(100.0))
+        .cast("double")
+        .alias("avg_transaction"),
+    )
+
+
+def payment_breakdown(txns: DataFrame) -> DataFrame:
+    """A2: payment_method -> SUM(line_total - discount)
+    (``calculate-metrics/lambda_function.py:128,143``)."""
+    g = txns.groupBy("payment_method").agg(
+        F.sum("line_cents").alias("sales_c"),
+        F.sum("discount_cents").alias("disc_c"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+    return g.select(
+        "payment_method",
+        dollars(F.col("sales_c") - F.col("disc_c")).alias("net_amount"),
+        "line_count",
+    )
+
+
+def payment_breakdown_per_store_day(txns: DataFrame) -> DataFrame:
+    """A2 at the reference's real grain: one row per
+    (store, day, method); the serving layer pivots this to a map."""
+    g = txns.groupBy("store_id", "sale_date", "payment_method").agg(
+        F.sum("line_cents").alias("sales_c"),
+        F.sum("discount_cents").alias("disc_c"),
+    )
+    return g.select(
+        "store_id",
+        "sale_date",
+        "payment_method",
+        dollars(F.col("sales_c") - F.col("disc_c")).alias("net_amount"),
+    )
+
+
+def product_day_rollup(txns: DataFrame) -> DataFrame:
+    """Per-(store, day, sku) units/revenue — input to top-K (A3) and the
+    exact product rollup (A6 exact mode)."""
+    g = txns.groupBy("store_id", "sale_date", "item_sku").agg(
+        F.sum("quantity").alias("units"),
+        F.sum("line_cents").alias("sales_c"),
+        F.sum("discount_cents").alias("disc_c"),
+    )
+    return g.select(
+        "store_id",
+        "sale_date",
+        "item_sku",
+        "units",
+        (F.col("sales_c") - F.col("disc_c")).alias("revenue_cents"),
+        dollars(F.col("sales_c") - F.col("disc_c")).alias("revenue"),
+    )
+
+
+def top_products_per_store_day(txns: DataFrame, k: int = 5) -> DataFrame:
+    """A3/O1: per-(store, day) top-K SKUs by revenue desc
+    (``calculate-metrics/lambda_function.py:155-167``).
+
+    Deterministic tie-break on item_sku asc (the reference's Python sort
+    is stable; an explicit key keeps the oracle hash stable).
+    """
+    per_sku = product_day_rollup(txns)
+    w = Window.partitionBy("store_id", "sale_date").orderBy(
+        F.desc("revenue_cents"), F.asc("item_sku")
+    )
+    return (
+        per_sku.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("store_id", "sale_date", "item_sku", "units", "revenue", "rank")
+    )
+
+
+def company_daily(store_daily: DataFrame) -> DataFrame:
+    """A4+A5: store_daily -> one company row per day
+    (``calc-company-metrics/lambda_function.py:76-113``).
+
+    Parity trap (SURVEY §7.4): company ``avg_transaction`` divides
+    *gross* total_sales by transaction count (``:102``) while the
+    per-store field uses net — replicated as-is. best/worst store via
+    max_by/min_by (``:83-85``), ties broken by store_id.
+    """
+    sales_key = F.struct(
+        cents(F.col("total_sales")).alias("s"), F.col("store_id").alias("tb")
+    )
+    g = store_daily.groupBy("sale_date").agg(
+        F.sum(cents(F.col("total_sales"))).alias("sales_c"),
+        F.sum("transaction_count").alias("total_transactions"),
+        F.sum("item_count").alias("total_items"),
+        F.count(F.lit(1)).alias("store_count"),
+        F.max_by(F.col("store_id"), sales_key).alias("best_store_id"),
+        F.max("total_sales").alias("best_store_sales"),
+        F.min_by(F.col("store_id"), sales_key).alias("worst_store_id"),
+        F.min("total_sales").alias("worst_store_sales"),
+        F.concat_ws(",", F.sort_array(F.collect_set("store_id"))).alias(
+            "stores_reported"
+        ),
+    )
+    return g.select(
+        "sale_date",
+        dollars(F.col("sales_c")).alias("total_sales"),
+        "total_transactions",
+        "total_items",
+        "store_count",
+        (F.round(F.col("sales_c") / F.col("total_transactions")).cast("long")
+         / F.lit(100.0)).cast("double").alias("avg_transaction"),
+        (F.round(F.col("sales_c") / F.col("store_count")).cast("long")
+         / F.lit(100.0)).cast("double").alias("avg_store_sales"),
+        "best_store_id",
+        "best_store_sales",
+        "worst_store_id",
+        "worst_store_sales",
+        "stores_reported",
+    )
+
+
+def product_daily_exact(txns: DataFrame) -> DataFrame:
+    """A6 exact mode: per-(day, sku) cross-store rollup computed from the
+    fact table (the 'correct' variant SURVEY A6 calls for)."""
+    g = txns.groupBy("sale_date", "item_sku").agg(
+        F.sum("quantity").alias("units_sold"),
+        F.sum("line_cents").alias("sales_c"),
+        F.sum("discount_cents").alias("disc_c"),
+        F.countDistinct("store_id").alias("store_count"),
+        F.concat_ws(",", F.sort_array(F.collect_set("store_id"))).alias(
+            "stores_sold_at"
+        ),
+    )
+    return g.select(
+        "sale_date",
+        "item_sku",
+        "units_sold",
+        dollars(F.col("sales_c") - F.col("disc_c")).alias("revenue"),
+        "store_count",
+        "stores_sold_at",
+    )
+
+
+def product_daily_top5_parity(txns: DataFrame, k: int = 5) -> DataFrame:
+    """A6 parity mode: rollup computed from each store's top-K list only —
+    intentionally lossy, bug-for-bug with
+    ``calc-product-metrics/lambda_function.py:79-103`` (products outside
+    any store's top-5 are undercounted)."""
+    top = top_products_per_store_day(txns, k)
+    g = top.groupBy("sale_date", "item_sku").agg(
+        F.sum("units").alias("units_sold"),
+        F.sum(cents(F.col("revenue"))).alias("rev_c"),
+        F.countDistinct("store_id").alias("store_count"),
+        F.concat_ws(",", F.sort_array(F.collect_set("store_id"))).alias(
+            "stores_sold_at"
+        ),
+    )
+    return g.select(
+        "sale_date",
+        "item_sku",
+        "units_sold",
+        dollars(F.col("rev_c")).alias("revenue"),
+        "store_count",
+        "stores_sold_at",
+    )

@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for this engine.
+
+Scale notes (100 TB target):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  dynamic broadcast conversion replace hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE ceiling; at cluster
+  scale set it ~2-3x total cores and let AQE coalesce.
+- Session timezone pinned to UTC so date extraction from parquet
+  timestamps is engine-independent (matches the DuckDB oracle).
+- Arrow enabled for the few pandas-UDF paths (similarity, multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "smurf-analytics",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SMURF_SHUFFLE_PARTITIONS", cpus)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SMURF_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_existing(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable tuning to a session we did not build
+    (the driver hands us its own session in ``entry``/``queries``)."""
+    conf = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime-settable on this session; fine
+    return spark

@@ -1,0 +1,89 @@
+"""Testdata loaders and the reference-domain mapping.
+
+The reference's fact table is retail transaction line items
+(``backend/functions/process-upload/upload-schema.json:5-68``). Per
+FIXTURES.md §3 the driver's TPC-H-ish ``lineitem`` stands in for it:
+
+    store_id        <- lpad(l_suppkey, 4, '0')      (11 stores ~ suppliers)
+    sale_date       <- date(l_shipdate) as 'YYYY-MM-DD' string
+    transaction_id  <- l_orderkey
+    item_sku        <- l_partkey
+    quantity        <- l_quantity (integral double -> bigint)
+    line_total      <- l_extendedprice
+    discount_amount <- l_extendedprice * l_discount
+    payment_method  <- l_returnflag (3-value enum ~ payment enum)
+
+``TRANSACTIONS_CTE`` is the *same* mapping as ANSI SQL for the DuckDB
+oracle, so every query/oracle pair shares one source of truth. Exact-money
+``*_cents`` columns ride along (see functions.money).
+
+Scale note: the mapping is pure narrow projection — no shuffle, fully
+pushed into the parquet scan (column pruning keeps unused lineitem
+columns unread).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem re-expressed in the reference's transaction-line-item shape."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("transaction_id"),
+        F.lpad(F.col("l_suppkey").cast("string"), 4, "0").alias("store_id"),
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd").alias(
+            "sale_date"
+        ),
+        F.col("l_partkey").alias("item_sku"),
+        F.col("l_quantity").cast("long").alias("quantity"),
+        F.col("l_extendedprice").alias("line_total"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("discount_amount"),
+        F.round(F.col("l_extendedprice") * F.lit(100)).cast("long").alias(
+            "line_cents"
+        ),
+        F.round(F.col("l_extendedprice") * F.col("l_discount") * F.lit(100))
+        .cast("long")
+        .alias("discount_cents"),
+        F.col("l_returnflag").alias("payment_method"),
+    )
+
+
+# The identical mapping for the DuckDB oracle (tables are pre-registered
+# views named region/nation/.../lineitem in the driver's DuckDB).
+TRANSACTIONS_CTE = """
+transactions AS (
+    SELECT
+        l_orderkey                                         AS transaction_id,
+        lpad(cast(l_suppkey AS varchar), 4, '0')           AS store_id,
+        strftime(cast(l_shipdate AS date), '%Y-%m-%d')     AS sale_date,
+        l_partkey                                          AS item_sku,
+        cast(l_quantity AS bigint)                         AS quantity,
+        l_extendedprice                                    AS line_total,
+        l_extendedprice * l_discount                       AS discount_amount,
+        cast(round(l_extendedprice * 100) AS bigint)       AS line_cents,
+        cast(round(l_extendedprice * l_discount * 100) AS bigint)
+                                                           AS discount_cents,
+        l_returnflag                                       AS payment_method
+    FROM lineitem
+)
+"""
