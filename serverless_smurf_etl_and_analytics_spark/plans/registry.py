@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import tables
-from ..operators import metrics
+from ..operators import history, metrics
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -217,5 +217,283 @@ SELECT
 FROM ranked
 WHERE rank <= 5
 GROUP BY sale_date, item_sku
+""",
+)
+
+# --------------------------------------------------------------------------
+# Window / history layer (SURVEY §2.4 A7-A13, §2.5). Fixed literal ranges
+# anchor the range-parametrized operators; the testdata spans
+# 1995-01-02..2001-11-04 at every sf.
+R_START, R_END = "2001-06-01", "2001-06-30"
+W_START, W_END = "2001-06-23", "2001-06-29"
+
+SQL_DAILY_CENTS = """
+daily AS (
+    SELECT
+        store_id,
+        sale_date,
+        sum(line_cents) AS sales_c,
+        count(*)        AS txn_count
+    FROM transactions
+    GROUP BY store_id, sale_date
+)
+"""
+
+SQL_W7 = """
+win AS (
+    SELECT
+        store_id, sale_date, sales_c, txn_count,
+        sum(sales_c)   OVER w7 AS hist_sales_c,
+        count(*)       OVER w7 AS hist_days,
+        sum(txn_count) OVER w7 AS hist_txns
+    FROM daily
+    WINDOW w7 AS (PARTITION BY store_id ORDER BY sale_date
+                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+"""
+
+# A7 — trailing 7-present-day averages per store, >=3-day gate
+register(
+    "a7_trailing_7day",
+    lambda spark, sf: history.trailing_7day(tables.transactions(spark, sf)),
+    f"""
+WITH {TXN}, {SQL_DAILY_CENTS}, {SQL_W7}
+SELECT
+    store_id,
+    sale_date,
+    cast(sales_c / 100.0 AS double) AS today_sales,
+    txn_count                       AS today_txns,
+    hist_days,
+    cast(cast(round(hist_sales_c * 1.0 / hist_days) AS bigint) / 100.0
+         AS double)                 AS hist_avg_sales,
+    cast(cast(round(hist_txns * 10.0 / hist_days) AS bigint) / 10.0
+         AS double)                 AS hist_avg_txns
+FROM win
+WHERE hist_days >= 3
+""",
+)
+
+# A10 (+J2/J6) — percent deviation vs trailing average
+register(
+    "a10_deviation_vs_trailing",
+    lambda spark, sf: history.deviation_vs_trailing(tables.transactions(spark, sf)),
+    f"""
+WITH {TXN}, {SQL_DAILY_CENTS}, {SQL_W7}
+SELECT
+    store_id,
+    sale_date,
+    cast(sales_c / 100.0 AS double) AS today_sales,
+    cast(cast(round(hist_sales_c * 1.0 / hist_days) AS bigint) / 100.0
+         AS double)                 AS hist_avg_sales,
+    hist_days,
+    CASE WHEN hist_sales_c > 0 THEN
+        cast(cast(round(((sales_c - hist_sales_c * 1.0 / hist_days)
+                         / (hist_sales_c * 1.0 / hist_days) * 100.0) * 10.0)
+                  AS bigint) / 10.0 AS double)
+    END AS deviation_pct
+FROM win
+WHERE hist_days >= 3
+""",
+)
+
+# A11 — ±5% trend: last-2 present days vs days -7..-3
+register(
+    "a11_trend_recent_vs_earlier",
+    lambda spark, sf: history.trend_recent_vs_earlier(
+        tables.transactions(spark, sf)
+    ),
+    f"""
+WITH {TXN}, {SQL_DAILY_CENTS},
+win AS (
+    SELECT
+        store_id, sale_date, sales_c,
+        sum(sales_c) OVER w2 AS recent_sales_c,
+        count(*)     OVER w2 AS recent_days,
+        sum(sales_c) OVER w5 AS earlier_sales_c,
+        count(*)     OVER w5 AS earlier_days,
+        count(*)     OVER w7 AS hist_days
+    FROM daily
+    WINDOW
+        w2 AS (PARTITION BY store_id ORDER BY sale_date
+               ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING),
+        w5 AS (PARTITION BY store_id ORDER BY sale_date
+               ROWS BETWEEN 7 PRECEDING AND 3 PRECEDING),
+        w7 AS (PARTITION BY store_id ORDER BY sale_date
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT
+    store_id,
+    sale_date,
+    cast(sales_c / 100.0 AS double) AS today_sales,
+    hist_days,
+    CASE
+        WHEN hist_days < 2 THEN 'insufficient_data'
+        WHEN earlier_days = 0 THEN 'stable'
+        WHEN (recent_sales_c * 1.0 / recent_days)
+             / (earlier_sales_c * 1.0 / earlier_days) > 1.05
+            THEN 'increasing'
+        WHEN (recent_sales_c * 1.0 / recent_days)
+             / (earlier_sales_c * 1.0 / earlier_days) < 0.95
+            THEN 'decreasing'
+        ELSE 'stable'
+    END AS trend_direction
+FROM win
+""",
+)
+
+# A12 — ±10% half-vs-half trend over nonzero days in a range
+register(
+    "a12_trend_half_vs_half",
+    lambda spark, sf: history.trend_half_vs_half(
+        tables.transactions(spark, sf), R_START, R_END
+    ),
+    f"""
+WITH {TXN}, {SQL_DAILY_CENTS},
+f AS (
+    SELECT * FROM daily
+    WHERE sale_date BETWEEN '{R_START}' AND '{R_END}' AND sales_c > 0
+),
+r AS (
+    SELECT
+        store_id, sale_date, sales_c,
+        row_number() OVER (PARTITION BY store_id ORDER BY sale_date) AS rn,
+        count(*)     OVER (PARTITION BY store_id)                    AS n
+    FROM f
+),
+h AS (
+    SELECT
+        store_id,
+        max(n) AS n,
+        cast(floor(max(n) / 2) AS bigint) AS mid,
+        sum(CASE WHEN rn <= cast(floor(n / 2) AS bigint)
+                 THEN sales_c END) AS first_c,
+        sum(CASE WHEN rn >  cast(floor(n / 2) AS bigint)
+                 THEN sales_c END) AS second_c
+    FROM r
+    GROUP BY store_id
+)
+SELECT
+    store_id,
+    n AS days_with_sales,
+    CASE
+        WHEN n < 2 OR mid = 0 THEN 'insufficient_data'
+        WHEN (second_c * 1.0 / (n - mid)) / (first_c * 1.0 / mid) > 1.1
+            THEN 'increasing'
+        WHEN (second_c * 1.0 / (n - mid)) / (first_c * 1.0 / mid) < 0.9
+            THEN 'decreasing'
+        ELSE 'stable'
+    END AS trend_direction,
+    CASE WHEN mid > 0 AND first_c > 0 THEN
+        cast(cast(round((second_c * 1.0 / (n - mid) - first_c * 1.0 / mid)
+                        / (first_c * 1.0 / mid) * 1000.0) AS bigint) / 10.0
+             AS double)
+    END AS trend_percent
+FROM h
+""",
+)
+
+# A13 — first-vs-last trend per store over a range
+register(
+    "a13_trend_first_vs_last",
+    lambda spark, sf: history.trend_first_vs_last(
+        tables.transactions(spark, sf), R_START, R_END
+    ),
+    f"""
+WITH {TXN}, {SQL_DAILY_CENTS}
+SELECT
+    store_id,
+    cast(arg_min(sales_c, sale_date) / 100.0 AS double) AS first_sales,
+    cast(arg_max(sales_c, sale_date) / 100.0 AS double) AS last_sales,
+    min(sale_date) AS first_date,
+    max(sale_date) AS last_date,
+    count(*)       AS days,
+    CASE WHEN arg_min(sales_c, sale_date) > 0 THEN
+        cast(cast(round((arg_max(sales_c, sale_date)
+                         - arg_min(sales_c, sale_date))
+                        * 1.0 / arg_min(sales_c, sale_date) * 100.0 * 10.0)
+                  AS bigint) / 10.0 AS double)
+    END AS trend_percent
+FROM daily
+WHERE sale_date BETWEEN '{R_START}' AND '{R_END}'
+GROUP BY store_id
+""",
+)
+
+# A8 — trailing company re-aggregation (replaces the 7-query loop)
+register(
+    "a8_company_trailing",
+    lambda spark, sf: history.company_trailing(
+        tables.transactions(spark, sf), W_START, W_END
+    ),
+    f"""
+WITH {TXN}
+SELECT
+    sale_date,
+    cast(sum(line_cents) / 100.0 AS double) AS total_sales,
+    count(*)                                AS total_transactions,
+    cast(sum(quantity) AS bigint)           AS total_items,
+    cast(cast(round(sum(line_cents) * 1.0 / count(*)) AS bigint) / 100.0
+         AS double)                         AS avg_transaction
+FROM transactions
+WHERE sale_date BETWEEN '{W_START}' AND '{W_END}'
+GROUP BY sale_date
+""",
+)
+
+# A9 — trailing per-product history
+register(
+    "a9_product_trailing",
+    lambda spark, sf: history.product_trailing(
+        tables.transactions(spark, sf), W_START, W_END
+    ),
+    f"""
+WITH {TXN}
+SELECT
+    item_sku,
+    sale_date,
+    cast(sum(quantity) AS bigint) AS units,
+    cast((sum(line_cents) - sum(discount_cents)) / 100.0 AS double)
+        AS revenue
+FROM transactions
+WHERE sale_date BETWEEN '{W_START}' AND '{W_END}'
+GROUP BY item_sku, sale_date
+""",
+)
+
+# A16/O7 — per-product range stats, top-15 by revenue
+register(
+    "a16_product_range_stats",
+    lambda spark, sf: history.product_range_stats(
+        tables.transactions(spark, sf), R_START, R_END, 15
+    ),
+    f"""
+WITH {TXN},
+g AS (
+    SELECT
+        item_sku,
+        cast(sum(quantity) AS bigint)                   AS total_units,
+        sum(line_cents) - sum(discount_cents)           AS rev_c,
+        cast(count(DISTINCT sale_date) AS bigint)       AS days_sold
+    FROM transactions
+    WHERE sale_date BETWEEN '{R_START}' AND '{R_END}'
+    GROUP BY item_sku
+),
+ranked AS (
+    SELECT
+        item_sku,
+        total_units,
+        cast(rev_c / 100.0 AS double) AS total_revenue,
+        days_sold,
+        cast(cast(round(total_units * 10.0 / days_sold) AS bigint) / 10.0
+             AS double) AS avg_daily_units,
+        cast(cast(round(rev_c * 1.0 / days_sold) AS bigint) / 100.0
+             AS double) AS avg_daily_revenue,
+        cast(row_number() OVER (ORDER BY rev_c DESC, item_sku ASC) AS int)
+            AS rank
+    FROM g
+)
+SELECT item_sku, total_units, total_revenue, days_sold,
+       avg_daily_units, avg_daily_revenue, rank
+FROM ranked WHERE rank <= 15
 """,
 )
