@@ -1,0 +1,129 @@
+"""Event-stream operators, batch form (SURVEY.md §2.9 extensions, A18,
+O5, JSON scalar §2.8).
+
+The reference is event-driven micro-batch with no true windowing; the
+driver's ``events`` table lets us add the tumbling/sliding/session
+window semantics a Spark-first engine should have. These are the batch
+(replayable/backfill) forms; ``streaming/windows.py`` runs the same
+logic as Structured Streaming with watermarks.
+
+All value sums go through integer cents (functions.money rules) so the
+batch results are hash-checkable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _with_value_cents(events: DataFrame) -> DataFrame:
+    return events.withColumn(
+        "value_c", F.round(F.col("value") * 100).cast("long")
+    )
+
+
+def event_type_summary(events: DataFrame) -> DataFrame:
+    """A18 (count-by-type, ``combine-insights/lambda_function.py:169-204``)
+    + O5 (custom priority-ladder sort key,
+    ``generate-recommendations/lambda_function.py:210-211``)
+    + JSON extraction (§2.8): per-type counts, exact value sums, and the
+    JSON payload field aggregated."""
+    e = _with_value_cents(events).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    priority = (
+        F.when(F.col("event_type") == "error", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .when(F.col("event_type") == "click", 4)
+        .otherwise(5)
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        (F.sum("value_c") / 100.0).cast("double").alias("total_value"),
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.sum("k").alias("k_sum"),
+    )
+    return g.withColumn("priority_rank", priority.cast("int"))
+
+
+def tumbling_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event-time windows: count, exact value sum,
+    distinct users per (window, type)."""
+    e = _with_value_cents(events)
+    g = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        (F.sum("value_c") / 100.0).cast("double").alias("total_value"),
+        F.countDistinct("user_id").alias("distinct_users"),
+    )
+    return g.select(
+        F.date_format("w.start", TS_FMT).alias("window_start"),
+        "event_type",
+        "event_count",
+        "total_value",
+        "distinct_users",
+    )
+
+
+def sliding_2h_hourly(events: DataFrame) -> DataFrame:
+    """Sliding windows: 2-hour duration, 1-hour slide — each event lands
+    in exactly two windows."""
+    e = _with_value_cents(events)
+    g = e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        (F.sum("value_c") / 100.0).cast("double").alias("total_value"),
+    )
+    return g.select(
+        F.date_format("w.start", TS_FMT).alias("window_start"),
+        F.date_format("w.end", TS_FMT).alias("window_end"),
+        "event_count",
+        "total_value",
+    )
+
+
+def session_windows(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session windows with an inactivity gap: classic
+    gaps-and-islands (lag + cumulative sum of new-session flags) — the
+    batch twin of Structured Streaming's ``session_window``.
+
+    Scale note: both windows partition by user_id only; the per-user
+    event series is small, and the two window functions share one
+    shuffle.
+    """
+    w_user = Window.partitionBy("user_id").orderBy("ts")
+    e = (
+        _with_value_cents(events)
+        .withColumn("prev_ts", F.lag("ts").over(w_user))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                    > gap_minutes * 60
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                w_user.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    g = e.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+        F.date_format(F.max("ts"), TS_FMT).alias("session_end"),
+        (F.sum("value_c") / 100.0).cast("double").alias("total_value"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("duration_sec"),
+    )
+    return g

@@ -1,0 +1,117 @@
+"""Join operators (SURVEY.md §2.3 J1-J6).
+
+The reference expresses joins as Python dict lookups and set
+differences; here they are real joins, and every one of them has a
+tiny side (stores, dates, parts dimension) — so each is planned as a
+broadcast hash join, with zero shuffle of the fact table.
+
+Scale notes: at 100 TB the fact side never moves for these joins —
+``F.broadcast`` pins the dimension side. The dense date-grid (J5) is
+|dates| x |stores| rows, independent of fact size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import tables
+from .history import store_daily_cents
+
+
+def expected_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expected-store dimension (11 fixed ids in the reference,
+    ``check-all-stores/lambda_function.py:47-48``) — mapped to the
+    supplier table per FIXTURES.md §3."""
+    return tables.load(spark, sf_dir, "supplier").select(
+        F.lpad(F.col("s_suppkey").cast("string"), 4, "0").alias("store_id"),
+        F.col("s_name").alias("store_name"),
+    )
+
+
+def missing_stores(
+    txns: DataFrame, expected: DataFrame, start: str, end: str
+) -> DataFrame:
+    """J1: anti-join completeness check — expected stores that reported
+    no transactions in [start, end]
+    (``check-all-stores/lambda_function.py:47-48,60-65``)."""
+    reported = (
+        txns.filter(F.col("sale_date").between(start, end))
+        .select("store_id")
+        .distinct()
+    )
+    return expected.join(F.broadcast(reported), "store_id", "left_anti")
+
+
+def brand_revenue(txns: DataFrame, part: DataFrame) -> DataFrame:
+    """J3: fact-to-dimension equi-join (sku -> product attributes),
+    broadcast (``analyze-trends/lambda_function.py:240-278`` does this
+    as a per-SKU dict lookup). Revenue rollup by brand."""
+    dim = part.select(
+        F.col("p_partkey").alias("item_sku"), "p_brand", "p_name"
+    )
+    j = txns.join(F.broadcast(dim), "item_sku")
+    g = j.groupBy("p_brand").agg(
+        F.sum("quantity").alias("units"),
+        (F.sum("line_cents") - F.sum("discount_cents")).alias("rev_c"),
+        F.countDistinct("item_sku").alias("sku_count"),
+    )
+    return g.select(
+        "p_brand",
+        "units",
+        (F.col("rev_c") / 100.0).cast("double").alias("revenue"),
+        "sku_count",
+    )
+
+
+def dense_date_store_grid(
+    txns: DataFrame, expected: DataFrame, start: str, end: str
+) -> DataFrame:
+    """J5: dense (date x store) grid with zero-fill — the time_series
+    pivot input (``get-trends/lambda_function.py:274-304``).
+
+    dates x stores is a cross join of two tiny inputs; the daily facts
+    then LEFT-join onto the grid and missing cells become 0.0.
+    """
+    dates = (
+        txns.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.to_date(F.lit(start)), F.to_date(F.lit(end))
+                )
+            ).alias("d")
+        )
+        .select(F.date_format("d", "yyyy-MM-dd").alias("sale_date"))
+    )
+    daily = (
+        store_daily_cents(txns)
+        .filter(F.col("sale_date").between(start, end))
+        .select("store_id", "sale_date", "sales_c")
+    )
+    grid = dates.crossJoin(expected.select("store_id"))
+    return (
+        grid.join(daily, ["sale_date", "store_id"], "left")
+        .na.fill({"sales_c": 0})
+        .select(
+            "sale_date",
+            "store_id",
+            (F.col("sales_c") / 100.0).cast("double").alias("sales"),
+        )
+    )
+
+
+def pivot_timeseries(
+    txns: DataFrame, expected: DataFrame, start: str, end: str
+) -> DataFrame:
+    """J5 wide form: one row per date, one column per store
+    (``get-trends/lambda_function.py:285-304``). Column set depends on
+    the store dimension, so this is Spark-side only (no fixed-schema
+    oracle); the long form above is the hash-checked variant."""
+    long = dense_date_store_grid(txns, expected, start, end)
+    return (
+        long.groupBy("sale_date")
+        .pivot("store_id")
+        .agg(F.first("sales"))
+        .na.fill(0.0)
+    )

@@ -497,3 +497,392 @@ SELECT item_sku, total_units, total_revenue, days_sold,
 FROM ranked WHERE rank <= 15
 """,
 )
+
+# --------------------------------------------------------------------------
+# Joins (J1/J3/J5), serving layer (A14-A18), predicates (P1-P6), set ops,
+# scalar sampler, and event-window batch equivalents (§2.9).
+from ..operators import events as ev  # noqa: E402
+from ..operators import joins, serving  # noqa: E402
+
+# J1 — anti-join completeness: expected stores with no data in range
+register(
+    "j1_missing_stores_anti",
+    lambda spark, sf: joins.missing_stores(
+        tables.transactions(spark, sf),
+        joins.expected_stores(spark, sf),
+        W_START,
+        W_END,
+    ),
+    f"""
+WITH {TXN},
+expected AS (
+    SELECT lpad(cast(s_suppkey AS varchar), 4, '0') AS store_id,
+           s_name AS store_name
+    FROM supplier
+)
+SELECT store_id, store_name
+FROM expected e
+WHERE NOT EXISTS (
+    SELECT 1 FROM transactions t
+    WHERE t.store_id = e.store_id
+      AND t.sale_date BETWEEN '{W_START}' AND '{W_END}'
+)
+""",
+)
+
+# J3 — broadcast dimension join: revenue by brand
+register(
+    "j3_brand_revenue",
+    lambda spark, sf: joins.brand_revenue(
+        tables.transactions(spark, sf), tables.load(spark, sf, "part")
+    ),
+    f"""
+WITH {TXN}
+SELECT
+    p.p_brand,
+    cast(sum(t.quantity) AS bigint) AS units,
+    cast((sum(t.line_cents) - sum(t.discount_cents)) / 100.0 AS double)
+        AS revenue,
+    cast(count(DISTINCT t.item_sku) AS bigint) AS sku_count
+FROM transactions t
+JOIN part p ON p.p_partkey = t.item_sku
+GROUP BY p.p_brand
+""",
+)
+
+# J5 — dense (date x store) grid with zero-fill (long form)
+register(
+    "j5_dense_date_store_grid",
+    lambda spark, sf: joins.dense_date_store_grid(
+        tables.transactions(spark, sf),
+        joins.expected_stores(spark, sf),
+        W_START,
+        W_END,
+    ),
+    f"""
+WITH {TXN}, {SQL_DAILY_CENTS},
+dates AS (
+    SELECT strftime(cast(generate_series AS date), '%Y-%m-%d') AS sale_date
+    FROM generate_series(DATE '{W_START}', DATE '{W_END}', INTERVAL 1 day)
+),
+stores AS (
+    SELECT lpad(cast(s_suppkey AS varchar), 4, '0') AS store_id FROM supplier
+)
+SELECT
+    d.sale_date,
+    s.store_id,
+    cast(coalesce(f.sales_c, 0) / 100.0 AS double) AS sales
+FROM dates d
+CROSS JOIN stores s
+LEFT JOIN daily f
+  ON f.sale_date = d.sale_date AND f.store_id = s.store_id
+""",
+)
+
+# A14 — serving KPI re-aggregation with fixed payment columns
+register(
+    "a14_kpi_for_range",
+    lambda spark, sf: serving.kpi_for_range(
+        tables.transactions(spark, sf), R_START, R_END
+    ),
+    f"""
+WITH {TXN},
+f AS (SELECT * FROM transactions
+      WHERE sale_date BETWEEN '{R_START}' AND '{R_END}')
+SELECT
+    cast(sum(line_cents) / 100.0 AS double) AS total_sales,
+    count(*)                                AS total_transactions,
+    cast(sum(quantity) AS bigint)           AS total_items,
+    cast(count(DISTINCT store_id) AS bigint) AS stores_reporting,
+    cast(cast(round(sum(line_cents) * 1.0 / count(*)) AS bigint) / 100.0
+         AS double)                         AS avg_transaction,
+    cast(sum(CASE WHEN payment_method = 'A'
+                  THEN line_cents - discount_cents ELSE 0 END) / 100.0
+         AS double)                         AS payment_a,
+    cast(sum(CASE WHEN payment_method = 'N'
+                  THEN line_cents - discount_cents ELSE 0 END) / 100.0
+         AS double)                         AS payment_n,
+    cast(sum(CASE WHEN payment_method = 'R'
+                  THEN line_cents - discount_cents ELSE 0 END) / 100.0
+         AS double)                         AS payment_r
+FROM f
+""",
+)
+
+# A15 — cross-store top-10 re-agg from top-5 lists, single date
+register(
+    "a15_top_products_reagg",
+    lambda spark, sf: serving.top_products_reagg(
+        tables.transactions(spark, sf), "2001-06-15", 10
+    ),
+    f"""
+WITH {TXN}, {SQL_TOP5},
+day5 AS (
+    SELECT * FROM ranked
+    WHERE rank <= 5 AND sale_date = '2001-06-15'
+),
+g AS (
+    SELECT
+        item_sku,
+        cast(sum(units) AS bigint) AS units,
+        sum(cast(round(revenue * 100) AS bigint)) AS rev_c,
+        cast(count(DISTINCT store_id) AS bigint) AS store_count
+    FROM day5
+    GROUP BY item_sku
+)
+SELECT
+    item_sku, units,
+    cast(rev_c / 100.0 AS double) AS revenue,
+    store_count,
+    cast(row_number() OVER (ORDER BY rev_c DESC, item_sku ASC) AS int)
+        AS rank
+FROM g
+QUALIFY rank <= 10
+""",
+)
+
+# A17 — distinct-date discovery
+register(
+    "a17_distinct_dates",
+    lambda spark, sf: serving.distinct_dates(tables.transactions(spark, sf)),
+    f"""
+WITH {TXN}
+SELECT DISTINCT sale_date FROM transactions
+""",
+)
+
+# A18 + O5 + JSON scalar — event-type summary with priority ladder
+register(
+    "a18_event_type_summary",
+    lambda spark, sf: ev.event_type_summary(tables.load_events(spark, sf)),
+    """
+SELECT
+    event_type,
+    count(*) AS event_count,
+    cast(sum(cast(round(value * 100) AS bigint)) / 100.0 AS double)
+        AS total_value,
+    cast(count(DISTINCT user_id) AS bigint) AS distinct_users,
+    cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint)
+        AS k_sum,
+    cast(CASE event_type
+        WHEN 'error' THEN 1 WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+        WHEN 'click' THEN 4 ELSE 5 END AS int) AS priority_rank
+FROM events
+GROUP BY event_type
+""",
+)
+
+# P1 — serving-shape projection/rename/cast over store_daily
+register(
+    "p1_store_summary_projection",
+    lambda spark, sf: serving.store_summary_projection(
+        metrics.store_day_metrics(tables.transactions(spark, sf))
+    ),
+    f"""
+WITH {TXN}, {SQL_STORE_DAILY}
+SELECT
+    store_id  AS store,
+    sale_date AS business_date,
+    cast(sales_c / 100.0 AS double) AS sales,
+    transaction_count AS transactions,
+    item_count        AS items,
+    cast(cast(round((sales_c - disc_c) * 1.0 / transaction_count) AS bigint)
+         / 100.0 AS double) AS avg_ticket
+FROM store_daily
+""",
+)
+
+# P2 — prefix predicate on the composite-key-style store id
+register(
+    "p2_prefix_filter",
+    lambda spark, sf: serving.prefix_filter(tables.transactions(spark, sf), "000"),
+    f"""
+WITH {TXN}
+SELECT store_id, count(*) AS line_count
+FROM transactions
+WHERE store_id LIKE '000%'
+GROUP BY store_id
+""",
+)
+
+# P3 — point lookup on (store, date): the partition-pruning path
+register(
+    "p3_point_lookup",
+    lambda spark, sf: serving.point_lookup(
+        tables.transactions(spark, sf), "0006", "2001-06-19"
+    ),
+    f"""
+WITH {TXN}
+SELECT transaction_id, item_sku, quantity, line_total, payment_method
+FROM transactions
+WHERE store_id = '0006' AND sale_date = '2001-06-19'
+""",
+)
+
+# P4 — single range-filtered scan (replaces per-date query loops)
+register(
+    "p4_range_filter_daily",
+    lambda spark, sf: serving.range_filter_daily(
+        tables.transactions(spark, sf), R_START, R_END
+    ),
+    f"""
+WITH {TXN}
+SELECT
+    store_id,
+    sale_date,
+    cast(sum(line_cents) / 100.0 AS double) AS total_sales,
+    count(*) AS transaction_count
+FROM transactions
+WHERE sale_date BETWEEN '{R_START}' AND '{R_END}'
+GROUP BY store_id, sale_date
+""",
+)
+
+# P6 — list-membership filter
+register(
+    "p6_isin_filter",
+    lambda spark, sf: serving.isin_filter(
+        tables.transactions(spark, sf), ["A", "R"]
+    ),
+    f"""
+WITH {TXN}
+SELECT payment_method, count(*) AS line_count
+FROM transactions
+WHERE payment_method IN ('A', 'R')
+GROUP BY payment_method
+""",
+)
+
+# §2.7 — unionByName of tagged projections
+register(
+    "u1_union_tagged",
+    lambda spark, sf: serving.union_tagged(tables.transactions(spark, sf)),
+    f"""
+WITH {TXN},
+u AS (
+    SELECT store_id, 'full_price' AS bucket
+    FROM transactions WHERE discount_cents = 0
+    UNION ALL
+    SELECT store_id, 'discounted' AS bucket
+    FROM transactions WHERE discount_cents > 0
+)
+SELECT store_id, bucket, count(*) AS line_count
+FROM u
+GROUP BY store_id, bucket
+""",
+)
+
+# §2.8 + S2 — scalar-function sampler incl. filename round-trip
+register(
+    "f1_scalar_sampler",
+    lambda spark, sf: serving.scalar_function_sampler(
+        tables.transactions(spark, sf), W_START, W_END
+    ),
+    rf"""
+WITH {TXN},
+dims AS (
+    SELECT DISTINCT store_id, sale_date
+    FROM transactions
+    WHERE sale_date BETWEEN '{W_START}' AND '{W_END}'
+)
+SELECT
+    store_id,
+    sale_date,
+    concat('store_', store_id, '_', sale_date, '.json') AS filename,
+    regexp_extract(
+        concat('store_', store_id, '_', sale_date, '.json'),
+        'store_(\d{{4}})_(\d{{4}}-\d{{2}}-\d{{2}})\.json', 1) AS parsed_store,
+    regexp_extract(
+        concat('store_', store_id, '_', sale_date, '.json'),
+        'store_(\d{{4}})_(\d{{4}}-\d{{2}}-\d{{2}})\.json', 2) AS parsed_date,
+    cast(strftime(cast(sale_date AS date), '%w') AS int) AS dow,
+    strftime(cast(sale_date AS date) - INTERVAL 7 day, '%Y-%m-%d')
+        AS week_earlier,
+    array_to_string(string_split(sale_date, '-'), '/') AS date_slash,
+    concat('STORE#', store_id) AS pk,
+    substring(sale_date, 1, 7) AS month_key
+FROM dims
+""",
+)
+
+# Tumbling 1-hour event-time windows (batch form of streaming/windows.py)
+register(
+    "ev_tumbling_hourly",
+    lambda spark, sf: ev.tumbling_hourly(tables.load_events(spark, sf)),
+    """
+SELECT
+    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+    event_type,
+    count(*) AS event_count,
+    cast(sum(cast(round(value * 100) AS bigint)) / 100.0 AS double)
+        AS total_value,
+    cast(count(DISTINCT user_id) AS bigint) AS distinct_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+
+# Sliding 2h/1h windows — each event in exactly two windows
+register(
+    "ev_sliding_2h_hourly",
+    lambda spark, sf: ev.sliding_2h_hourly(tables.load_events(spark, sf)),
+    """
+WITH assigned AS (
+    SELECT date_trunc('hour', ts) AS window_start, value FROM events
+    UNION ALL
+    SELECT date_trunc('hour', ts) - INTERVAL 1 hour AS window_start, value
+    FROM events
+)
+SELECT
+    strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+    strftime(window_start + INTERVAL 2 hour, '%Y-%m-%d %H:%M:%S')
+        AS window_end,
+    count(*) AS event_count,
+    cast(sum(cast(round(value * 100) AS bigint)) / 100.0 AS double)
+        AS total_value
+FROM assigned
+GROUP BY 1, 2
+""",
+)
+
+# Per-user session windows (30-min gap), gaps-and-islands batch form
+register(
+    "ev_session_windows",
+    lambda spark, sf: ev.session_windows(tables.load_events(spark, sf), 30),
+    """
+WITH e AS (
+    SELECT
+        user_id, ts,
+        cast(round(value * 100) AS bigint) AS value_c,
+        cast(floor(epoch(ts)) AS bigint) AS sec,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts,
+        cast(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))
+             AS bigint) AS prev_sec
+    FROM events
+),
+flagged AS (
+    SELECT *,
+        CASE WHEN prev_ts IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END
+            AS new_session
+    FROM e
+),
+sessions AS (
+    SELECT *,
+        sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM flagged
+)
+SELECT
+    user_id,
+    cast(session_seq AS bigint) AS session_seq,
+    count(*) AS event_count,
+    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+    cast(sum(value_c) / 100.0 AS double) AS total_value,
+    cast(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS bigint)
+        AS duration_sec
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+)

@@ -45,6 +45,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects. Read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+    microseconds with integer division — exactly what DuckDB does, so
+    oracle comparisons agree. (``ts div 1000`` stays in long; a double
+    division would lose precision above 2^53.)"""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] in ("bigint", "long"):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
 def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem re-expressed in the reference's transaction-line-item shape."""
     li = load(spark, sf_dir, "lineitem")
