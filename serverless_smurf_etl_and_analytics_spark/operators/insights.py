@@ -1,0 +1,156 @@
+"""Deterministic insights layer (SURVEY.md §2.10, §2.2 P5, A18).
+
+In the reference, anomaly/trend/recommendation rows are produced by an
+LLM that *labels* pre-computed statistics
+(``detect-anomalies/lambda_function.py:139-301``,
+``analyze-trends/lambda_function.py:284-475``,
+``generate-recommendations/lambda_function.py:48-171``) — all numeric
+work happens before the model. Here the statistical layer is exact
+(operators/history.py) and the labeling is the documented threshold
+ladder, implemented as ``when``-chains:
+
+- severity: |deviation| > 50% => critical, 25-50% => warning
+  (``detect-anomalies/lambda_function.py:268-271``)
+- taxonomy: sudden_spike / sudden_drop by deviation sign (the
+  historical_low|historical_high|peer_outlier labels in the prompt
+  taxonomy at ``:256`` need model judgment; the two deterministic ones
+  are implemented, the rest stay with the optional LLM UDF)
+- recommendations: priority ladder high < medium < low (O5 sort,
+  ``generate-recommendations/lambda_function.py:210-211``)
+
+Insight ids in the reference are ``uuid4()[:8]``
+(``combine-insights/lambda_function.py:39``) — nondeterministic and
+excluded here; a deterministic ``md5(type|store|date)`` surrogate keeps
+rows addressable without breaking golden comparisons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .history import deviation_vs_trailing, trend_recent_vs_earlier
+
+
+def classify_anomalies(txns: DataFrame, min_days: int = 3) -> DataFrame:
+    """Anomaly rows: store-days whose deviation vs the trailing average
+    exceeds ±25%, with the reference's severity ladder."""
+    dev = deviation_vs_trailing(txns, min_days)
+    sev = (
+        F.when(F.abs(F.col("deviation_pct")) > 50.0, F.lit("critical"))
+        .when(F.abs(F.col("deviation_pct")) > 25.0, F.lit("warning"))
+    )
+    kind = F.when(F.col("deviation_pct") > 0, F.lit("sudden_spike")).otherwise(
+        F.lit("sudden_drop")
+    )
+    return (
+        dev.filter(F.abs(F.col("deviation_pct")) > 25.0)
+        .select(
+            "store_id",
+            "sale_date",
+            F.lit("anomaly").alias("insight_type"),
+            kind.alias("anomaly_type"),
+            sev.alias("severity"),
+            F.col("today_sales").alias("metric_value"),
+            "deviation_pct",
+            F.md5(
+                F.concat_ws("|", F.lit("anomaly"), "store_id", "sale_date")
+            ).alias("insight_id"),
+        )
+    )
+
+
+def trend_insights(txns: DataFrame) -> DataFrame:
+    """Trend rows: stores whose ±5% recent-vs-earlier direction is not
+    stable (insufficient_data rows are dropped, mirroring the >=
+    history gates)."""
+    t = trend_recent_vs_earlier(txns)
+    return (
+        t.filter(F.col("trend_direction").isin("increasing", "decreasing"))
+        .select(
+            "store_id",
+            "sale_date",
+            F.lit("trend").alias("insight_type"),
+            "trend_direction",
+            F.col("today_sales").alias("metric_value"),
+            F.md5(
+                F.concat_ws("|", F.lit("trend"), "store_id", "sale_date")
+            ).alias("insight_id"),
+        )
+    )
+
+
+def recommendations(txns: DataFrame) -> DataFrame:
+    """Recommendation rows from the anomaly set: the deterministic rule
+    ladder (critical drop => urgent investigation; warning drop =>
+    review; spike => restock), with the O5 priority sort key."""
+    an = classify_anomalies(txns)
+    action = (
+        F.when(
+            (F.col("anomaly_type") == "sudden_drop")
+            & (F.col("severity") == "critical"),
+            F.lit("investigate_store_operations"),
+        )
+        .when(F.col("anomaly_type") == "sudden_drop", F.lit("review_pricing"))
+        .otherwise(F.lit("increase_inventory"))
+    )
+    priority = (
+        F.when(F.col("severity") == "critical", F.lit("high"))
+        .when(F.col("anomaly_type") == "sudden_drop", F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    priority_rank = (
+        F.when(priority == "high", 1)
+        .when(priority == "medium", 2)
+        .otherwise(3)
+        .cast("int")
+    )
+    return an.select(
+        "store_id",
+        "sale_date",
+        F.lit("recommendation").alias("insight_type"),
+        action.alias("action"),
+        priority.alias("priority"),
+        priority_rank.alias("priority_rank"),
+        "deviation_pct",
+        F.md5(
+            F.concat_ws("|", F.lit("recommendation"), "store_id", "sale_date")
+        ).alias("insight_id"),
+    )
+
+
+def combine_insights(txns: DataFrame) -> DataFrame:
+    """CombineInsights (``combine-insights/lambda_function.py:105-208``):
+    merge the three result sets into one discriminated table. Columns
+    not applicable to a type are null (P5: the reference strips None
+    attributes before write; Spark keeps nullable columns)."""
+    an = classify_anomalies(txns).select(
+        "insight_id", "insight_type", "store_id", "sale_date",
+        F.col("anomaly_type").alias("detail"), "severity",
+        F.lit(None).cast("string").alias("priority"),
+        "deviation_pct",
+    )
+    tr = trend_insights(txns).select(
+        "insight_id", "insight_type", "store_id", "sale_date",
+        F.col("trend_direction").alias("detail"),
+        F.lit(None).cast("string").alias("severity"),
+        F.lit(None).cast("string").alias("priority"),
+        F.lit(None).cast("double").alias("deviation_pct"),
+    )
+    re = recommendations(txns).select(
+        "insight_id", "insight_type", "store_id", "sale_date",
+        F.col("action").alias("detail"),
+        F.lit(None).cast("string").alias("severity"),
+        "priority",
+        "deviation_pct",
+    )
+    return an.unionByName(tr).unionByName(re)
+
+
+def insight_summary(txns: DataFrame) -> DataFrame:
+    """A18: counts by insight type over the combined set
+    (``combine-insights/lambda_function.py:169-204``)."""
+    return combine_insights(txns).groupBy("insight_type").agg(
+        F.count(F.lit(1)).alias("insight_count"),
+        F.countDistinct("store_id").alias("stores_affected"),
+    )

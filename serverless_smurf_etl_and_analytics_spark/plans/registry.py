@@ -886,3 +886,197 @@ FROM sessions
 GROUP BY user_id, session_seq
 """,
 )
+
+# --------------------------------------------------------------------------
+# Deterministic insights layer (§2.10): the documented LLM-prompt
+# thresholds as CASE ladders — fully oracle-checkable.
+from ..operators import insights  # noqa: E402
+
+SQL_DEV = (
+    SQL_DAILY_CENTS
+    + ", "
+    + SQL_W7
+    + """,
+dev AS (
+    SELECT
+        store_id,
+        sale_date,
+        cast(sales_c / 100.0 AS double) AS today_sales,
+        hist_days,
+        CASE WHEN hist_sales_c > 0 THEN
+            cast(cast(round(((sales_c - hist_sales_c * 1.0 / hist_days)
+                             / (hist_sales_c * 1.0 / hist_days) * 100.0)
+                            * 10.0) AS bigint) / 10.0 AS double)
+        END AS deviation_pct
+    FROM win
+    WHERE hist_days >= 3
+)
+"""
+)
+
+SQL_ANOMALIES = (
+    SQL_DEV
+    + """,
+anomalies AS (
+    SELECT
+        store_id,
+        sale_date,
+        'anomaly' AS insight_type,
+        CASE WHEN deviation_pct > 0 THEN 'sudden_spike'
+             ELSE 'sudden_drop' END AS anomaly_type,
+        CASE WHEN abs(deviation_pct) > 50.0 THEN 'critical'
+             WHEN abs(deviation_pct) > 25.0 THEN 'warning' END AS severity,
+        today_sales AS metric_value,
+        deviation_pct,
+        md5(concat_ws('|', 'anomaly', store_id, sale_date)) AS insight_id
+    FROM dev
+    WHERE abs(deviation_pct) > 25.0
+)
+"""
+)
+
+SQL_TRENDS_I = """
+twin AS (
+    SELECT
+        store_id, sale_date, sales_c,
+        sum(sales_c) OVER w2 AS recent_sales_c,
+        count(*)     OVER w2 AS recent_days,
+        sum(sales_c) OVER w5 AS earlier_sales_c,
+        count(*)     OVER w5 AS earlier_days,
+        count(*)     OVER w7 AS hist_days
+    FROM daily
+    WINDOW
+        w2 AS (PARTITION BY store_id ORDER BY sale_date
+               ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING),
+        w5 AS (PARTITION BY store_id ORDER BY sale_date
+               ROWS BETWEEN 7 PRECEDING AND 3 PRECEDING),
+        w7 AS (PARTITION BY store_id ORDER BY sale_date
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+),
+trends_i AS (
+    SELECT
+        store_id,
+        sale_date,
+        'trend' AS insight_type,
+        CASE
+            WHEN hist_days < 2 THEN 'insufficient_data'
+            WHEN earlier_days = 0 THEN 'stable'
+            WHEN (recent_sales_c * 1.0 / recent_days)
+                 / (earlier_sales_c * 1.0 / earlier_days) > 1.05
+                THEN 'increasing'
+            WHEN (recent_sales_c * 1.0 / recent_days)
+                 / (earlier_sales_c * 1.0 / earlier_days) < 0.95
+                THEN 'decreasing'
+            ELSE 'stable'
+        END AS trend_direction,
+        cast(sales_c / 100.0 AS double) AS metric_value,
+        md5(concat_ws('|', 'trend', store_id, sale_date)) AS insight_id
+    FROM twin
+)
+"""
+
+SQL_RECS = """
+recs AS (
+    SELECT
+        store_id,
+        sale_date,
+        'recommendation' AS insight_type,
+        CASE
+            WHEN anomaly_type = 'sudden_drop' AND severity = 'critical'
+                THEN 'investigate_store_operations'
+            WHEN anomaly_type = 'sudden_drop' THEN 'review_pricing'
+            ELSE 'increase_inventory'
+        END AS action,
+        CASE
+            WHEN severity = 'critical' THEN 'high'
+            WHEN anomaly_type = 'sudden_drop' THEN 'medium'
+            ELSE 'low'
+        END AS priority,
+        cast(CASE
+            WHEN severity = 'critical' THEN 1
+            WHEN anomaly_type = 'sudden_drop' THEN 2
+            ELSE 3
+        END AS int) AS priority_rank,
+        deviation_pct,
+        md5(concat_ws('|', 'recommendation', store_id, sale_date))
+            AS insight_id
+    FROM anomalies
+)
+"""
+
+register(
+    "i1_anomaly_classify",
+    lambda spark, sf: insights.classify_anomalies(tables.transactions(spark, sf)),
+    f"""
+WITH {TXN}, {SQL_ANOMALIES}
+SELECT store_id, sale_date, insight_type, anomaly_type, severity,
+       metric_value, deviation_pct, insight_id
+FROM anomalies
+""",
+)
+
+register(
+    "i2_trend_insights",
+    lambda spark, sf: insights.trend_insights(tables.transactions(spark, sf)),
+    f"""
+WITH {TXN}, {SQL_DAILY_CENTS}, {SQL_TRENDS_I}
+SELECT store_id, sale_date, insight_type, trend_direction, metric_value,
+       insight_id
+FROM trends_i
+WHERE trend_direction IN ('increasing', 'decreasing')
+""",
+)
+
+register(
+    "i3_recommendations",
+    lambda spark, sf: insights.recommendations(tables.transactions(spark, sf)),
+    f"""
+WITH {TXN}, {SQL_ANOMALIES}, {SQL_RECS}
+SELECT store_id, sale_date, insight_type, action, priority, priority_rank,
+       deviation_pct, insight_id
+FROM recs
+""",
+)
+
+register(
+    "i4_combine_insights",
+    lambda spark, sf: insights.combine_insights(tables.transactions(spark, sf)),
+    f"""
+WITH {TXN}, {SQL_ANOMALIES}, {SQL_TRENDS_I}, {SQL_RECS}
+SELECT insight_id, insight_type, store_id, sale_date,
+       anomaly_type AS detail, severity,
+       cast(NULL AS varchar) AS priority, deviation_pct
+FROM anomalies
+UNION ALL
+SELECT insight_id, insight_type, store_id, sale_date,
+       trend_direction AS detail, cast(NULL AS varchar) AS severity,
+       cast(NULL AS varchar) AS priority, cast(NULL AS double)
+FROM trends_i
+WHERE trend_direction IN ('increasing', 'decreasing')
+UNION ALL
+SELECT insight_id, insight_type, store_id, sale_date,
+       action AS detail, cast(NULL AS varchar) AS severity,
+       priority, deviation_pct
+FROM recs
+""",
+)
+
+register(
+    "i5_insight_summary",
+    lambda spark, sf: insights.insight_summary(tables.transactions(spark, sf)),
+    f"""
+WITH {TXN}, {SQL_ANOMALIES}, {SQL_TRENDS_I}, {SQL_RECS},
+combined AS (
+    SELECT insight_type, store_id FROM anomalies
+    UNION ALL
+    SELECT insight_type, store_id FROM trends_i
+    WHERE trend_direction IN ('increasing', 'decreasing')
+    UNION ALL
+    SELECT insight_type, store_id FROM recs
+)
+SELECT insight_type, count(*) AS insight_count,
+       cast(count(DISTINCT store_id) AS bigint) AS stores_affected
+FROM combined
+GROUP BY insight_type
+""",
+)

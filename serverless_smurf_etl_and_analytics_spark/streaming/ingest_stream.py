@@ -1,0 +1,141 @@
+"""Streaming ingest (SURVEY.md §2.1 S9-S10, §2.9).
+
+The reference's EventBridge -> Step Functions per-file pipeline
+(``infrastructure/eventbridge.tf:4-52``,
+``state-machines/upload-processor.json``) is a file-arrival stream:
+each new S3 object triggers validate -> aggregate -> upsert ->
+completeness check. The Spark-native form is a Structured Streaming
+file source over the upload directory where each micro-batch runs the
+same batch operators inside ``foreachBatch``:
+
+- validate/split (sources.ingest.validate_split)
+- per-store-day aggregation (operators.metrics.store_day_metrics)
+- dynamic-partition upsert of store_daily (idempotent re-upload:
+  the same store-day replaces its own partition — the put_item
+  semantics of ``write-metrics/lambda_function.py:104``)
+- completeness anti-join (J1) emitting a per-date upload ledger
+  (``check-all-stores/lambda_function.py:60-92``); downstream daily
+  analysis fires when ``stores_missing == 0`` — a *completeness*
+  trigger, not a time watermark.
+
+Scale notes: ``maxFilesPerTrigger`` bounds micro-batch size; the
+aggregation inside a batch shuffles only batch rows; the upsert touches
+only the partitions present in the batch. Checkpointing makes the
+stream exactly-once into the parquet sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..schema import TXN_READ_SCHEMA
+from ..sources import ingest as batch_ingest
+
+
+def read_upload_stream(
+    spark: SparkSession, upload_dir: str, max_files: int = 16
+) -> DataFrame:
+    df = (
+        spark.readStream.schema(TXN_READ_SCHEMA)
+        .option("multiLine", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("maxFilesPerTrigger", str(max_files))
+        .json(f"{upload_dir}/*.json")
+    )
+    from ..schema import FILENAME_PATTERN
+
+    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    return (
+        df.select("*", F.col("_metadata.file_path").alias("_file_path"))
+        .withColumn("_file_name", fname)
+        .withColumn(
+            "store_id", F.regexp_extract("_file_name", FILENAME_PATTERN, 1)
+        )
+        .withColumn(
+            "sale_date", F.regexp_extract("_file_name", FILENAME_PATTERN, 2)
+        )
+    )
+
+
+def start_ingest_stream(
+    spark: SparkSession,
+    upload_dir: str,
+    store_daily_dir: str,
+    ledger_dir: str,
+    expected_stores: DataFrame,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The full §3.1 pipeline as one stream. Each micro-batch:
+    validate -> aggregate -> upsert store_daily -> completeness ledger.
+    """
+    from ..functions.money import cents
+    from ..operators.metrics import store_day_metrics
+
+    expected = expected_stores.select("store_id").cache()
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        valid, _rejected = batch_ingest.validate_split(batch_df)
+        if valid.isEmpty():
+            return
+        txns = valid.select(
+            "store_id",
+            "sale_date",
+            F.col("transaction_id"),
+            F.col("quantity").cast("long").alias("quantity"),
+            cents(F.col("line_total").cast("double")).alias("line_cents"),
+            cents(F.col("discount_amount").cast("double")).alias(
+                "discount_cents"
+            ),
+        )
+        daily = store_day_metrics(txns)
+        (
+            daily.withColumn("date_key", F.col("sale_date"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date_key")
+            .parquet(store_daily_dir)
+        )
+        # completeness check over ALL store-days seen so far for the
+        # dates touched by this batch
+        spark_l = batch_df.sparkSession
+        touched = [r[0] for r in daily.select("sale_date").distinct().collect()]
+        seen = (
+            spark_l.read.parquet(store_daily_dir)
+            .filter(F.col("sale_date").isin(touched))
+            .select("sale_date", "store_id")
+            .distinct()
+        )
+        ledger = (
+            seen.groupBy("sale_date")
+            .agg(F.countDistinct("store_id").alias("stores_reported"))
+            .crossJoin(
+                expected.agg(
+                    F.count(F.lit(1)).alias("stores_expected")
+                )
+            )
+            .withColumn(
+                "all_stores_done",
+                F.col("stores_reported") >= F.col("stores_expected"),
+            )
+            .withColumn("date_key", F.col("sale_date"))
+        )
+        (
+            ledger.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date_key")
+            .parquet(ledger_dir)
+        )
+
+    stream = read_upload_stream(spark, upload_dir)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,141 @@
+"""Structured Streaming tests: file-source ingest pipeline with
+completeness ledger (S9/§2.9) and windowed streaming twins, all run
+with availableNow triggers against tmp dirs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_smurf_etl_and_analytics_spark import tables
+from serverless_smurf_etl_and_analytics_spark.operators import events as ev
+from serverless_smurf_etl_and_analytics_spark.sources import ingest
+from serverless_smurf_etl_and_analytics_spark.streaming import (
+    ingest_stream,
+    windows,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def upload_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_uploads")
+    ingest.make_upload_fixture(spark, SF_DIR, str(d), n_days=2)
+    return d
+
+
+def test_ingest_stream_end_to_end(spark, upload_dir, tmp_path):
+    store_daily = tmp_path / "store_daily"
+    ledger = tmp_path / "ledger"
+    ckpt = tmp_path / "ckpt"
+    expected = tables.load(spark, SF_DIR, "supplier").select(
+        F.lpad(F.col("s_suppkey").cast("string"), 4, "0").alias("store_id")
+    )
+    q = ingest_stream.start_ingest_stream(
+        spark, str(upload_dir), str(store_daily), str(ledger), expected,
+        str(ckpt),
+    )
+    q.awaitTermination(120)
+
+    daily = spark.read.parquet(str(store_daily))
+    assert daily.count() > 0
+    assert {"store_id", "sale_date", "total_sales"} <= set(daily.columns)
+
+    led = spark.read.parquet(str(ledger))
+    rows = {r["sale_date"]: r for r in led.collect()}
+    assert rows, "ledger empty"
+    for r in rows.values():
+        assert r["stores_expected"] == 10  # sf0.001 supplier count
+        assert r["stores_reported"] <= r["stores_expected"]
+
+    # batch/stream parity: stream-computed store_daily equals the batch
+    # operator on the same files
+    raw = ingest.read_uploads(spark, str(upload_dir))
+    valid, _ = ingest.validate_split(raw)
+    from serverless_smurf_etl_and_analytics_spark.functions.money import cents
+    from serverless_smurf_etl_and_analytics_spark.operators.metrics import (
+        store_day_metrics,
+    )
+
+    txns = valid.select(
+        "store_id", "sale_date", "transaction_id",
+        F.col("quantity").cast("long").alias("quantity"),
+        cents(F.col("line_total").cast("double")).alias("line_cents"),
+        cents(F.col("discount_amount").cast("double")).alias("discount_cents"),
+    )
+    batch = store_day_metrics(txns)
+    got = {
+        (r["store_id"], r["sale_date"]): r["total_sales"]
+        for r in daily.collect()
+    }
+    want = {
+        (r["store_id"], r["sale_date"]): r["total_sales"]
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_streaming_windows_match_batch(spark, tmp_path):
+    """Tumbling-window streaming result over a file source equals the
+    batch operator (exclusive of the approx distinct column)."""
+    ev_batch = tables.load_events(spark, SF_DIR)
+    src = tmp_path / "events_parquet"
+    ev_batch.write.parquet(str(src))
+
+    stream = spark.readStream.schema(ev_batch.schema).parquet(str(src))
+    out = windows.tumbling_hourly_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("append")  # watermark allows append
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select window_start, event_type, event_count, total_value "
+        "from tumbling_out"
+    ).collect()
+    want = ev.tumbling_hourly(ev_batch).collect()
+    want_map = {
+        (r["window_start"], r["event_type"]): (
+            r["event_count"],
+            r["total_value"],
+        )
+        for r in want
+    }
+    got_map = {
+        (
+            r["window_start"].strftime("%Y-%m-%d %H:%M:%S"),
+            r["event_type"],
+        ): (r["event_count"], r["total_value"])
+        for r in got
+    }
+    # append mode only emits windows older than the watermark; all but
+    # the trailing window(s) must be present and equal
+    assert len(got_map) >= len(want_map) - 5
+    for k, v in got_map.items():
+        assert want_map[k] == v
+
+
+def test_session_window_stream_runs(spark, tmp_path):
+    ev_batch = tables.load_events(spark, SF_DIR)
+    src = tmp_path / "events_parquet2"
+    ev_batch.write.parquet(str(src))
+    stream = spark.readStream.schema(ev_batch.schema).parquet(str(src))
+    out = windows.session_window_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from session_out")
+    assert got.count() > 0
+    # sessions respect the gap: no session longer than the data span
+    assert got.filter(F.col("event_count") <= 0).count() == 0
