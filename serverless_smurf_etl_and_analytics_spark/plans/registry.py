@@ -1080,3 +1080,8 @@ FROM combined
 GROUP BY insight_type
 """,
 )
+
+# ML-pipeline extension queries register themselves on import (shares
+# this module's QUERIES/ORACLES dicts; import kept at the bottom so the
+# `register` symbol above exists).
+from . import registry_ml  # noqa: E402,F401

@@ -1,0 +1,454 @@
+"""Registry entries for the LLM-data-pipeline extensions (text
+analysis, dedup, similarity search) with DuckDB oracles.
+
+Hashing parity strategy: every signature/bucket is built from md5 (hex
+output is byte-identical across engines) and all numeric similarity is
+exact integer fixed-point — so even MinHash/SimHash/LSH stages are
+fully oracle-checkable, not rows-only.
+"""
+
+from __future__ import annotations
+
+from .. import tables
+from ..operators import dedup, similarity, textops
+from .registry import register
+
+STOP_SQL = "('the', 'a', 'and', 'of', 'to', 'in')"
+
+SQL_TOKS = r"""
+toks_t AS (
+    SELECT
+        doc_id, lang, text,
+        list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x != '') AS toks
+    FROM documents
+)
+"""
+
+SQL_SHINGLES = (
+    SQL_TOKS
+    + r""",
+sh_t AS (
+    SELECT
+        doc_id,
+        list_distinct(
+            list_transform(range(len(toks) - 1),
+                           i -> concat(toks[i+1], ' ', toks[i+2]))
+        ) AS sh
+    FROM toks_t
+)
+"""
+)
+
+
+def _mh(i: int) -> str:
+    return (
+        "list_aggregate(list_transform(sh, x -> md5(concat('"
+        + str(i)
+        + "|', x))), 'min')"
+    )
+
+
+SQL_SIG = (
+    SQL_SHINGLES
+    + f""",
+sig AS (
+    SELECT
+        doc_id,
+        {', '.join(f'{_mh(i)} AS mh_{i}' for i in range(8))}
+    FROM sh_t
+),
+sigb AS (
+    SELECT
+        doc_id,
+        {', '.join(f'mh_{i}' for i in range(8))},
+        md5(concat_ws('', mh_0, mh_1, mh_2, mh_3)) AS band_0,
+        md5(concat_ws('', mh_4, mh_5, mh_6, mh_7)) AS band_1
+    FROM sig
+)
+"""
+)
+
+SQL_LSH_PAIRS = (
+    SQL_SIG
+    + """,
+eb AS (
+    SELECT doc_id, band_0 AS band_val, 0 AS band_idx FROM sigb
+    UNION ALL
+    SELECT doc_id, band_1 AS band_val, 1 AS band_idx FROM sigb
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM eb a
+    JOIN eb b
+      ON a.band_val = b.band_val
+     AND a.band_idx = b.band_idx
+     AND a.doc_id < b.doc_id
+)
+"""
+)
+
+SQL_JACCARD = (
+    SQL_LSH_PAIRS
+    + """,
+jac AS (
+    SELECT
+        p.doc_a,
+        p.doc_b,
+        cast(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+             AS bigint) AS shingles_common,
+        cast(len(a.sh) + len(b.sh)
+             - len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+             AS bigint) AS shingles_union
+    FROM pairs p
+    JOIN sh_t a ON a.doc_id = p.doc_a
+    JOIN sh_t b ON b.doc_id = p.doc_b
+)
+"""
+)
+
+# ---- text analysis -------------------------------------------------------
+
+register(
+    "t1_text_stats",
+    lambda spark, sf: textops.text_stats(tables.load(spark, sf, "documents")),
+    f"""
+WITH {SQL_TOKS},
+s AS (
+    SELECT
+        doc_id,
+        lang,
+        cast(length(text) AS bigint)              AS char_len,
+        cast(len(toks) AS bigint)                 AS n_tokens,
+        cast(len(list_distinct(toks)) AS bigint)  AS n_unique,
+        cast(coalesce(
+            list_sum(list_transform(toks, w -> length(w))), 0)
+            AS bigint)                            AS char_sum,
+        cast(len(list_filter(toks, w -> w IN {STOP_SQL}))
+            AS bigint)                            AS n_stopwords
+    FROM toks_t
+)
+SELECT
+    doc_id, lang, char_len, n_tokens, n_unique, char_sum, n_stopwords,
+    CASE WHEN n_tokens > 0 THEN
+        cast(cast(round(char_sum * 10.0 / n_tokens) AS bigint) / 10.0
+             AS double)
+    END AS avg_token_len,
+    CASE WHEN n_tokens > 0 THEN
+        cast(cast(round(((n_stopwords / n_tokens) * 0.3
+                         + (n_unique / n_tokens) * 0.7) * 1000.0) AS bigint)
+             / 1000.0 AS double)
+    END AS quality_score
+FROM s
+""",
+)
+
+_MARKERS_SQL = {
+    "en": "('the', 'a', 'and')",
+    "es": "('el', 'la', 'los')",
+    "de": "('der', 'die', 'und')",
+    "fr": "('le', 'les', 'et')",
+    "zh": "('de', 'shi', 'zai')",
+}
+_SCORES = ",\n        ".join(
+    f"cast(len(list_filter(toks, w -> w IN {m})) AS bigint) AS score_{lang}"
+    for lang, m in _MARKERS_SQL.items()
+)
+_BEST = "greatest(" + ", ".join(f"score_{lang}" for lang in _MARKERS_SQL) + ")"
+_PRED = (
+    "CASE "
+    + " ".join(
+        f"WHEN score_{lang} = {_BEST} AND {_BEST} > 0 THEN '{lang}'"
+        for lang in _MARKERS_SQL
+    )
+    + " ELSE 'und' END"
+)
+
+register(
+    "t2_lang_id",
+    lambda spark, sf: textops.lang_id(tables.load(spark, sf, "documents")),
+    f"""
+WITH {SQL_TOKS},
+s AS (
+    SELECT
+        doc_id, lang,
+        {_SCORES}
+    FROM toks_t
+)
+SELECT
+    doc_id, lang, score_en, score_es, score_de, score_fr, score_zh,
+    {_PRED} AS predicted_lang,
+    ({_PRED} = lang) AS is_match
+FROM s
+""",
+)
+
+register(
+    "t3_fingerprint",
+    lambda spark, sf: textops.fingerprint(tables.load(spark, sf, "documents")),
+    r"""
+WITH n AS (
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+           length(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+               AS nlen
+    FROM documents
+)
+SELECT doc_id, fp AS fingerprint, substring(fp, 1, 8) AS fp_prefix,
+       cast(nlen AS bigint) AS norm_len
+FROM n
+""",
+)
+
+# ---- dedup ---------------------------------------------------------------
+
+register(
+    "d1_exact_dedup",
+    lambda spark, sf: dedup.exact_dedup(tables.load(spark, sf, "documents")),
+    r"""
+WITH d AS (
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+               AS fingerprint
+    FROM documents
+)
+SELECT fingerprint, min(doc_id) AS canonical_doc_id, count(*) AS copies
+FROM d
+GROUP BY fingerprint
+""",
+)
+
+register(
+    "d2_minhash_signatures",
+    lambda spark, sf: dedup.minhash_signatures(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+WITH {SQL_SIG}
+SELECT doc_id, {', '.join(f'mh_{i}' for i in range(8))}, band_0, band_1
+FROM sigb
+""",
+)
+
+register(
+    "d3_lsh_candidate_pairs",
+    lambda spark, sf: dedup.lsh_candidate_pairs(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+WITH {SQL_LSH_PAIRS}
+SELECT doc_a, doc_b FROM pairs
+""",
+)
+
+register(
+    "d4_minhash_neardup",
+    lambda spark, sf: dedup.minhash_neardup_pairs(
+        tables.load(spark, sf, "documents"), 0.5
+    ),
+    f"""
+WITH {SQL_JACCARD}
+SELECT
+    doc_a, doc_b, shingles_common, shingles_union,
+    CASE WHEN shingles_union > 0 THEN
+        cast(cast(round(shingles_common * 1000.0 / shingles_union)
+                  AS bigint) / 1000.0 AS double)
+    END AS jaccard
+FROM jac
+WHERE CASE WHEN shingles_union > 0 THEN
+        cast(cast(round(shingles_common * 1000.0 / shingles_union)
+                  AS bigint) / 1000.0 AS double)
+      END >= 0.5
+""",
+)
+
+
+def _bit_sql(b: int) -> str:
+    """±1 contribution of token w's md5 bit b — mirrors
+    operators.dedup.simhash.bit_of exactly."""
+    nib = (
+        "(strpos('0123456789abcdef', "
+        f"substr(md5(w), {b // 4 + 1}, 1)) - 1)"
+    )
+    return f"((cast(floor({nib} / {2 ** (b % 4)}) AS bigint) % 2) * 2 - 1)"
+
+
+_SIM_BITS = ",\n        ".join(
+    "CASE WHEN list_sum(list_transform(uniq, w -> "
+    + _bit_sql(b)
+    + ")) > 0 THEN '1' ELSE '0' END"
+    for b in range(32)
+)
+
+SQL_SIMHASH = (
+    SQL_TOKS
+    + f""",
+u AS (
+    SELECT doc_id, list_distinct(toks) AS uniq FROM toks_t
+),
+sim AS (
+    SELECT doc_id,
+           concat_ws('',
+        {_SIM_BITS}) AS simhash
+    FROM u
+)
+"""
+)
+
+register(
+    "d5_simhash",
+    lambda spark, sf: dedup.simhash(tables.load(spark, sf, "documents")),
+    f"""
+WITH {SQL_SIMHASH}
+SELECT doc_id, simhash, substring(simhash, 1, 8) AS block FROM sim
+""",
+)
+
+register(
+    "d6_simhash_neardup",
+    lambda spark, sf: dedup.simhash_neardup_pairs(
+        tables.load(spark, sf, "documents"), 6
+    ),
+    f"""
+WITH {SQL_SIMHASH}
+SELECT
+    a.doc_id AS doc_a,
+    b.doc_id AS doc_b,
+    cast(len(list_filter(range(32),
+        i -> substr(a.simhash, cast(i+1 AS int), 1)
+             != substr(b.simhash, cast(i+1 AS int), 1))) AS bigint)
+        AS hamming
+FROM sim a
+JOIN sim b
+  ON substring(a.simhash, 1, 8) = substring(b.simhash, 1, 8)
+ AND a.doc_id < b.doc_id
+WHERE cast(len(list_filter(range(32),
+        i -> substr(a.simhash, cast(i+1 AS int), 1)
+             != substr(b.simhash, cast(i+1 AS int), 1))) AS bigint) <= 6
+""",
+)
+
+# ---- similarity search ---------------------------------------------------
+
+SQL_FIXED = """
+fx AS (
+    SELECT
+        vec_id,
+        label,
+        list_transform(embedding,
+            x -> cast(round(cast(x AS double) * 10000000) AS bigint)) AS iv
+    FROM embeddings
+),
+fxn AS (
+    SELECT vec_id, label, iv,
+           cast(list_sum(list_transform(iv, x -> x * x)) AS bigint) AS n2
+    FROM fx
+)
+"""
+
+_DOT = (
+    "cast(list_sum(list_transform(range(64), "
+    "i -> a.iv[i+1] * b.iv[i+1])) AS bigint)"
+)
+_COS = f"cast({_DOT} AS double) / (sqrt(cast(a.n2 AS double)) * sqrt(cast(b.n2 AS double)))"
+
+register(
+    "sim1_cosine_topk",
+    lambda spark, sf: similarity.cosine_topk(
+        tables.load(spark, sf, "embeddings"), 5, 64
+    ),
+    f"""
+WITH {SQL_FIXED},
+scored AS (
+    SELECT
+        a.vec_id AS query_id,
+        b.vec_id AS neighbor_id,
+        b.label  AS neighbor_label,
+        {_COS}   AS cos_raw
+    FROM fxn a
+    JOIN fxn b ON a.vec_id < 64 AND a.vec_id != b.vec_id
+),
+ranked AS (
+    SELECT *,
+        cast(row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cos_raw DESC, neighbor_id ASC) AS int) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, neighbor_label,
+       cast(cast(round(cos_raw * 1000000.0) AS bigint) / 1000000.0
+            AS double) AS cosine,
+       rank
+FROM ranked WHERE rank <= 5
+""",
+)
+
+register(
+    "sim2_cosine_neardup",
+    lambda spark, sf: similarity.cosine_neardup_pairs(
+        tables.load(spark, sf, "embeddings"), 0.3
+    ),
+    f"""
+WITH {SQL_FIXED}
+SELECT
+    a.vec_id AS vec_a,
+    b.vec_id AS vec_b,
+    cast(cast(round(({_COS}) * 1000000.0) AS bigint) / 1000000.0
+         AS double) AS cosine
+FROM fxn a
+JOIN fxn b ON a.vec_id < b.vec_id
+WHERE {_COS} > 0.3
+""",
+)
+
+
+def _plane_sign_sql(p: int) -> str:
+    nib = (
+        "(strpos('0123456789abcdef', "
+        f"substr(md5(concat({p}, '|', d)), 1, 1)) - 1)"
+    )
+    return (
+        f"CASE WHEN {nib} % 2 = 0 THEN cast(1 AS bigint) "
+        "ELSE cast(-1 AS bigint) END"
+    )
+
+
+_BUCKET = "concat(" + ", ".join(
+    "CASE WHEN list_sum(list_transform(range(64), "
+    f"d -> iv[d+1] * ({_plane_sign_sql(p)}))) > 0 THEN '1' ELSE '0' END"
+    for p in range(8)
+) + ")"
+
+register(
+    "sim3_lsh_topk",
+    lambda spark, sf: similarity.lsh_topk(
+        tables.load(spark, sf, "embeddings"), 3, 64
+    ),
+    f"""
+WITH {SQL_FIXED},
+bk AS (
+    SELECT vec_id, iv, n2, {_BUCKET} AS bucket FROM fxn
+),
+scored AS (
+    SELECT
+        a.vec_id AS query_id,
+        b.vec_id AS neighbor_id,
+        {_COS}   AS cos_raw
+    FROM bk a
+    JOIN bk b
+      ON a.bucket = b.bucket AND a.vec_id < 64 AND a.vec_id != b.vec_id
+),
+ranked AS (
+    SELECT *,
+        cast(row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cos_raw DESC, neighbor_id ASC) AS int) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id,
+       cast(cast(round(cos_raw * 1000000.0) AS bigint) / 1000000.0
+            AS double) AS cosine,
+       rank
+FROM ranked WHERE rank <= 3
+""",
+)
