@@ -1,0 +1,194 @@
+"""BI export layer (SURVEY.md §2.1 S7): the reference's five flattened
+NDJSON datasets + manifest (``export-to-quicksight/lambda_function.py:
+180-328`` builds the flat rows, ``:331-388`` writes NDJSON + manifest).
+
+Spark-first shape: each dataset is ONE range-filtered declarative query
+(the reference loops one DynamoDB query per date,
+``export-to-quicksight/lambda_function.py:57-94`` — an O(days)
+round-trip anti-pattern SURVEY §4 says not to port). The NDJSON sink is
+Spark's native JSON writer (NDJSON by construction).
+
+Scale notes:
+- No ``coalesce(1)``: at 100 TB an export must stay parallel; the
+  manifest lists every part file the way the reference's manifest lists
+  its dataset URIs. ``single_file=True`` exists for small serving
+  extracts only.
+- The description strings use C-style ``format_string`` so the DuckDB
+  oracle (``printf``) produces byte-identical text.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .insights import classify_anomalies, recommendations, trend_insights
+from .metrics import store_day_metrics, top_products_per_store_day
+
+
+def export_store_summaries(
+    txns: DataFrame, start: str, end: str
+) -> DataFrame:
+    """Flattened store_summaries dataset
+    (``export-to-quicksight/lambda_function.py:180-214``): one row per
+    (date, store) in the export range, serving-cast floats."""
+    daily = store_day_metrics(txns).filter(
+        F.col("sale_date").between(start, end)
+    )
+    return daily.select(
+        F.col("sale_date").alias("date"),
+        "store_id",
+        F.concat(F.lit("Store "), F.col("store_id")).alias("store_name"),
+        "total_sales",
+        F.col("transaction_count").alias("transactions"),
+        F.col("item_count").alias("items_sold"),
+        F.col("avg_transaction").alias("average_transaction"),
+    )
+
+
+def export_top_products(txns: DataFrame, start: str, end: str) -> DataFrame:
+    """Flattened top_products dataset
+    (``export-to-quicksight/lambda_function.py:217-248``): the per-store
+    top-5 lists exploded to flat (date, store, rank, sku) rows — same
+    intentional top-5-only lossiness as A6 parity mode."""
+    top5 = top_products_per_store_day(txns, 5).filter(
+        F.col("sale_date").between(start, end)
+    )
+    return top5.select(
+        F.col("sale_date").alias("date"),
+        "store_id",
+        "rank",
+        F.col("item_sku").alias("sku"),
+        F.concat(F.lit("part-"), F.col("item_sku").cast("string")).alias(
+            "product_name"
+        ),
+        F.col("units").alias("units_sold"),
+        "revenue",
+    )
+
+
+def export_anomalies(txns: DataFrame) -> DataFrame:
+    """Flattened anomalies dataset
+    (``export-to-quicksight/lambda_function.py:251-285``) with the
+    human-readable description line the reference assembles per row."""
+    an = classify_anomalies(txns)
+    desc = F.format_string(
+        "%s %s at store %s: %.1f%% vs trailing average",
+        F.col("severity"),
+        F.col("anomaly_type"),
+        F.col("store_id"),
+        F.col("deviation_pct"),
+    )
+    return an.select(
+        F.col("sale_date").alias("date"),
+        "store_id",
+        F.col("anomaly_type").alias("type"),
+        "severity",
+        "deviation_pct",
+        desc.alias("description"),
+    )
+
+
+def export_trends(txns: DataFrame) -> DataFrame:
+    """Flattened trends dataset
+    (``export-to-quicksight/lambda_function.py:288-307``)."""
+    tr = trend_insights(txns)
+    desc = F.format_string(
+        "store %s %s on %s",
+        F.col("store_id"),
+        F.col("trend_direction"),
+        F.col("sale_date"),
+    )
+    return tr.select(
+        F.col("sale_date").alias("date"),
+        "store_id",
+        F.col("trend_direction").alias("direction"),
+        F.col("metric_value").alias("sales"),
+        desc.alias("description"),
+    )
+
+
+def export_recommendations(txns: DataFrame) -> DataFrame:
+    """Flattened recommendations dataset
+    (``export-to-quicksight/lambda_function.py:310-328``), with the O5
+    priority rank as the sort key and an array_join'd affected list
+    (``:283-284`` uses ``', '.join(affected_items)``)."""
+    re = recommendations(txns)
+    affected = F.array_join(
+        F.array(F.concat(F.lit("Store "), F.col("store_id"))), ", "
+    )
+    return re.select(
+        F.col("sale_date").alias("date"),
+        "priority",
+        "priority_rank",
+        "action",
+        affected.alias("affected"),
+        F.format_string(
+            "[%s] %s (%.1f%%)",
+            F.col("priority"),
+            F.col("action"),
+            F.col("deviation_pct"),
+        ).alias("description"),
+    )
+
+
+def export_datasets(
+    txns: DataFrame, start: str, end: str
+) -> dict[str, DataFrame]:
+    """The five datasets of one export run, keyed by dataset name."""
+    return {
+        "store_summaries": export_store_summaries(txns, start, end),
+        "top_products": export_top_products(txns, start, end),
+        "anomalies": export_anomalies(txns),
+        "trends": export_trends(txns),
+        "recommendations": export_recommendations(txns),
+    }
+
+
+def export_manifest(txns: DataFrame, start: str, end: str) -> DataFrame:
+    """Manifest as data: dataset name + row count + column count
+    (the reference manifest lists each dataset's files and sizes,
+    ``export-to-quicksight/lambda_function.py:363-388``)."""
+    parts = []
+    for name, df in export_datasets(txns, start, end).items():
+        parts.append(
+            df.agg(F.count(F.lit(1)).alias("row_count")).select(
+                F.lit(name).alias("dataset"),
+                "row_count",
+                F.lit(len(df.columns)).cast("int").alias("column_count"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def write_ndjson_export(
+    datasets: dict[str, DataFrame], out_dir: str, single_file: bool = False
+) -> dict:
+    """S7 sink: write each dataset as NDJSON (Spark's JSON writer is
+    JSON-lines natively, matching ``wr.s3.to_json(..., lines=True)`` at
+    ``export-to-quicksight/lambda_function.py:331-360``) plus a
+    ``manifest.json`` naming every part file per dataset."""
+    manifest: dict = {"datasets": {}}
+    for name, df in datasets.items():
+        path = os.path.join(out_dir, name)
+        (df.coalesce(1) if single_file else df).write.mode(
+            "overwrite"
+        ).json(path)
+        files = sorted(
+            f for f in os.listdir(path)
+            if f.startswith("part-") and f.endswith(".json")
+        )
+        manifest["datasets"][name] = {
+            "path": path,
+            "files": files,
+            "columns": df.columns,
+        }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest

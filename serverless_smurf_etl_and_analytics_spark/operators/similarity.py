@@ -33,7 +33,14 @@ HEX = "0123456789abcdef"
 
 
 def fixed_point(emb: DataFrame) -> DataFrame:
-    """embedding float[] -> exact integer vector + integer squared norm."""
+    """embedding float[] -> exact integer vector + integer squared norm.
+
+    Ends in a repartition by vec_id: the exchange (a) spreads a
+    few-files corpus across all cores — a single parquet file would
+    otherwise pin every downstream self-join to one task — and (b) is a
+    materialization barrier, so join-side filters compare the computed
+    iv/n2 attributes instead of re-evaluating the conversion per side.
+    """
     ivec = F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * SCALE).cast("long"),
@@ -42,7 +49,7 @@ def fixed_point(emb: DataFrame) -> DataFrame:
     n2 = F.aggregate(
         F.col("iv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
     )
-    return d.withColumn("n2", n2)
+    return d.withColumn("n2", n2).repartition("vec_id")
 
 
 def _cosine(iv_a, iv_b, n2_a, n2_b):

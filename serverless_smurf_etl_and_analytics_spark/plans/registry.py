@@ -1081,7 +1081,8 @@ GROUP BY insight_type
 """,
 )
 
-# ML-pipeline extension queries register themselves on import (shares
-# this module's QUERIES/ORACLES dicts; import kept at the bottom so the
-# `register` symbol above exists).
+# Extension-query modules register themselves on import (sharing this
+# module's QUERIES/ORACLES dicts; imports kept at the bottom so the
+# `register` symbol and shared SQL CTEs above exist).
 from . import registry_ml  # noqa: E402,F401
+from . import registry_export  # noqa: E402,F401
