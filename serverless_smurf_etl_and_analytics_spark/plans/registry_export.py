@@ -153,9 +153,12 @@ register(
     lambda spark, sf: export.export_manifest(
         tables.transactions(spark, sf), R_START, R_END
     ),
+    # SQL_ANOMALIES already embeds SQL_DAILY_CENTS's `daily` CTE, which
+    # SQL_TRENDS_I consumes — listing SQL_DAILY_CENTS again would make
+    # DuckDB reject the WITH list with `Duplicate CTE name "daily"`.
     f"""
 WITH {TXN}, {SQL_STORE_DAILY}, {SQL_TOP5}, {SQL_ANOMALIES},
-{SQL_DAILY_CENTS}, {SQL_TRENDS_I}, {SQL_RECS},
+{SQL_TRENDS_I}, {SQL_RECS},
 {SQL_X_SUMMARIES}, {SQL_X_TOP_PRODUCTS}, {SQL_X_ANOMALIES},
 {SQL_X_TRENDS}, {SQL_X_RECS}
 SELECT 'store_summaries' AS dataset, count(*) AS row_count,
@@ -219,10 +222,9 @@ lines AS (
     FROM company
     UNION ALL
     SELECT cast(2 AS int), cast(1 AS int),
-           printf('Total sales $%.2f across %d stores; %d transactions '
-                  '(avg $%.2f); best store %s ($%.2f), worst store %s '
-                  '($%.2f)',
-                  total_sales, store_count, total_transactions,
+           printf('Total sales $%.2f across %d stores; %d transactions (avg $%.2f); best store %s ($%.2f), worst store %s ($%.2f)',
+                  total_sales, cast(store_count AS bigint),
+                  cast(total_transactions AS bigint),
                   avg_transaction, best_store_id, best_store_sales,
                   worst_store_id, worst_store_sales)
     FROM company
@@ -233,7 +235,7 @@ lines AS (
            printf('%s: $%.2f (%d lines)',
                   concat(upper(substring(payment_method, 1, 1)),
                          lower(substring(payment_method, 2))),
-                  net_amount, line_count)
+                  net_amount, cast(line_count AS bigint))
     FROM pay
     UNION ALL
     SELECT cast(4 AS int),

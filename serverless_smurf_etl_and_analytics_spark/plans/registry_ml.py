@@ -62,8 +62,10 @@ sigb AS (
     SELECT
         doc_id,
         {', '.join(f'mh_{i}' for i in range(8))},
-        md5(concat_ws('', mh_0, mh_1, mh_2, mh_3)) AS band_0,
-        md5(concat_ws('', mh_4, mh_5, mh_6, mh_7)) AS band_1
+        CASE WHEN mh_0 IS NULL THEN NULL
+             ELSE md5(concat_ws('', mh_0, mh_1, mh_2, mh_3)) END AS band_0,
+        CASE WHEN mh_4 IS NULL THEN NULL
+             ELSE md5(concat_ws('', mh_4, mh_5, mh_6, mh_7)) END AS band_1
     FROM sig
 )
 """
