@@ -16,7 +16,8 @@ Scale design (the point of each variant at 100 TB):
 - banding turns O(n^2) pair search into a self-equi-join on (band_idx,
   band_val): a shuffle where only same-bucket docs meet.
 - SimHash: per-token md5 bits summed per doc (groupBy barrier), 32-bit
-  signature string; neighbors share an 8-bit prefix block.
+  signature string; near-dup search uses pigeonhole banding
+  (max_hamming+1 bands -> any-band equality has guaranteed recall).
 - All hashing is md5 (byte-identical in Spark and DuckDB) so every
   stage is oracle-checkable; no engine-internal hash functions.
 """
@@ -25,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .textops import tokens_col
 
@@ -36,7 +38,11 @@ HEX = "0123456789abcdef"
 def token_rows(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, tok) — tokenization happens ONCE per document,
     then explodes; downstream per-token work is row-at-a-time in
-    whole-stage codegen and parallelized by the next shuffle."""
+    whole-stage codegen and parallelized by the next shuffle. (NOT
+    repartitioned up front: pushing the whole tokenize->hash->aggregate
+    chain into one post-shuffle stage produces a generated method past
+    the JIT compile limit and the stage runs as interpreted bytecode —
+    measured 6x slower than the split-stage form.)"""
     return docs.select(
         "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
     )
@@ -214,7 +220,14 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     (engine-portable) plus an 8-bit prefix block key for blocking.
     Docs with no tokens get the all-zero signature (empty-vote ties are
     zero, as in the array-aggregate form)."""
-    t = token_rows(docs).select("doc_id", "tok").distinct()
+    # explicit repartition after the distinct: the 32-column vote
+    # projection + aggregation is CPU-dense but byte-small, and AQE
+    # would coalesce the distinct's shuffle output to one task
+    p = docs.sparkSession.sparkContext.defaultParallelism
+    t = (
+        token_rows(docs).select("doc_id", "tok").distinct()
+        .repartition(p, "doc_id")
+    )
     h = F.md5("tok")
     nibs = [
         F.position(F.substring(h, k + 1, 1), F.lit(HEX)) - 1
@@ -244,31 +257,100 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     )
 
 
+def band_bounds(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """Split a ``bits``-wide signature into ``n_bands`` contiguous
+    (start, length) bands, 1-indexed, lengths differing by at most 1."""
+    base, rem = divmod(bits, n_bands)
+    bounds, start = [], 1
+    for i in range(n_bands):
+        ln = base + (1 if i < rem else 0)
+        bounds.append((start, ln))
+        start += ln
+    return bounds
+
+
 def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Blocked SimHash near-dup: pairs sharing the 8-bit prefix block,
-    kept when full Hamming distance <= max_hamming. The signatures come
-    out of an aggregation, so the block join compares plain columns."""
-    s = simhash(docs)
-    a = s.alias("a")
-    b = s.alias("b")
-    pos = F.sequence(F.lit(1), F.lit(32))
-    hamming = F.size(
-        F.filter(
-            pos,
-            lambda i: F.substring(F.col("a.simhash"), i, 1)
-            != F.substring(F.col("b.simhash"), i, 1),
+    """Pigeonhole-banded SimHash near-dup with GUARANTEED recall: the
+    32-bit signature is split into ``max_hamming + 1`` contiguous bands,
+    so any pair at Hamming distance <= max_hamming must agree exactly on
+    at least one band (pigeonhole). Candidates = per-band equi-join on
+    (band_idx, band_value); verification = one ``bit_count(xor)`` on the
+    numeric signature. Output is therefore the EXACT set of pairs at
+    hamming <= max_hamming — the DuckDB oracle states the spec directly
+    as an all-pairs filter.
+
+    Scale design: the band join shuffles by (band_idx, band_value) —
+    bounded candidates (~(h+1) * N^2 / 2^band_bits worst case, far less
+    under real bucket distributions), no O(N^2) pair space, AQE
+    skew-join for hot bands. At 100 TB, widen the signature (64/128
+    bits) so bands stay >= 8 bits; the scheme is unchanged."""
+    s = simhash(docs).select(
+        "doc_id", F.conv("simhash", 2, 10).cast("long").alias("sig")
+    )
+    bounds = band_bounds(32, max_hamming + 1)
+    # band j as an integer: bits are MSB-first in the signature string,
+    # so a band at (start, ln) is (sig >> (32 - (start + ln - 1))) & mask
+    shifts = [32 - (st + ln - 1) for st, ln in bounds]
+    masks = [(1 << ln) - 1 for _, ln in bounds]
+
+    def bval(col, j):
+        return F.shiftright(col, shifts[j]).bitwiseAND(F.lit(masks[j]))
+
+    # persisted: the signature pipeline (tokenize/explode/vote-agg) runs
+    # once and both sides of the band self-join read materialized rows.
+    # The explicit ROUND-ROBIN repartition pins the probe side at full
+    # parallelism with even load: AQE coalesces by shuffle BYTES and
+    # would run this tiny but match-explosive input (30M+ candidate
+    # probes at sf0.1) on one task, while key-partitioning would pile
+    # hot band values onto a few tasks. The build side is broadcast, so
+    # probe rows need no co-location. (At a scale where the band table
+    # exceeds broadcast range, switch to a key-partitioned shuffle join
+    # and let AQE skew-splitting handle hot bands.)
+    p = docs.sparkSession.sparkContext.defaultParallelism
+    eb = (
+        s.select(
+            "doc_id",
+            "sig",
+            F.posexplode(
+                F.array(*[bval(F.col("sig"), j) for j in range(len(bounds))])
+            ).alias("band_idx", "band_val"),
         )
+        .repartition(p)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = eb.alias("a")
+    b = eb.alias("b")
+    # exactly-once without a distinct shuffle: keep a pair only at its
+    # first matching band (all earlier bands must differ), and verify
+    # the full Hamming bound inline — candidate generation, dedup, and
+    # verification all happen in one codegen stage after one shuffle
+    first_match = None
+    for i in range(len(bounds)):
+        mism = F.lit(True)
+        for j in range(i):
+            mism = mism & (
+                bval(F.col("a.sig"), j) != bval(F.col("b.sig"), j)
+            )
+        first_match = (
+            F.when(F.col("a.band_idx") == i, mism)
+            if first_match is None
+            else first_match.when(F.col("a.band_idx") == i, mism)
+        )
+    hamming = F.bit_count(
+        F.col("a.sig").bitwiseXOR(F.col("b.sig"))
     ).cast("long")
     return (
         a.join(
             b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & first_match
+            & (hamming <= max_hamming),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
     )

@@ -23,33 +23,219 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 SCALE = 10_000_000  # fixed-point scale for float32 -> long
 DIM = 64
 N_PLANES = 8
+N_BANDS = 4  # OR-amplification bands for near-dup candidate recall
 HEX = "0123456789abcdef"
+
+
+def plane_signs(n_planes: int, dim: int = DIM) -> list[list[int]]:
+    """±1 hyperplane entries: parity of the first hex nibble of
+    md5(f"{p}|{d}") — the exact scheme the sim3 oracle recomputes
+    inline in SQL (registry_ml._plane_sign_sql), precomputed once at
+    plan-build time so the per-row cost is pure zip_with arithmetic
+    instead of 64 md5 calls per plane per row."""
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+# 32 planes cover the 4 OR-amplification bands of 8 planes each; band 0
+# is byte-identical to the original single-table lsh_bucket key.
+PLANE_SIGNS = plane_signs(N_BANDS * N_PLANES)
+
+
+def band_buckets_expr(n_bands: int, band_planes: int):
+    """array<string> of per-band bucket keys computed from ONE 2D
+    literal plane matrix via transform — a single small expression tree
+    (n_bands*band_planes separate dot-product copies made codegen
+    compilation itself the bottleneck at interactive scale)."""
+    planes = F.array(
+        *[
+            F.array(*[F.lit(s) for s in PLANE_SIGNS[p]])
+            for p in range(n_bands * band_planes)
+        ]
+    )
+    bits = F.transform(
+        planes,
+        lambda pl: F.when(
+            F.aggregate(
+                F.zip_with(F.col("iv"), pl, lambda x, s: x * s.cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.array(
+        *[
+            F.array_join(F.slice(bits, b * band_planes + 1, band_planes), "")
+            for b in range(n_bands)
+        ]
+    )
+
+
+def bucket_expr(start_plane: int, n_planes: int):
+    """Single sign-random-projection bucket key over planes
+    [start_plane, start_plane + n_planes)."""
+    assert start_plane == 0, "single-bucket form uses the leading planes"
+    return F.element_at(band_buckets_expr(1, n_planes), 1)
+
+
+def _dot_fixed_point(ea, eb):
+    """Exact fixed-point dot product of two embedding columns: int64
+    matmul over Arrow batches — value-identical to the interpreted
+    zip_with form and the DuckDB oracle, ~1000x its per-row cost.
+    (The pandas_udf is built lazily — the decorator needs an active
+    SparkSession — and the closure is fully self-contained: a reference
+    to any module-level symbol would make cloudpickle serialize it by
+    module path, which Python workers can't import unless the repo is
+    on their PYTHONPATH.)"""
+    scale = SCALE
+
+    def dot(sa, sb):
+        import numpy as np
+        import pandas as pd
+
+        if len(sa) == 0:
+            return pd.Series([], dtype="int64")
+
+        def round_away(x):
+            # half AWAY FROM ZERO: what Spark round() and DuckDB
+            # round() both apply, so values match the oracle exactly
+            return np.where(
+                x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)
+            ).astype(np.int64)
+
+        a = round_away(
+            np.vstack(sa.map(np.asarray).values).astype(np.float64) * scale
+        )
+        b = round_away(
+            np.vstack(sb.map(np.asarray).values).astype(np.float64) * scale
+        )
+        return pd.Series((a * b).sum(axis=1))
+
+    return F.pandas_udf(dot, "long")(ea, eb)
+
+
+def band_table(emb: DataFrame, n_bands: int, band_planes: int) -> DataFrame:
+    """(vec_id, n2, buckets array, band_idx, bucket) — one row per
+    (vector, band), persisted and hash-partitioned on the band join key
+    so (a) both sides of the candidate self-join read materialized rows
+    and (b) the match-heavy probe keeps full parallelism (AQE coalesces
+    by shuffle BYTES and would run this tiny but explosive input on one
+    task).
+
+    The fixed-point conversion, norms, and all 32 plane dot products
+    are ONE Arrow-batched numpy matmul per partition (mapInPandas):
+    exact int64 math, identical values to the SQL oracle. This is the
+    deliberate Pandas-UDF escape hatch: the pure-DataFrame forms are
+    either interpreted (higher-order functions are CodegenFallback,
+    ~1 ms/row) or generate methods past the JIT compile limit (a 33-way
+    aggregate over exploded rows ran as interpreted bytecode, ~3 us per
+    multiply) — measured 10-30 s of CPU at 2000x64x32 vs milliseconds
+    for the matmul."""
+    import numpy as np
+
+    p = emb.sparkSession.sparkContext.defaultParallelism
+    n_planes = n_bands * band_planes
+    planes_t = np.array(PLANE_SIGNS[:n_planes], dtype=np.int64).T
+    bp = band_planes
+    scale = SCALE
+
+    # self-contained closure (no module-global references): cloudpickle
+    # must serialize it by value or workers need the repo importable
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(
+                pdf["embedding"].map(np.asarray).values
+            ).astype(np.float64)
+            x = m * scale
+            iv = np.where(
+                x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)
+            ).astype(np.int64)
+            n2 = (iv * iv).sum(axis=1)
+            bits = (iv @ planes_t) > 0
+            buckets = [
+                [
+                    "".join(
+                        "1" if bits[i, b * bp + j] else "0"
+                        for j in range(bp)
+                    )
+                    for b in range(n_bands)
+                ]
+                for i in range(len(pdf))
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "n2": n2,
+                    "buckets": buckets,
+                    "embedding": pdf["embedding"].values,
+                }
+            )
+
+    # Python stages use FEW fat partitions: each partition pays a
+    # Python-worker spawn + numpy import (~0.5 s wall, ~0 CPU), so 32
+    # thin partitions cost far more wall than a handful of matmul
+    # batches. The embedding rides along so the verify can read it off
+    # the self-join output instead of two extra dimension joins.
+    bt = emb.repartition(max(4, p // 4), "vec_id").mapInPandas(
+        compute,
+        "vec_id long, n2 long, buckets array<string>, "
+        "embedding array<float>",
+    )
+    eb = bt.select(
+        "vec_id",
+        "n2",
+        "buckets",
+        "embedding",
+        F.posexplode("buckets").alias("band_idx", "bucket"),
+    )
+    return eb.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def fixed_point(emb: DataFrame) -> DataFrame:
     """embedding float[] -> exact integer vector + integer squared norm.
 
-    Ends in a repartition by vec_id: the exchange (a) spreads a
-    few-files corpus across all cores — a single parquet file would
-    otherwise pin every downstream self-join to one task — and (b) is a
-    materialization barrier, so join-side filters compare the computed
-    iv/n2 attributes instead of re-evaluating the conversion per side.
+    STARTS with a repartition by vec_id: higher-order array functions
+    (transform/aggregate/zip_with) are CodegenFallback — interpreted,
+    ~ms/row — so the exchange must come BEFORE the per-element math or
+    a single-file corpus evaluates it all on one core. It also spreads
+    downstream self-joins across all cores regardless of file layout.
     """
     ivec = F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * SCALE).cast("long"),
     )
-    d = emb.select("vec_id", "label", ivec.alias("iv"))
     n2 = F.aggregate(
         F.col("iv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
     )
-    return d.withColumn("n2", n2).repartition("vec_id")
+    return (
+        emb.repartition("vec_id")
+        .select("vec_id", "label", ivec.alias("iv"))
+        .withColumn("n2", n2)
+    )
 
 
 def _cosine(iv_a, iv_b, n2_a, n2_b):
@@ -108,9 +294,13 @@ def cosine_topk(
     )
 
 
-def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
-    """All-pairs cosine near-duplicate detection above a threshold
-    (embedding-space dedup for training corpora)."""
+def cosine_neardup_allpairs(
+    emb: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """All-pairs cosine near-dup — the exact-recall baseline, O(N^2) in
+    the corpus. NOT the scale path (a cross join is the one thing dedup
+    must not be at 100 TB); kept as the reference semantics against
+    which the bucketed variant's recall is measured."""
     fx = fixed_point(emb)
     a = fx.select(
         F.col("vec_id").alias("vec_a"), F.col("iv").alias("iv_a"),
@@ -136,42 +326,90 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
     )
 
 
-def _plane_sign(p, d):
-    """Deterministic ±1 hyperplane entry from md5(p|d): parity of the
-    first hex nibble. Engine-portable (md5 + string ops only)."""
-    nib = F.position(
-        F.substring(F.md5(F.concat(p.cast("string"), F.lit("|"),
-                                   d.cast("string"))), 1, 1),
-        F.lit(HEX),
-    ) - 1
-    return F.when(nib % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_bands: int = N_BANDS,
+    band_planes: int = N_PLANES,
+) -> DataFrame:
+    """LSH-bucketed cosine near-dup — the scale path, mirroring the
+    MinHash d3->d4 pipeline shape: candidates are pairs sharing a
+    bucket in ANY of ``n_bands`` independent 8-plane band tables
+    (OR-amplification), then verified with the exact integer-cosine
+    above ``threshold``.
+
+    Scale design: each band is a self-equi-join on (band_idx, bucket) —
+    pair count ~ n_bands * N^2 / 2^band_planes instead of N^2. Each
+    qualifying pair is emitted EXACTLY ONCE without a distinct shuffle:
+    a pair matching several bands is kept only at its first matching
+    band (the earlier-band-mismatch predicate rides inside the join, so
+    dedup happens in the same codegen stage that generates candidates).
+    iv/n2 travel with the band rows, so the exact-cosine verify is also
+    inline — one shuffle total. Skewed buckets are handled by AQE
+    skew-join. Recall < 1 by construction (the documented ANN trade):
+    a pair at cosine c collides per band with p^8, p = 1 - acos(c)/pi,
+    so true near-dups (c >= 0.9) are found with P ~ 1-(1-0.29)^4 ~ 0.75
+    per band set while far pairs are almost never scored."""
+    eb = band_table(emb, n_bands, band_planes)
+    a = eb.alias("a")
+    b = eb.alias("b")
+    # keep a pair only at its FIRST matching band: for band i, all
+    # earlier bands must mismatch — exactly-once without a distinct
+    first_match = None
+    for i in range(n_bands):
+        mism = F.lit(True)
+        for j in range(i):
+            mism = mism & (
+                F.element_at(F.col("a.buckets"), j + 1)
+                != F.element_at(F.col("b.buckets"), j + 1)
+            )
+        first_match = (
+            F.when(F.col("a.band_idx") == i, mism)
+            if first_match is None
+            else first_match.when(F.col("a.band_idx") == i, mism)
+        )
+    # exact integer dot per candidate via an Arrow-batched numpy UDF —
+    # the zip_with form is interpreted (~0.8 ms/pair: 29 s of CPU at
+    # 36k candidates). Embeddings ride on the band rows, so the verify
+    # reads them straight off the self-join output: no dimension joins.
+    dots = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+        & first_match,
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.n2").alias("n2_a"),
+        F.col("b.n2").alias("n2_b"),
+        _dot_fixed_point(
+            F.col("a.embedding"), F.col("b.embedding")
+        ).alias("dot"),
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("n2_a").cast("double"))
+        * F.sqrt(F.col("n2_b").cast("double"))
+    )
+    return (
+        dots.select("vec_a", "vec_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") > threshold)
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.round(F.col("cos_raw") * 1000000.0).cast("long") / 1000000.0)
+            .cast("double")
+            .alias("cosine"),
+        )
+    )
 
 
 def lsh_bucket(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """Sign-random-projection bucket key: bit p = sign of <v, plane_p>
-    with md5-derived ±1 planes; 8 planes -> 256 buckets."""
-    fx = fixed_point(emb)
-    dims = F.sequence(F.lit(0), F.lit(DIM - 1))
-
-    def plane_dot(p: int):
-        # closure factory (default-arg lambdas change HOF arity)
-        return lambda x, d: x * _plane_sign(F.lit(p), d)
-
-    bucket = F.concat(
-        *[
-            F.when(
-                F.aggregate(
-                    F.zip_with(F.col("iv"), dims, plane_dot(p)),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                )
-                > 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for p in range(n_planes)
-        ]
-    )
-    return fx.withColumn("bucket", bucket)
+    with md5-derived ±1 planes (precomputed literals — the sim3 oracle
+    recomputes the same md5 scheme inline in SQL, so bucket values stay
+    engine-checked); 8 planes -> 256 buckets."""
+    return fixed_point(emb).withColumn("bucket", bucket_expr(0, n_planes))
 
 
 def lsh_topk(emb: DataFrame, k: int = 3, n_queries: int = 64) -> DataFrame:

