@@ -22,27 +22,14 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: per-(store, day) metrics with the nested top-5
-    product list — the reference's store_daily materialization
-    (``write-metrics/lambda_function.py:77-104``)."""
+    """Flagship query: the reference's central derived table in its
+    full nested serving shape — per-(store, day) metrics with the
+    top-5 product list (array<struct>) and the payment_breakdown map
+    (``write-metrics/lambda_function.py:77-104``,
+    ``calculate-metrics/lambda_function.py:155-173``)."""
     tune_existing(spark)
     txns = tables.transactions(spark, SF0001)
-    daily = metrics.store_day_metrics(txns)
-    top5 = (
-        metrics.top_products_per_store_day(txns, 5)
-        .groupBy("store_id", "sale_date")
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("rank"), F.col("item_sku"),
-                        F.col("units"), F.col("revenue"),
-                    )
-                )
-            ).alias("top_products")
-        )
-    )
-    return daily.join(top5, ["store_id", "sale_date"], "left")
+    return metrics.store_daily_nested(txns, 5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -24,8 +24,17 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from .insights import classify_anomalies, recommendations, trend_insights
+from .history import store_daily_cents
+from .insights import (
+    classify_anomalies,
+    classify_anomalies_from_daily,
+    recommendations,
+    recommendations_from,
+    trend_insights,
+    trend_insights_from_daily,
+)
 from .metrics import store_day_metrics, top_products_per_store_day
 
 
@@ -74,7 +83,10 @@ def export_anomalies(txns: DataFrame) -> DataFrame:
     """Flattened anomalies dataset
     (``export-to-quicksight/lambda_function.py:251-285``) with the
     human-readable description line the reference assembles per row."""
-    an = classify_anomalies(txns)
+    return _export_anomalies_from(classify_anomalies(txns))
+
+
+def _export_anomalies_from(an: DataFrame) -> DataFrame:
     desc = F.format_string(
         "%s %s at store %s: %.1f%% vs trailing average",
         F.col("severity"),
@@ -95,7 +107,10 @@ def export_anomalies(txns: DataFrame) -> DataFrame:
 def export_trends(txns: DataFrame) -> DataFrame:
     """Flattened trends dataset
     (``export-to-quicksight/lambda_function.py:288-307``)."""
-    tr = trend_insights(txns)
+    return _export_trends_from(trend_insights(txns))
+
+
+def _export_trends_from(tr: DataFrame) -> DataFrame:
     desc = F.format_string(
         "store %s %s on %s",
         F.col("store_id"),
@@ -116,7 +131,10 @@ def export_recommendations(txns: DataFrame) -> DataFrame:
     (``export-to-quicksight/lambda_function.py:310-328``), with the O5
     priority rank as the sort key and an array_join'd affected list
     (``:283-284`` uses ``', '.join(affected_items)``)."""
-    re = recommendations(txns)
+    return _export_recommendations_from(recommendations(txns))
+
+
+def _export_recommendations_from(re: DataFrame) -> DataFrame:
     affected = F.array_join(
         F.array(F.concat(F.lit("Store "), F.col("store_id"))), ", "
     )
@@ -138,13 +156,25 @@ def export_recommendations(txns: DataFrame) -> DataFrame:
 def export_datasets(
     txns: DataFrame, start: str, end: str
 ) -> dict[str, DataFrame]:
-    """The five datasets of one export run, keyed by dataset name."""
+    """The five datasets of one export run, keyed by dataset name.
+
+    The insight-derived datasets share ONE persisted store_daily_cents
+    and ONE persisted anomaly set — a single fact scan feeds anomalies,
+    trends, and recommendations, instead of each dataset re-running the
+    whole window chain (the reference rereads its persisted store_daily
+    MV the same way, SURVEY §4)."""
+    daily = store_daily_cents(txns).persist(StorageLevel.MEMORY_AND_DISK)
+    an = classify_anomalies_from_daily(daily).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return {
         "store_summaries": export_store_summaries(txns, start, end),
         "top_products": export_top_products(txns, start, end),
-        "anomalies": export_anomalies(txns),
-        "trends": export_trends(txns),
-        "recommendations": export_recommendations(txns),
+        "anomalies": _export_anomalies_from(an),
+        "trends": _export_trends_from(trend_insights_from_daily(daily)),
+        "recommendations": _export_recommendations_from(
+            recommendations_from(an)
+        ),
     }
 
 

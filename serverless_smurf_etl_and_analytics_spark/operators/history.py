@@ -77,10 +77,17 @@ def trailing_7day(txns: DataFrame, min_days: int = 3) -> DataFrame:
 
 def deviation_vs_trailing(txns: DataFrame, min_days: int = 3) -> DataFrame:
     """A10 (+J2/J6): percent deviation of today vs the trailing average
-    (``detect-anomalies/lambda_function.py:213-219``), null-safe guard
-    on zero history (``analyze-trends:203-207``), rounded to 1 decimal.
-    """
-    df = _trailing(store_daily_cents(txns), -7, -1, "hist")
+    (``detect-anomalies/lambda_function.py:213-219``)."""
+    return deviation_from_daily(store_daily_cents(txns), min_days)
+
+
+def deviation_from_daily(daily: DataFrame, min_days: int = 3) -> DataFrame:
+    """A10 over a (possibly materialized/persisted) store_daily_cents
+    input — consumers that also need other daily-derived outputs share
+    ONE fact scan instead of re-deriving the aggregation per branch
+    (the reference's MV design, SURVEY §4). Null-safe guard on zero
+    history (``analyze-trends:203-207``), rounded to 1 decimal."""
+    df = _trailing(daily, -7, -1, "hist")
     hist_avg_c = F.col("hist_sales_c") / F.col("hist_days")  # double, exact in
     dev = (F.col("sales_c") - hist_avg_c) / hist_avg_c * 100.0
     return (
@@ -107,7 +114,13 @@ def trend_recent_vs_earlier(txns: DataFrame) -> DataFrame:
     => 'insufficient_data'; no earlier days => 'stable' (ratio treated
     as 1, documented deviation: reference never hits this branch
     because it always has >=7 days by the time trends run)."""
-    df = store_daily_cents(txns)
+    return trend_from_daily(store_daily_cents(txns))
+
+
+def trend_from_daily(daily: DataFrame) -> DataFrame:
+    """A11 over a (possibly materialized/persisted) store_daily_cents
+    input — see deviation_from_daily for why the split exists."""
+    df = daily
     df = _trailing(df, -2, -1, "recent")
     df = _trailing(df, -7, -3, "earlier")
     df = _trailing(df, -7, -1, "hist")

@@ -28,14 +28,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from .history import deviation_vs_trailing, trend_recent_vs_earlier
+from .history import (
+    deviation_from_daily,
+    store_daily_cents,
+    trend_from_daily,
+)
 
 
 def classify_anomalies(txns: DataFrame, min_days: int = 3) -> DataFrame:
     """Anomaly rows: store-days whose deviation vs the trailing average
     exceeds ±25%, with the reference's severity ladder."""
-    dev = deviation_vs_trailing(txns, min_days)
+    return classify_anomalies_from_daily(store_daily_cents(txns), min_days)
+
+
+def classify_anomalies_from_daily(
+    daily: DataFrame, min_days: int = 3
+) -> DataFrame:
+    """classify_anomalies over a shared (often persisted)
+    store_daily_cents input — multi-output consumers derive every
+    branch from ONE fact scan, mirroring the reference's persisted
+    store_daily MV (``write-metrics/lambda_function.py:77-104``)."""
+    dev = deviation_from_daily(daily, min_days)
     sev = (
         F.when(F.abs(F.col("deviation_pct")) > 50.0, F.lit("critical"))
         .when(F.abs(F.col("deviation_pct")) > 25.0, F.lit("warning"))
@@ -64,7 +79,12 @@ def trend_insights(txns: DataFrame) -> DataFrame:
     """Trend rows: stores whose ±5% recent-vs-earlier direction is not
     stable (insufficient_data rows are dropped, mirroring the >=
     history gates)."""
-    t = trend_recent_vs_earlier(txns)
+    return trend_insights_from_daily(store_daily_cents(txns))
+
+
+def trend_insights_from_daily(daily: DataFrame) -> DataFrame:
+    """trend_insights over a shared store_daily_cents input."""
+    t = trend_from_daily(daily)
     return (
         t.filter(F.col("trend_direction").isin("increasing", "decreasing"))
         .select(
@@ -84,7 +104,14 @@ def recommendations(txns: DataFrame) -> DataFrame:
     """Recommendation rows from the anomaly set: the deterministic rule
     ladder (critical drop => urgent investigation; warning drop =>
     review; spike => restock), with the O5 priority sort key."""
-    an = classify_anomalies(txns)
+    return recommendations_from(classify_anomalies(txns))
+
+
+def recommendations_from(an: DataFrame) -> DataFrame:
+    """recommendations derived from an existing anomaly DataFrame —
+    consumers that emit both anomalies AND recommendations reuse one
+    (persisted) anomaly set instead of evaluating the window chain
+    twice."""
     action = (
         F.when(
             (F.col("anomaly_type") == "sudden_drop")
@@ -123,21 +150,31 @@ def combine_insights(txns: DataFrame) -> DataFrame:
     """CombineInsights (``combine-insights/lambda_function.py:105-208``):
     merge the three result sets into one discriminated table. Columns
     not applicable to a type are null (P5: the reference strips None
-    attributes before write; Spark keeps nullable columns)."""
-    an = classify_anomalies(txns).select(
+    attributes before write; Spark keeps nullable columns).
+
+    One fact scan total: store_daily_cents is persisted and feeds both
+    the anomaly and trend branches; the anomaly set is persisted and
+    feeds both its own rows and the recommendations — the union's three
+    branches read materialized inputs instead of re-running the window
+    chain per branch."""
+    daily = store_daily_cents(txns).persist(StorageLevel.MEMORY_AND_DISK)
+    anomalies = classify_anomalies_from_daily(daily).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    an = anomalies.select(
         "insight_id", "insight_type", "store_id", "sale_date",
         F.col("anomaly_type").alias("detail"), "severity",
         F.lit(None).cast("string").alias("priority"),
         "deviation_pct",
     )
-    tr = trend_insights(txns).select(
+    tr = trend_insights_from_daily(daily).select(
         "insight_id", "insight_type", "store_id", "sale_date",
         F.col("trend_direction").alias("detail"),
         F.lit(None).cast("string").alias("severity"),
         F.lit(None).cast("string").alias("priority"),
         F.lit(None).cast("double").alias("deviation_pct"),
     )
-    re = recommendations(txns).select(
+    re = recommendations_from(anomalies).select(
         "insight_id", "insight_type", "store_id", "sale_date",
         F.col("action").alias("detail"),
         F.lit(None).cast("string").alias("severity"),

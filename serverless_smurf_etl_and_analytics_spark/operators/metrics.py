@@ -91,6 +91,103 @@ def payment_breakdown_per_store_day(txns: DataFrame) -> DataFrame:
     )
 
 
+def store_daily_nested(txns: DataFrame, k: int = 5) -> DataFrame:
+    """The reference's central derived table in its full nested serving
+    shape (``write-metrics/lambda_function.py:77-104``): one row per
+    (store, day) with A1 grand totals plus
+    ``top_products array<struct<rank,item_sku,units,revenue>>``
+    (``calculate-metrics/lambda_function.py:155-167``) and
+    ``payment_breakdown map<payment_method, net_amount>``
+    (``calculate-metrics/lambda_function.py:170-173``).
+
+    Scale notes: three hash aggregations over the fact table at
+    different grains, joined at (store, day) — each shuffle carries one
+    row per group. The collected arrays/maps are bounded (k products,
+    <=5 payment enum values), so the nested row stays small at any
+    corpus size. sd_nested (registry) is the stringified parity twin
+    whose values the DuckDB oracle hash-checks."""
+    daily = store_day_metrics(txns)
+    top = (
+        top_products_per_store_day(txns, k)
+        .groupBy("store_id", "sale_date")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("rank", "item_sku", "units", "revenue")
+                )
+            ).alias("top_products")
+        )
+    )
+    pay = (
+        payment_breakdown_per_store_day(txns)
+        .groupBy("store_id", "sale_date")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("payment_method", "net_amount")
+                    )
+                )
+            ).alias("payment_breakdown")
+        )
+    )
+    return (
+        daily.join(top, ["store_id", "sale_date"], "left")
+        .join(pay, ["store_id", "sale_date"], "left")
+    )
+
+
+def store_daily_nested_flat(txns: DataFrame, k: int = 5) -> DataFrame:
+    """Oracle-hashable projection of store_daily_nested: the nested
+    columns serialized to deterministic strings pre-aggregation
+    (format_string per row, then sorted collect + join — plain codegen,
+    no higher-order functions), because the driver's value hash cannot
+    canonicalize map/struct columns across engines."""
+    daily = store_day_metrics(txns)
+    top_s = (
+        top_products_per_store_day(txns, k)
+        .groupBy("store_id", "sale_date")
+        .agg(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.format_string(
+                            "%d:%s:%d:%.2f",
+                            F.col("rank"),
+                            F.col("item_sku").cast("string"),
+                            F.col("units"),
+                            F.col("revenue"),
+                        )
+                    )
+                ),
+                ";",
+            ).alias("top_products_str")
+        )
+    )
+    pay_s = (
+        payment_breakdown_per_store_day(txns)
+        .groupBy("store_id", "sale_date")
+        .agg(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.format_string(
+                            "%s=%.2f",
+                            F.col("payment_method"),
+                            F.col("net_amount"),
+                        )
+                    )
+                ),
+                ",",
+            ).alias("payment_breakdown_str")
+        )
+    )
+    return (
+        daily.join(top_s, ["store_id", "sale_date"], "left")
+        .join(pay_s, ["store_id", "sale_date"], "left")
+    )
+
+
 def product_day_rollup(txns: DataFrame) -> DataFrame:
     """Per-(store, day, sku) units/revenue — input to top-K (A3) and the
     exact product rollup (A6 exact mode)."""

@@ -1,0 +1,239 @@
+"""Daily-pipeline orchestration (SURVEY.md §3.1/§3.2; §7.1 item 8).
+
+Materializes the derived-table layer ONCE per run — ``store_daily`` in
+its full nested serving shape, ``company_daily``, ``product_daily``,
+and the three insight sets — then derives the daily report and the
+five BI exports from the MATERIALIZED tables instead of rescanning the
+fact table. This is the reference's core design: store_daily is
+persisted by ``write-metrics/lambda_function.py:77-104`` and every
+downstream consumer (``get-store-summaries``, ``detect-anomalies``,
+``export-to-quicksight``) rereads it rather than re-aggregating raw
+transactions (SURVEY §4 "pre-aggregation / materialized views").
+
+S10 idempotency (``infrastructure/eventbridge.tf:81-148``): the
+reference's scheduled 23:00 trigger lists prior runs and skips when an
+execution for "today" already succeeded. Here a run-ledger parquet
+table plays that role: ``run_daily_pipeline`` is a no-op for a
+(run_date) whose ledger row says succeeded, unless ``force=True``.
+
+Scale notes (100 TB):
+- each materialization is one bounded-output aggregation over the fact
+  table (rows = |stores| x |days| or |skus| x |days|), written
+  partitioned by sale_date so daily upserts touch one partition;
+- every downstream consumer reads the tiny MV, never the fact table —
+  the fact table is scanned a constant number of times per run;
+- the ledger is append-only, one row per run — read it with a filter
+  on run_date (partition-prunable if grown large).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from . import tables
+from .operators import export, metrics, report
+from .operators.history import store_daily_cents
+from .operators.insights import (
+    classify_anomalies_from_daily,
+    recommendations_from,
+    trend_insights_from_daily,
+)
+
+LEDGER_DIR = "run_ledger"
+
+
+def _ledger_path(out_dir: str) -> str:
+    return os.path.join(out_dir, LEDGER_DIR)
+
+
+def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The run ledger, or None before the first recorded run."""
+    path = _ledger_path(out_dir)
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def already_succeeded(
+    spark: SparkSession, out_dir: str, run_date: str
+) -> bool:
+    """S10 idempotency check: has a run for this logical date already
+    succeeded? (``eventbridge.tf:100-127`` — the reference lists state
+    machine executions and checks for a succeeded one named for the
+    date.)"""
+    led = read_ledger(spark, out_dir)
+    if led is None:
+        return False
+    return (
+        led.filter(
+            (F.col("run_date") == run_date)
+            & (F.col("status") == "succeeded")
+        )
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
+def record_run(
+    spark: SparkSession,
+    out_dir: str,
+    run_date: str,
+    status: str,
+    stats: dict,
+) -> None:
+    """Append one ledger row (run_date, status, stats json, recorded
+    UTC timestamp)."""
+    row = [
+        (
+            run_date,
+            status,
+            json.dumps(stats, sort_keys=True),
+            time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime()),
+        )
+    ]
+    df = spark.createDataFrame(
+        row, "run_date string, status string, stats string, recorded_at string"
+    )
+    df.coalesce(1).write.mode("append").parquet(_ledger_path(out_dir))
+
+
+def run_daily_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    run_date: str,
+    export_start: str | None = None,
+    export_end: str | None = None,
+    force: bool = False,
+) -> dict:
+    """One daily-analysis run (§3.2): materialize the derived tables,
+    classify insights, format the report for ``run_date``, export the
+    BI datasets, record the ledger row. Returns per-table row counts;
+    ``{"skipped": True}`` when the ledger already shows a succeeded run
+    for ``run_date`` (S10)."""
+    if not force and already_succeeded(spark, out_dir, run_date):
+        return {"run_date": run_date, "skipped": True}
+
+    txns = tables.transactions(spark, sf_dir)
+    stats: dict = {"run_date": run_date, "skipped": False}
+
+    # 1. store_daily — the central MV, nested serving shape, one
+    #    partition per day so a daily run upserts only its date
+    sd_path = os.path.join(out_dir, "store_daily")
+    (
+        metrics.store_daily_nested(txns)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("sale_date")
+        .parquet(sd_path)
+    )
+    # partition-column type inference reads sale_date back as DATE;
+    # cast to string so MV consumers see the canonical column type
+    store_daily = spark.read.parquet(sd_path).withColumn(
+        "sale_date", F.col("sale_date").cast("string")
+    )
+    stats["store_daily_rows"] = store_daily.count()
+
+    # 2. company_daily — rolls up the MATERIALIZED store_daily
+    #    (calc-company-metrics consumes the persisted summaries, never
+    #    the fact table)
+    co_path = os.path.join(out_dir, "company_daily")
+    metrics.company_daily(store_daily).write.mode("overwrite").parquet(
+        co_path
+    )
+    stats["company_daily_rows"] = spark.read.parquet(co_path).count()
+
+    # 3. product_daily — top-5 parity rollup from the MATERIALIZED
+    #    nested top_products lists (calc-product-metrics consumes each
+    #    store's top-5, SURVEY A6 parity trap)
+    pd_path = os.path.join(out_dir, "product_daily")
+    top_long = store_daily.select(
+        "store_id", "sale_date", F.explode("top_products").alias("tp")
+    ).select(
+        "store_id",
+        "sale_date",
+        F.col("tp.item_sku").alias("item_sku"),
+        F.col("tp.units").alias("units"),
+        F.col("tp.revenue").alias("revenue"),
+    )
+    product_daily = top_long.groupBy("sale_date", "item_sku").agg(
+        F.sum("units").alias("units_sold"),
+        (
+            F.sum(F.round(F.col("revenue") * 100).cast("long")).cast("long")
+            / 100.0
+        ).cast("double").alias("revenue"),
+        F.countDistinct("store_id").alias("store_count"),
+        F.concat_ws(",", F.sort_array(F.collect_set("store_id"))).alias(
+            "stores_sold_at"
+        ),
+    )
+    product_daily.write.mode("overwrite").parquet(pd_path)
+    stats["product_daily_rows"] = spark.read.parquet(pd_path).count()
+
+    # 4. insights — ONE persisted daily-cents + ONE persisted anomaly
+    #    set feed all three classifiers (no duplicate window chains)
+    daily = store_daily_cents(txns).persist(StorageLevel.MEMORY_AND_DISK)
+    anomalies = classify_anomalies_from_daily(daily).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    trends = trend_insights_from_daily(daily)
+    recs = recommendations_from(anomalies)
+    ins_path = os.path.join(out_dir, "insights")
+    for name, df in (
+        ("anomalies", anomalies),
+        ("trends", trends),
+        ("recommendations", recs),
+    ):
+        df.write.mode("overwrite").parquet(os.path.join(ins_path, name))
+        stats[f"{name}_rows"] = (
+            spark.read.parquet(os.path.join(ins_path, name)).count()
+        )
+
+    # 5. daily report for run_date (O5/O9 string layer)
+    rpt_path = os.path.join(out_dir, "report")
+    report.daily_report_lines(txns, run_date).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(rpt_path)
+    stats["report_lines"] = spark.read.parquet(rpt_path).count()
+
+    # 6. BI exports (S7) from the MATERIALIZED tables
+    an_mv = spark.read.parquet(os.path.join(ins_path, "anomalies"))
+    tr_mv = spark.read.parquet(os.path.join(ins_path, "trends"))
+    re_mv = spark.read.parquet(os.path.join(ins_path, "recommendations"))
+    start = export_start or run_date
+    end = export_end or run_date
+    datasets = {
+        "store_summaries": store_daily.filter(
+            F.col("sale_date").between(start, end)
+        ).select(
+            F.col("sale_date").alias("date"),
+            "store_id",
+            F.concat(F.lit("Store "), F.col("store_id")).alias("store_name"),
+            "total_sales",
+            F.col("transaction_count").alias("transactions"),
+            F.col("item_count").alias("items_sold"),
+            F.col("avg_transaction").alias("average_transaction"),
+        ),
+        "top_products": top_long.filter(
+            F.col("sale_date").between(start, end)
+        ),
+        "anomalies": export._export_anomalies_from(an_mv),
+        "trends": export._export_trends_from(tr_mv),
+        "recommendations": export._export_recommendations_from(re_mv),
+    }
+    manifest = export.write_ndjson_export(
+        datasets, os.path.join(out_dir, "exports")
+    )
+    stats["export_datasets"] = len(manifest["datasets"])
+
+    record_run(spark, out_dir, run_date, "succeeded", stats)
+    daily.unpersist()
+    anomalies.unpersist()
+    return stats

@@ -149,6 +149,70 @@ FROM ranked WHERE rank <= 5
 """,
 )
 
+# Nested store_daily serving shape (write-metrics/lambda_function.py:
+# 77-104): A1 totals + top_products list + payment_breakdown map. The
+# registered form serializes the nested columns to deterministic
+# strings (sorted entry lists) so the oracle hash covers their VALUES;
+# metrics.store_daily_nested is the truly-nested (array<struct> + map)
+# twin used by entry() and the pipeline materialization.
+register(
+    "sd_nested_store_daily",
+    lambda spark, sf: metrics.store_daily_nested_flat(
+        tables.transactions(spark, sf), 5
+    ),
+    f"""
+WITH {TXN}, {SQL_STORE_DAILY}, {SQL_TOP5},
+top_s AS (
+    SELECT
+        store_id, sale_date,
+        string_agg(
+            printf('%d:%s:%d:%.2f', rank, cast(item_sku AS varchar),
+                   units, revenue),
+            ';'
+            ORDER BY printf('%d:%s:%d:%.2f', rank,
+                            cast(item_sku AS varchar), units, revenue)
+        ) AS top_products_str
+    FROM ranked
+    WHERE rank <= 5
+    GROUP BY store_id, sale_date
+),
+pay AS (
+    SELECT
+        store_id, sale_date, payment_method,
+        cast((sum(line_cents) - sum(discount_cents)) / 100.0 AS double)
+            AS net_amount
+    FROM transactions
+    GROUP BY store_id, sale_date, payment_method
+),
+pay_s AS (
+    SELECT
+        store_id, sale_date,
+        string_agg(
+            printf('%s=%.2f', payment_method, net_amount), ','
+            ORDER BY printf('%s=%.2f', payment_method, net_amount)
+        ) AS payment_breakdown_str
+    FROM pay
+    GROUP BY store_id, sale_date
+)
+SELECT
+    d.store_id,
+    d.sale_date,
+    cast(d.sales_c / 100.0 AS double)            AS total_sales,
+    cast(d.disc_c / 100.0 AS double)             AS total_discount,
+    cast((d.sales_c - d.disc_c) / 100.0 AS double) AS net_sales,
+    d.transaction_count,
+    d.distinct_transactions,
+    d.item_count,
+    cast(cast(round((d.sales_c - d.disc_c) * 1.0 / d.transaction_count)
+              AS bigint) / 100.0 AS double)      AS avg_transaction,
+    t.top_products_str,
+    p.payment_breakdown_str
+FROM store_daily d
+LEFT JOIN top_s t ON t.store_id = d.store_id AND t.sale_date = d.sale_date
+LEFT JOIN pay_s p ON p.store_id = d.store_id AND p.sale_date = d.sale_date
+""",
+)
+
 # A4+A5 — company daily rollup with best/worst store
 # (calc-company-metrics/lambda_function.py:76-113)
 register(

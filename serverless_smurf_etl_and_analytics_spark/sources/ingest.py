@@ -165,7 +165,10 @@ def ingest(
     raw = read_uploads(spark, upload_dir)
     valid, rejected = validate_split(raw)
     write_partitioned(valid, processed_dir)
-    n_valid = spark.read.parquet(processed_dir).count()
+    # count THIS run's valid rows (counting processed_dir after a
+    # dynamic overwrite would also count untouched partitions from
+    # earlier runs)
+    n_valid = valid.count()
     n_rejected = rejected.count()
     if rejected_dir and n_rejected:
         write_quarantine(rejected, rejected_dir)
@@ -173,11 +176,13 @@ def ingest(
 
 
 def list_partitions(spark: SparkSession, processed_dir: str) -> DataFrame:
-    """S6: partition listing by parsing hive-style ``k=v`` path segments
-    (``list-files/lambda_function.py:95-169``) — metadata-only against
-    the file index."""
+    """S6+O6: partition listing by parsing hive-style ``k=v`` path
+    segments, newest first (``list-files/lambda_function.py:95-169``
+    parses the key, ``:60`` sorts by last_modified desc) —
+    metadata-only against the file index."""
     files = spark.read.parquet(processed_dir).select(
-        F.col("_metadata.file_path").alias("path")
+        F.col("_metadata.file_path").alias("path"),
+        F.col("_metadata.file_modification_time").alias("mtime"),
     )
     seg = F.split(F.col("path"), "/")
     kv = F.filter(seg, lambda s: F.contains(s, F.lit("=")))
@@ -192,13 +197,14 @@ def list_partitions(spark: SparkSession, processed_dir: str) -> DataFrame:
     )
     return (
         files.withColumn("parts", as_map)
-        .select(
+        .groupBy(
             F.col("parts")["year"].alias("year"),
             F.col("parts")["month"].alias("month"),
             F.col("parts")["day"].alias("day"),
             F.col("parts")["store_id"].alias("store_id"),
         )
-        .distinct()
+        .agg(F.max("mtime").alias("last_modified"))
+        .orderBy(F.desc("last_modified"))
     )
 
 

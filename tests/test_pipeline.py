@@ -1,0 +1,86 @@
+"""pipeline.run_daily_pipeline: materialized derived-table layer +
+S10 run-ledger idempotency (``infrastructure/eventbridge.tf:81-148``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from serverless_smurf_etl_and_analytics_spark import pipeline, tables
+from serverless_smurf_etl_and_analytics_spark.operators import metrics
+
+SF_DIR = "/root/testdata/sf0.001"
+RUN_DATE = "2001-06-15"
+
+
+@pytest.fixture(scope="module")
+def out_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pipeline_out"))
+    stats = pipeline.run_daily_pipeline(
+        spark, SF_DIR, d, RUN_DATE,
+        export_start="2001-06-01", export_end="2001-06-30",
+    )
+    return d, stats
+
+
+def test_pipeline_materializes_all_tables(spark, out_dir):
+    d, stats = out_dir
+    assert stats["skipped"] is False
+    for table in ("store_daily", "company_daily", "product_daily"):
+        assert stats[f"{table}_rows"] > 0
+        assert os.path.isdir(os.path.join(d, table))
+    assert stats["report_lines"] >= 2
+    assert stats["export_datasets"] == 5
+    assert os.path.exists(os.path.join(d, "exports", "manifest.json"))
+
+
+def test_company_daily_matches_direct_computation(spark, out_dir):
+    d, _ = out_dir
+    mv = spark.read.parquet(os.path.join(d, "company_daily"))
+    txns = tables.transactions(spark, SF_DIR)
+    direct = metrics.company_daily(metrics.store_day_metrics(txns))
+    got = {
+        r["sale_date"]: r["total_sales"]
+        for r in mv.select("sale_date", "total_sales").collect()
+    }
+    want = {
+        r["sale_date"]: r["total_sales"]
+        for r in direct.select("sale_date", "total_sales").collect()
+    }
+    assert got == want
+
+
+def test_rerun_is_noop(spark, out_dir):
+    d, _ = out_dir
+    sd = os.path.join(d, "store_daily")
+    mtimes_before = {
+        f: os.path.getmtime(os.path.join(root, f))
+        for root, _, fs in os.walk(sd)
+        for f in fs
+    }
+    stats2 = pipeline.run_daily_pipeline(spark, SF_DIR, d, RUN_DATE)
+    assert stats2 == {"run_date": RUN_DATE, "skipped": True}
+    mtimes_after = {
+        f: os.path.getmtime(os.path.join(root, f))
+        for root, _, fs in os.walk(sd)
+        for f in fs
+    }
+    assert mtimes_before == mtimes_after
+
+
+def test_force_rerun_executes(spark, out_dir):
+    d, _ = out_dir
+    stats3 = pipeline.run_daily_pipeline(
+        spark, SF_DIR, d, RUN_DATE, force=True
+    )
+    assert stats3["skipped"] is False
+    led = pipeline.read_ledger(spark, d)
+    assert led.filter(led.status == "succeeded").count() == 2
+
+
+def test_ledger_distinguishes_dates(spark, out_dir):
+    d, _ = out_dir
+    assert pipeline.already_succeeded(spark, d, RUN_DATE)
+    assert not pipeline.already_succeeded(spark, d, "1999-01-01")
