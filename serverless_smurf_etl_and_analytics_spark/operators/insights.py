@@ -184,6 +184,67 @@ def combine_insights(txns: DataFrame) -> DataFrame:
     return an.unionByName(tr).unionByName(re)
 
 
+def llm_classify(txns: DataFrame, classify_fn=None) -> DataFrame:
+    """Optional LLM-classifier interface (SURVEY §2.10): the reference's
+    Bedrock stage labels PRE-COMPUTED statistics with the taxonomy
+    ``historical_low|historical_high|sudden_drop|sudden_spike|
+    peer_outlier`` (``detect-anomalies/lambda_function.py:256``) — all
+    numeric work happens before the model; the model only labels. Here
+    the interface batches the deviation table through an Arrow
+    ``mapInPandas`` stage:
+
+    - ``classify_fn(pdf) -> iterable of labels`` is the pluggable model
+      call (one batch = one prompt batch; a real backend would format
+      prompts from the rows and parse the model's JSON reply, the
+      markdown-fence extraction of ``:279-301``);
+    - the default is a DETERMINISTIC FAKE mirroring the documented
+      thresholds, so tests run offline and reproducibly.
+
+    Deliberately NOT in the oracle path: a model-backed classifier is
+    nondeterministic by nature (SURVEY §5 — rows-only checks at best).
+    """
+    from .history import deviation_vs_trailing
+
+    dev = deviation_vs_trailing(txns)
+
+    def default_fake(pdf):
+        labels = []
+        for d in pdf["deviation_pct"]:
+            if d is None:
+                labels.append("peer_outlier")
+            elif d <= -50:
+                labels.append("historical_low")
+            elif d >= 50:
+                labels.append("historical_high")
+            elif d <= -25:
+                labels.append("sudden_drop")
+            elif d >= 25:
+                labels.append("sudden_spike")
+            else:
+                labels.append("peer_outlier")
+        return labels
+
+    fn = classify_fn or default_fake
+
+    def classify(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf[
+                ["store_id", "sale_date", "today_sales", "deviation_pct"]
+            ].copy()
+            out["label"] = list(fn(pdf))
+            yield out
+
+    return dev.mapInPandas(
+        classify,
+        "store_id string, sale_date string, today_sales double, "
+        "deviation_pct double, label string",
+    )
+
+
 def insight_summary(txns: DataFrame) -> DataFrame:
     """A18: counts by insight type over the combined set
     (``combine-insights/lambda_function.py:169-204``)."""

@@ -1,0 +1,196 @@
+"""Multimodal-column operators (builder north-star extension; no
+reference counterpart — BASELINE.json lists multimodal columns beside
+dedup/similarity/text analysis as first-class pipeline components).
+
+Design: image/audio/video assets are opaque ``binary`` columns with
+typed metadata (modality, byte size, content fingerprint). Relational
+work — byte-level dedup, per-modality profiling, text<->embedding
+pairing integrity — is pure DataFrame algebra designed like the d1/d3
+dedup family (hash-bucketed shuffles, never all-pairs). The decode /
+feature-extract steps are Arrow-batched ``mapInPandas`` plumbing with
+a DETERMINISTIC FAKE decoder: this container has no codec libraries,
+so the real-decoder slot is clearly stubbed (NotImplementedError)
+while the Spark-side schema, batch shape, and UDF signature are real
+and tested.
+
+The corpus itself has no binary column, so ``with_binary_payload``
+derives one deterministically from the documents table (payload =
+UTF-8 bytes of the text, modality assigned round-robin by doc_id) —
+every downstream operator treats it as opaque bytes, exactly as it
+would treat a real image column.
+
+Scale notes (100 TB):
+- fingerprint dedup shuffles once on (modality, md5) — balanced by
+  construction;
+- modality stats is a 3-group aggregation with map-side partials;
+- pairing integrity is one co-partitioned full-outer join on the id;
+- decode runs per-partition over Arrow batches: payload bytes never
+  pass through the driver, and batch size bounds worker memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MODALITIES = ["image", "audio", "video"]
+
+DECODE_SCHEMA = (
+    "doc_id long, modality string, n_bytes long, width int, height int, "
+    "channels int, duration_ms long, byte_entropy_q double"
+)
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, modality, payload binary, n_bytes): the
+    typed multimodal projection. payload is an opaque binary column —
+    nothing downstream assumes it is text."""
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        modality.alias("modality"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def binary_fingerprint_dedup(docs: DataFrame) -> DataFrame:
+    """mm1: exact byte-level dedup per modality — group by
+    (modality, md5(payload)), keep the lowest doc_id as canonical
+    (the d1 design applied to binary assets: one balanced hash
+    shuffle, no pair space)."""
+    d = with_binary_payload(docs)
+    return (
+        d.groupBy("modality", F.md5("payload").alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("copies"),
+            F.max("n_bytes").alias("n_bytes"),
+        )
+    )
+
+
+def modality_stats(docs: DataFrame) -> DataFrame:
+    """mm2: per-modality asset profile — counts, byte totals, average
+    size (1-decimal, integer-scale rounded), distinct payloads, and
+    duplicate ratio (3-decimal)."""
+    d = with_binary_payload(docs).withColumn(
+        "fingerprint", F.md5("payload")
+    )
+    g = d.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("asset_count"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+        F.countDistinct("fingerprint").alias("distinct_assets"),
+    )
+    avg_b = (
+        F.round(F.col("total_bytes") * 10.0 / F.col("asset_count"))
+        .cast("long")
+        / 10.0
+    ).cast("double")
+    dup = (
+        F.round(
+            (1.0 - F.col("distinct_assets") / F.col("asset_count")) * 1000.0
+        ).cast("long")
+        / 1000.0
+    ).cast("double")
+    return g.select(
+        "modality",
+        "asset_count",
+        "total_bytes",
+        "min_bytes",
+        "max_bytes",
+        avg_b.alias("avg_bytes"),
+        "distinct_assets",
+        dup.alias("dup_ratio"),
+    )
+
+
+def pairing_integrity(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """mm3: text<->embedding pairing check — a full-outer join on the
+    shared id classifying each asset as paired / text_only /
+    embedding_only (the J1 completeness anti-join generalized to both
+    directions)."""
+    d = docs.select(F.col("doc_id").alias("d_id"))
+    e = emb.select(F.col("vec_id").alias("e_id"))
+    j = d.join(e, d["d_id"] == e["e_id"], "full_outer")
+    status = (
+        F.when(F.col("d_id").isNull(), F.lit("embedding_only"))
+        .when(F.col("e_id").isNull(), F.lit("text_only"))
+        .otherwise(F.lit("paired"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def decode_assets(
+    docs: DataFrame, use_real_decoder: bool = False
+) -> DataFrame:
+    """Decode/feature-extract plumbing: (doc_id, modality, n_bytes) ->
+    typed per-asset metadata (width/height/channels for images,
+    duration for audio/video, and a coarse byte-entropy quantile) via
+    ``mapInPandas`` over Arrow batches.
+
+    The decoder is a DETERMINISTIC FAKE — metadata is derived from the
+    md5 digest of the payload bytes, so tests get stable values and the
+    batch plumbing (schema, signature, per-partition iteration) is
+    fully exercised. The real decoder slot requires codec libraries
+    (PIL/ffmpeg) that are not in this environment and is explicitly
+    stubbed."""
+    if use_real_decoder:
+        raise NotImplementedError(
+            "real image/audio/video decoding requires codec libraries "
+            "(PIL, ffmpeg) not available in this environment; the "
+            "deterministic fake decoder exercises the same plumbing"
+        )
+    d = with_binary_payload(docs)
+
+    # self-contained closure: no module-global references, so workers
+    # never need this repo on their PYTHONPATH
+    def fake_decode(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "doc_id": [], "modality": [], "n_bytes": [], "width": [],
+                "height": [], "channels": [], "duration_ms": [],
+                "byte_entropy_q": [],
+            }
+            for doc_id, modality, payload, n_bytes in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"],
+                pdf["n_bytes"],
+            ):
+                h = hashlib.md5(bytes(payload)).digest()
+                out["doc_id"].append(doc_id)
+                out["modality"].append(modality)
+                out["n_bytes"].append(n_bytes)
+                if modality == "image":
+                    out["width"].append(64 * (1 + h[0] % 32))
+                    out["height"].append(64 * (1 + h[1] % 32))
+                    out["channels"].append(1 + h[2] % 4)
+                    out["duration_ms"].append(None)
+                else:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["channels"].append(
+                        1 + h[2] % 2 if modality == "audio" else None
+                    )
+                    out["duration_ms"].append(
+                        1000 * (1 + int.from_bytes(h[3:5], "big") % 600)
+                    )
+                out["byte_entropy_q"].append(round(h[5] / 255.0, 3))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(fake_decode, DECODE_SCHEMA)

@@ -10,7 +10,7 @@ fully oracle-checkable, not rows-only.
 from __future__ import annotations
 
 from .. import tables
-from ..operators import dedup, similarity, textops
+from ..operators import dedup, multimodal, similarity, textops
 from .registry import register
 
 STOP_SQL = "('the', 'a', 'and', 'of', 'to', 'in')"
@@ -329,6 +329,83 @@ JOIN sim b
 WHERE cast(len(list_filter(range(32),
         i -> substr(a.simhash, cast(i+1 AS int), 1)
              != substr(b.simhash, cast(i+1 AS int), 1))) AS bigint) <= 6
+""",
+)
+
+# ---- multimodal columns --------------------------------------------------
+# The corpus has no binary column, so the operators project one
+# deterministically (payload = utf-8 bytes of text, modality round-robin
+# by doc_id) and then treat it as opaque bytes; md5 over those bytes is
+# identical in both engines, so every stage stays hash-checked.
+
+SQL_MM = """
+mm AS (
+    SELECT
+        doc_id,
+        (['image', 'audio', 'video'])[cast(doc_id % 3 AS int) + 1]
+            AS modality,
+        md5(text) AS fingerprint,
+        cast(octet_length(encode(text)) AS bigint) AS n_bytes
+    FROM documents
+)
+"""
+
+register(
+    "mm1_binary_fingerprint_dedup",
+    lambda spark, sf: multimodal.binary_fingerprint_dedup(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+WITH {SQL_MM}
+SELECT
+    modality,
+    fingerprint,
+    min(doc_id) AS canonical_doc_id,
+    count(*)    AS copies,
+    max(n_bytes) AS n_bytes
+FROM mm
+GROUP BY modality, fingerprint
+""",
+)
+
+register(
+    "mm2_modality_stats",
+    lambda spark, sf: multimodal.modality_stats(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+WITH {SQL_MM}
+SELECT
+    modality,
+    count(*)                                  AS asset_count,
+    cast(sum(n_bytes) AS bigint)              AS total_bytes,
+    min(n_bytes)                              AS min_bytes,
+    max(n_bytes)                              AS max_bytes,
+    cast(cast(round(sum(n_bytes) * 10.0 / count(*)) AS bigint) / 10.0
+         AS double)                           AS avg_bytes,
+    cast(count(DISTINCT fingerprint) AS bigint) AS distinct_assets,
+    cast(cast(round((1.0 - count(DISTINCT fingerprint) * 1.0 / count(*))
+                    * 1000.0) AS bigint) / 1000.0 AS double) AS dup_ratio
+FROM mm
+GROUP BY modality
+""",
+)
+
+register(
+    "mm3_pairing_integrity",
+    lambda spark, sf: multimodal.pairing_integrity(
+        tables.load(spark, sf, "documents"),
+        tables.load(spark, sf, "embeddings"),
+    ),
+    """
+SELECT
+    CASE WHEN d.doc_id IS NULL THEN 'embedding_only'
+         WHEN e.vec_id IS NULL THEN 'text_only'
+         ELSE 'paired' END AS status,
+    count(*) AS n
+FROM documents d
+FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY 1
 """,
 )
 

@@ -10,9 +10,10 @@ same batch operators inside ``foreachBatch``:
 
 - validate/split (sources.ingest.validate_split)
 - per-store-day aggregation (operators.metrics.store_day_metrics)
-- dynamic-partition upsert of store_daily (idempotent re-upload:
-  the same store-day replaces its own partition — the put_item
-  semantics of ``write-metrics/lambda_function.py:104``)
+- dynamic-partition upsert of store_daily, partitioned by
+  (date, store) so a re-upload (or a later micro-batch of the same
+  date) replaces exactly its own store-day — the put_item semantics
+  of ``write-metrics/lambda_function.py:104``
 - completeness anti-join (J1) emitting a per-date upload ledger
   (``check-all-stores/lambda_function.py:60-92``); downstream daily
   analysis fires when ``stores_missing == 0`` — a *completeness*
@@ -68,6 +69,7 @@ def start_ingest_stream(
     expected_stores: DataFrame,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files: int = 16,
 ) -> StreamingQuery:
     """The full §3.1 pipeline as one stream. Each micro-batch:
     validate -> aggregate -> upsert store_daily -> completeness ledger.
@@ -92,11 +94,18 @@ def start_ingest_stream(
             ),
         )
         daily = store_day_metrics(txns)
+        # partitioned by (date, store): a micro-batch carrying only a
+        # subset of a date's stores must replace ONLY those store-days —
+        # partitioning by date alone would erase earlier stores' rows
+        # whenever a date's uploads span micro-batches (routine: 11+
+        # files/day vs maxFilesPerTrigger). This is the put_item
+        # idempotency of ``write-metrics/lambda_function.py:104``: the
+        # (store, date) item replaces itself and nothing else.
         (
             daily.withColumn("date_key", F.col("sale_date"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("date_key")
+            .partitionBy("date_key", "store_id")
             .parquet(store_daily_dir)
         )
         # completeness check over ALL store-days seen so far for the
@@ -130,7 +139,7 @@ def start_ingest_stream(
             .parquet(ledger_dir)
         )
 
-    stream = read_upload_stream(spark, upload_dir)
+    stream = read_upload_stream(spark, upload_dir, max_files)
     writer = (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)

@@ -76,6 +76,39 @@ def test_ingest_stream_end_to_end(spark, upload_dir, tmp_path):
     assert got == want
 
 
+def test_multi_batch_upsert_keeps_all_stores(spark, upload_dir, tmp_path):
+    """Regression: when one date's uploads span several micro-batches
+    (maxFilesPerTrigger=1 forces one file per batch), each batch must
+    upsert ONLY its own (date, store) partition — partitioning by date
+    alone let the last store of a date erase the earlier ones."""
+    store_daily = tmp_path / "store_daily_mb"
+    ledger = tmp_path / "ledger_mb"
+    ckpt = tmp_path / "ckpt_mb"
+    expected = tables.load(spark, SF_DIR, "supplier").select(
+        F.lpad(F.col("s_suppkey").cast("string"), 4, "0").alias("store_id")
+    )
+    q = ingest_stream.start_ingest_stream(
+        spark, str(upload_dir), str(store_daily), str(ledger), expected,
+        str(ckpt), max_files=1,
+    )
+    q.awaitTermination(300)
+
+    daily = spark.read.parquet(str(store_daily))
+    n_files = len(list(upload_dir.glob("*.json")))
+    # one upload file == one store-day row: every file must survive
+    assert daily.select("store_id", "sale_date").distinct().count() == n_files
+    # the completeness ledger sees every store that reported per date
+    led = {r["sale_date"]: r for r in spark.read.parquet(str(ledger)).collect()}
+    per_date = {
+        r["sale_date"]: r["n"]
+        for r in daily.groupBy("sale_date")
+        .agg(F.countDistinct("store_id").alias("n"))
+        .collect()
+    }
+    for date, n in per_date.items():
+        assert led[date]["stores_reported"] == n
+
+
 def test_streaming_windows_match_batch(spark, tmp_path):
     """Tumbling-window streaming result over a file source equals the
     batch operator (exclusive of the approx distinct column)."""
