@@ -46,8 +46,13 @@ _VERIFY_FIRST = [
     # new this round
     "sd_nested_store_daily", "mm1_binary_fingerprint_dedup",
     "mm2_modality_stats", "mm3_pairing_integrity",
-    # redesigned this round (bucketed LSH / pigeonhole bands)
+    "sim4_ivf_topk", "t4_token_count_bpe", "t5_rolling_fingerprint",
+    "j5_wide_pivot_timeseries",
+    # redesigned this round (bucketed LSH / pigeonhole bands; insights
+    # layer now shares persisted daily/anomaly inputs)
     "sim2_cosine_neardup", "d6_simhash_neardup",
+    "i1_anomaly_classify", "i2_trend_insights", "i3_recommendations",
+    "i4_combine_insights", "i5_insight_summary",
 ]
 
 

@@ -412,6 +412,136 @@ def lsh_bucket(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     return fixed_point(emb).withColumn("bucket", bucket_expr(0, n_planes))
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_queries: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """sim4: IVF (inverted-file) ANN — the other classic scale path
+    beside LSH: a coarse quantizer assigns every vector to its nearest
+    centroid (that's the inverted list); a query scores only vectors in
+    its ``nprobe`` nearest lists.
+
+    The coarse quantizer is deterministic for oracle parity: the first
+    ``n_centroids`` vectors ARE the centroids (a k-means training pass
+    would swap in learned ones with no structural change — centroids
+    are a model artifact collected to the driver either way, C x dim
+    ints). Assignment and scoring use the exact integer-cosine, so the
+    DuckDB oracle replays the whole index build.
+
+    Scale design: assignment is a map-side matmul against broadcast
+    centroid rows (no shuffle); lists are keyed by centroid_id, so the
+    probe is an equi-join on centroid_id — each query scores
+    ~nprobe/C of the corpus; AQE skew-join handles hot lists. Recall
+    < 1 by the nprobe trade."""
+    import numpy as np
+
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    cm = np.vstack(
+        [np.asarray(r["embedding"]) for r in cent_rows]
+    ).astype(np.float64) * SCALE
+    civ = np.where(
+        cm >= 0, np.floor(cm + 0.5), np.ceil(cm - 0.5)
+    ).astype(np.int64)
+    cn2 = (civ * civ).sum(axis=1)
+    scale, npr = SCALE, nprobe
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(
+                pdf["embedding"].map(np.asarray).values
+            ).astype(np.float64) * scale
+            iv = np.where(
+                m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)
+            ).astype(np.int64)
+            n2 = (iv * iv).sum(axis=1)
+            # exact formula shared with the oracle: dot/(sqrt*sqrt)
+            cos = (iv @ civ.T).astype(np.float64) / (
+                np.sqrt(n2.astype(np.float64))[:, None]
+                * np.sqrt(cn2.astype(np.float64))[None, :]
+            )
+            # order by (cos desc, cid asc): lexsort keys last-first
+            order = np.lexsort(
+                (np.broadcast_to(cids, cos.shape), -cos), axis=1
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "n2": n2,
+                    "embedding": pdf["embedding"].values,
+                    "c_assign": cids[order[:, 0]],
+                    "probes": [
+                        cids[order[i, :npr]].tolist()
+                        for i in range(len(pdf))
+                    ],
+                }
+            )
+
+    p = emb.sparkSession.sparkContext.defaultParallelism
+    at = emb.repartition(max(4, p // 4), "vec_id").mapInPandas(
+        assign,
+        "vec_id long, n2 long, embedding array<float>, c_assign long, "
+        "probes array<long>",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    lists = at.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("n2").alias("n2_c"),
+        F.col("embedding").alias("emb_c"),
+        F.col("c_assign").alias("cid"),
+    )
+    queries = (
+        at.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("n2").alias("n2_q"),
+            F.col("embedding").alias("emb_q"),
+            F.explode("probes").alias("cid"),
+        )
+    )
+    cand = queries.join(lists, "cid").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot_fixed_point(F.col("emb_q"), F.col("emb_c")).cast("double")
+            / (
+                F.sqrt(F.col("n2_q").cast("double"))
+                * F.sqrt(F.col("n2_c").cast("double"))
+            )
+        ).alias("cos_raw"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round(F.col("cos_raw") * 1000000.0).cast("long") / 1000000.0)
+            .cast("double")
+            .alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def lsh_topk(emb: DataFrame, k: int = 3, n_queries: int = 64) -> DataFrame:
     """ANN top-k within LSH buckets — the scale path: only same-bucket
     pairs are scored. Lower recall than brute force by construction."""

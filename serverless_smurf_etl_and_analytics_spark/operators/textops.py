@@ -122,6 +122,72 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single
+# non-alphanumeric symbol — the GPT-2-style pre-tokenization shape
+# (without learned merges), portable between Java regex and RE2
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """t4: token counting both ways (whitespace + a BPE-ish regex):
+    whitespace token count vs the BPE-ish pre-token count, plus
+    punctuation-symbol and digit-run counts and the subword expansion
+    ratio (2-decimal) — the budget/packing statistics a pretraining
+    pipeline computes per document. Pure codegen regex work."""
+    ws = tokens_col(F.col("text"))
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    d = docs.withColumn("ws", ws).withColumn("bp", bpe)
+    n_ws = F.size("ws").cast("long")
+    n_bpe = F.size("bp").cast("long")
+    n_punct = F.size(
+        F.filter(F.col("bp"), lambda t: t.rlike("^[^A-Za-z0-9]$"))
+    ).cast("long")
+    n_digit = F.size(
+        F.filter(F.col("bp"), lambda t: t.rlike("^[0-9]+$"))
+    ).cast("long")
+    ratio = F.when(
+        n_ws > 0,
+        (F.round(n_bpe * 100.0 / n_ws).cast("long") / 100.0).cast("double"),
+    )
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        n_punct.alias("n_punct"),
+        n_digit.alias("n_digit_runs"),
+        ratio.alias("bpe_per_word"),
+    )
+
+
+def rolling_fingerprint(docs: DataFrame, n: int = 4) -> DataFrame:
+    """t5: rolling-window document fingerprint: hash every sliding
+    n-token window (the relational form of a Rabin-Karp rolling hash —
+    exploded rows hash each window exactly once, one shuffle by doc)
+    and keep the minimum digest (winnowing-style selection) plus the
+    distinct-window count. Documents sharing any long text run agree on
+    many window hashes; the min digest is a cheap containment
+    signature. Docs with <n tokens get a null fingerprint and 0
+    windows."""
+    from .dedup import shingle_rows  # lazy: dedup imports this module
+
+    sh = shingle_rows(docs, n)
+    g = sh.groupBy("doc_id").agg(
+        F.min(F.md5("sh")).alias("rolling_fp"),
+        F.countDistinct("sh").alias("n_windows"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(g, "doc_id", "left")
+        .select(
+            "doc_id",
+            "rolling_fp",
+            F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias(
+                "n_windows"
+            ),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprinting: md5 over whitespace-normalized,
     lowercased text + a shard prefix (the rolling-hash fingerprint of

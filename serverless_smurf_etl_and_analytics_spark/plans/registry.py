@@ -643,6 +643,20 @@ LEFT JOIN daily f
 """,
 )
 
+# J5 wide form — one column per store (get-trends:285-304). The column
+# set depends on the store dimension, so there is no fixed-schema SQL
+# oracle: registered WITHOUT oracle -> the driver's rows-only check.
+register(
+    "j5_wide_pivot_timeseries",
+    lambda spark, sf: joins.pivot_timeseries(
+        tables.transactions(spark, sf),
+        joins.expected_stores(spark, sf),
+        W_START,
+        W_END,
+    ),
+    None,
+)
+
 # A14 — serving KPI re-aggregation with fixed payment columns
 register(
     "a14_kpi_for_range",

@@ -202,6 +202,58 @@ FROM n
 """,
 )
 
+register(
+    "t4_token_count_bpe",
+    lambda spark, sf: textops.token_count_bpe(
+        tables.load(spark, sf, "documents")
+    ),
+    rf"""
+WITH {SQL_TOKS},
+b AS (
+    SELECT
+        doc_id, toks,
+        regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS bp
+    FROM toks_t
+)
+SELECT
+    doc_id,
+    cast(len(toks) AS bigint) AS n_ws_tokens,
+    cast(len(bp) AS bigint)   AS n_bpe_tokens,
+    cast(len(list_filter(bp, x -> regexp_matches(x, '^[^A-Za-z0-9]$')))
+         AS bigint)           AS n_punct,
+    cast(len(list_filter(bp, x -> regexp_matches(x, '^[0-9]+$')))
+         AS bigint)           AS n_digit_runs,
+    CASE WHEN len(toks) > 0 THEN
+        cast(cast(round(len(bp) * 100.0 / len(toks)) AS bigint) / 100.0
+             AS double)
+    END AS bpe_per_word
+FROM b
+""",
+)
+
+register(
+    "t5_rolling_fingerprint",
+    lambda spark, sf: textops.rolling_fingerprint(
+        tables.load(spark, sf, "documents"), 4
+    ),
+    f"""
+WITH {SQL_TOKS},
+sh4 AS (
+    SELECT
+        doc_id,
+        list_distinct(list_transform(range(len(toks) - 3),
+            i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4])
+        )) AS sh
+    FROM toks_t
+)
+SELECT
+    doc_id,
+    list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS rolling_fp,
+    cast(len(sh) AS bigint) AS n_windows
+FROM sh4
+""",
+)
+
 # ---- dedup ---------------------------------------------------------------
 
 register(
@@ -519,6 +571,69 @@ FROM cpairs p
 JOIN fxn a ON a.vec_id = p.vec_a
 JOIN fxn b ON b.vec_id = p.vec_b
 WHERE {_COS} > 0.3
+""",
+)
+
+
+_DOT_FC = (
+    "cast(list_sum(list_transform(range(64), "
+    "i -> f.iv[i+1] * c.civ[i+1])) AS bigint)"
+)
+
+register(
+    "sim4_ivf_topk",
+    lambda spark, sf: similarity.ivf_topk(
+        tables.load(spark, sf, "embeddings"), 3, 64, 16, 2
+    ),
+    f"""
+WITH {SQL_FIXED},
+cent AS (
+    SELECT vec_id AS cid, iv AS civ, n2 AS cn2 FROM fxn WHERE vec_id < 16
+),
+assign AS (
+    SELECT
+        f.vec_id,
+        c.cid,
+        cast(row_number() OVER (
+            PARTITION BY f.vec_id
+            ORDER BY cast({_DOT_FC} AS double)
+                     / (sqrt(cast(f.n2 AS double))
+                        * sqrt(cast(c.cn2 AS double))) DESC,
+                     c.cid ASC) AS int) AS crank
+    FROM fxn f
+    CROSS JOIN cent c
+),
+lists AS (SELECT vec_id AS neighbor_id, cid FROM assign WHERE crank = 1),
+probes AS (
+    SELECT vec_id AS query_id, cid FROM assign
+    WHERE crank <= 2 AND vec_id < 64
+),
+cand AS (
+    SELECT p.query_id, l.neighbor_id
+    FROM probes p
+    JOIN lists l ON l.cid = p.cid AND l.neighbor_id != p.query_id
+),
+scored AS (
+    SELECT
+        cd.query_id,
+        cd.neighbor_id,
+        {_COS} AS cos_raw
+    FROM cand cd
+    JOIN fxn a ON a.vec_id = cd.query_id
+    JOIN fxn b ON b.vec_id = cd.neighbor_id
+),
+ranked AS (
+    SELECT *,
+        cast(row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cos_raw DESC, neighbor_id ASC) AS int) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id,
+       cast(cast(round(cos_raw * 1000000.0) AS bigint) / 1000000.0
+            AS double) AS cosine,
+       rank
+FROM ranked WHERE rank <= 3
 """,
 )
 
