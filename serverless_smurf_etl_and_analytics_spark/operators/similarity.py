@@ -32,7 +32,7 @@ from pyspark.storagelevel import StorageLevel
 SCALE = 10_000_000  # fixed-point scale for float32 -> long
 DIM = 64
 N_PLANES = 8
-N_BANDS = 4  # OR-amplification bands for near-dup candidate recall
+N_BANDS = 8  # OR-amplification bands for near-dup candidate recall
 HEX = "0123456789abcdef"
 
 
@@ -54,7 +54,7 @@ def plane_signs(n_planes: int, dim: int = DIM) -> list[list[int]]:
     ]
 
 
-# 32 planes cover the 4 OR-amplification bands of 8 planes each; band 0
+# 64 planes cover the 8 OR-amplification bands of 8 planes each; band 0
 # is byte-identical to the original single-table lsh_bucket key.
 PLANE_SIGNS = plane_signs(N_BANDS * N_PLANES)
 
@@ -348,8 +348,11 @@ def cosine_neardup_pairs(
     inline — one shuffle total. Skewed buckets are handled by AQE
     skew-join. Recall < 1 by construction (the documented ANN trade):
     a pair at cosine c collides per band with p^8, p = 1 - acos(c)/pi,
-    so true near-dups (c >= 0.9) are found with P ~ 1-(1-0.29)^4 ~ 0.75
-    per band set while far pairs are almost never scored."""
+    so with 8 bands true near-dups (c >= 0.9, p ~ 0.86) are found with
+    P ~ 1-(1-0.29)^8 ~ 0.93, while borderline pairs (c ~ threshold
+    0.3, p ~ 0.6) are mostly skipped (~14%) — precision stays exact
+    because every candidate is verified; only recall is traded, and
+    the trade concentrates on the least-similar qualifying pairs."""
     eb = band_table(emb, n_bands, band_planes)
     a = eb.alias("a")
     b = eb.alias("b")

@@ -536,13 +536,13 @@ SQL_MULTIBAND = (
 bk AS (
     SELECT vec_id, iv, n2,
         {', '.join(f'{_bucket_sql_literal(b * 8, 8)} AS bucket_{b}'
-                   for b in range(4))}
+                   for b in range(8))}
     FROM fxn
 ),
 eb2 AS (
     {' UNION ALL '.join(
         f"SELECT vec_id, {b} AS band_idx, bucket_{b} AS bucket FROM bk"
-        for b in range(4))}
+        for b in range(8))}
 ),
 cpairs AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
