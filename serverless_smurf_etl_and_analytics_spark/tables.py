@@ -41,7 +41,18 @@ TABLES = (
 )
 
 
+_TUNED: set[int] = set()
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # every query path enters here — make sure a session we did not
+    # build (the driver hands us its own) carries the runtime-settable
+    # confs correctness depends on (UTC, no partition type inference)
+    if id(spark) not in _TUNED:
+        from .session import tune_existing
+
+        tune_existing(spark)
+        _TUNED.add(id(spark))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
