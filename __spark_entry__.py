@@ -47,7 +47,7 @@ _VERIFY_FIRST = [
     "sd_nested_store_daily", "mm1_binary_fingerprint_dedup",
     "mm2_modality_stats", "mm3_pairing_integrity",
     "sim4_ivf_topk", "t4_token_count_bpe", "t5_rolling_fingerprint",
-    "j5_wide_pivot_timeseries",
+    "j5_wide_pivot_timeseries", "a4_payment_map_rollup",
     # redesigned this round (bucketed LSH / pigeonhole bands; insights
     # layer now shares persisted daily/anomaly inputs)
     "sim2_cosine_neardup", "d6_simhash_neardup",

@@ -188,6 +188,50 @@ def store_daily_nested_flat(txns: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def company_payment_map(txns: DataFrame) -> DataFrame:
+    """A4's payment-map re-aggregation
+    (``calc-company-metrics/lambda_function.py:88-95``): each store-day
+    carries a payment_breakdown MAP; the company rollup explodes the
+    map entries, sums per (date, method), and rebuilds the map. The
+    registered form serializes the final map to a sorted entry string
+    (deterministic hash), exactly like sd_nested.
+
+    Scale: explode emits <=5 rows per store-day (bounded enum), the
+    re-agg shuffles one row per (date, method) — both tiny at any
+    corpus size."""
+    pay = payment_breakdown_per_store_day(txns)
+    nested = pay.groupBy("store_id", "sale_date").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(F.struct("payment_method", "net_amount"))
+            )
+        ).alias("payment_breakdown")
+    )
+    exploded = nested.select(
+        "sale_date",
+        F.explode("payment_breakdown").alias("method", "net"),
+    )
+    per_method = exploded.groupBy("sale_date", "method").agg(
+        F.sum(F.round(F.col("net") * 100).cast("long")).alias("net_c")
+    )
+    return per_method.groupBy("sale_date").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.format_string(
+                        "%s=%.2f",
+                        F.col("method"),
+                        (F.col("net_c") / 100.0).cast("double"),
+                    )
+                )
+            ),
+            ",",
+        ).alias("payment_breakdown_str"),
+        F.countDistinct("method").alias("methods"),
+        dollars(F.sum("net_c")).alias("total_net"),
+    )
+
+
 def product_day_rollup(txns: DataFrame) -> DataFrame:
     """Per-(store, day, sku) units/revenue — input to top-K (A3) and the
     exact product rollup (A6 exact mode)."""

@@ -213,6 +213,44 @@ LEFT JOIN pay_s p ON p.store_id = d.store_id AND p.sale_date = d.sale_date
 """,
 )
 
+# A4 payment-map re-agg — explode(map) -> groupBy -> rebuilt map
+# (calc-company-metrics/lambda_function.py:88-95), serialized sorted
+register(
+    "a4_payment_map_rollup",
+    lambda spark, sf: metrics.company_payment_map(
+        tables.transactions(spark, sf)
+    ),
+    f"""
+WITH {TXN},
+pm AS (
+    SELECT
+        sale_date, payment_method,
+        cast(sum(cast(round(
+            cast((sum2.sales_c - sum2.disc_c) / 100.0 AS double) * 100)
+            AS bigint)) AS bigint) AS net_c
+    FROM (
+        SELECT store_id, sale_date, payment_method,
+               sum(line_cents) AS sales_c, sum(discount_cents) AS disc_c
+        FROM transactions
+        GROUP BY store_id, sale_date, payment_method
+    ) sum2
+    GROUP BY sale_date, payment_method
+)
+SELECT
+    sale_date,
+    string_agg(
+        printf('%s=%.2f', payment_method, cast(net_c / 100.0 AS double)),
+        ','
+        ORDER BY printf('%s=%.2f', payment_method,
+                        cast(net_c / 100.0 AS double))
+    ) AS payment_breakdown_str,
+    cast(count(DISTINCT payment_method) AS bigint) AS methods,
+    cast(sum(net_c) / 100.0 AS double) AS total_net
+FROM pm
+GROUP BY sale_date
+""",
+)
+
 # A4+A5 — company daily rollup with best/worst store
 # (calc-company-metrics/lambda_function.py:76-113)
 register(
