@@ -55,46 +55,8 @@ def plane_signs(n_planes: int, dim: int = DIM) -> list[list[int]]:
 
 
 # 64 planes cover the 8 OR-amplification bands of 8 planes each; band 0
-# is byte-identical to the original single-table lsh_bucket key.
+# is byte-identical to the single-band sim3 bucket key.
 PLANE_SIGNS = plane_signs(N_BANDS * N_PLANES)
-
-
-def band_buckets_expr(n_bands: int, band_planes: int):
-    """array<string> of per-band bucket keys computed from ONE 2D
-    literal plane matrix via transform — a single small expression tree
-    (n_bands*band_planes separate dot-product copies made codegen
-    compilation itself the bottleneck at interactive scale)."""
-    planes = F.array(
-        *[
-            F.array(*[F.lit(s) for s in PLANE_SIGNS[p]])
-            for p in range(n_bands * band_planes)
-        ]
-    )
-    bits = F.transform(
-        planes,
-        lambda pl: F.when(
-            F.aggregate(
-                F.zip_with(F.col("iv"), pl, lambda x, s: x * s.cast("long")),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0")),
-    )
-    return F.array(
-        *[
-            F.array_join(F.slice(bits, b * band_planes + 1, band_planes), "")
-            for b in range(n_bands)
-        ]
-    )
-
-
-def bucket_expr(start_plane: int, n_planes: int):
-    """Single sign-random-projection bucket key over planes
-    [start_plane, start_plane + n_planes)."""
-    assert start_plane == 0, "single-bucket form uses the leading planes"
-    return F.element_at(band_buckets_expr(1, n_planes), 1)
 
 
 def _dot_fixed_point(ea, eb):
@@ -254,28 +216,71 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k: the first ``n_queries`` vec_ids as the
     query set, ranked against every other vector. Cosine reported at
-    6 decimals (integer-scale rounding); rank ties broken by vec_id."""
-    fx = fixed_point(emb)
-    q = fx.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("iv").alias("iv_q"),
-        F.col("n2").alias("n2_q"),
+    6 decimals (integer-scale rounding); rank ties broken by vec_id.
+
+    Scale shape: the query matrix is collected once (a bounded model-
+    artifact-sized broadcast, like IVF centroids) and every candidate
+    partition scores all queries in ONE Arrow-batched numpy matmul —
+    the candidate side is a linear scan that never shuffles; only the
+    Q x N score rows feed the per-query top-k."""
+    import numpy as np
+
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
-    c = fx.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        F.col("iv").alias("iv_c"),
-        F.col("n2").alias("n2_c"),
-    )
-    pairs = F.broadcast(q).crossJoin(c).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    cos = _cosine(
-        F.col("iv_q"), F.col("iv_c"), F.col("n2_q"), F.col("n2_c")
-    )
-    scored = pairs.select(
-        "query_id", "neighbor_id", "neighbor_label", cos.alias("cos_raw")
-    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qm = np.vstack(
+        [np.asarray(r["embedding"]) for r in qrows]
+    ).astype(np.float64) * SCALE
+    qiv = np.where(
+        qm >= 0, np.floor(qm + 0.5), np.ceil(qm - 0.5)
+    ).astype(np.int64)
+    qn2 = (qiv * qiv).sum(axis=1)
+    scale = SCALE
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(
+                pdf["embedding"].map(np.asarray).values
+            ).astype(np.float64) * scale
+            iv = np.where(
+                m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)
+            ).astype(np.int64)
+            n2 = (iv * iv).sum(axis=1)
+            # exact formula shared with the oracle: dot/(sqrt*sqrt)
+            cos = (iv @ qiv.T).astype(np.float64) / (
+                np.sqrt(n2.astype(np.float64))[:, None]
+                * np.sqrt(qn2.astype(np.float64))[None, :]
+            )
+            nq = len(qids)
+            nb = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, nb),
+                    "neighbor_id": np.repeat(
+                        pdf["vec_id"].values, nq
+                    ),
+                    "neighbor_label": np.repeat(
+                        pdf["label"].values, nq
+                    ),
+                    "cos_raw": cos.ravel(),
+                }
+            )
+
+    p = emb.sparkSession.sparkContext.defaultParallelism
+    scored = emb.repartition(max(4, p // 4), "vec_id").mapInPandas(
+        score,
+        "query_id long, neighbor_id long, neighbor_label int, "
+        "cos_raw double",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_raw"), F.asc("neighbor_id")
     )
@@ -407,12 +412,6 @@ def cosine_neardup_pairs(
     )
 
 
-def lsh_bucket(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """Sign-random-projection bucket key: bit p = sign of <v, plane_p>
-    with md5-derived ±1 planes (precomputed literals — the sim3 oracle
-    recomputes the same md5 scheme inline in SQL, so bucket values stay
-    engine-checked); 8 planes -> 256 buckets."""
-    return fixed_point(emb).withColumn("bucket", bucket_expr(0, n_planes))
 
 
 def ivf_topk(
@@ -546,18 +545,31 @@ def ivf_topk(
 
 
 def lsh_topk(emb: DataFrame, k: int = 3, n_queries: int = 64) -> DataFrame:
-    """ANN top-k within LSH buckets — the scale path: only same-bucket
-    pairs are scored. Lower recall than brute force by construction."""
-    bk = lsh_bucket(emb)
+    """ANN top-k within LSH buckets — only same-bucket pairs are
+    scored (single band of 8 planes -> 256 buckets; the bucket values
+    are byte-identical to band 0 of the near-dup band table, and the
+    sim3 oracle recomputes the md5 plane scheme inline in SQL, keeping
+    the literal planes engine-checked). Lower recall than brute force
+    by construction."""
+    bk = band_table(emb, 1, N_PLANES)
     q = bk.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("iv").alias("iv_q"),
-        F.col("n2").alias("n2_q"), F.col("bucket"),
+        F.col("vec_id").alias("query_id"),
+        F.col("n2").alias("n2_q"),
+        F.col("embedding").alias("emb_q"),
+        F.col("bucket"),
     )
     c = bk.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("iv").alias("iv_c"),
-        F.col("n2").alias("n2_c"), F.col("bucket"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("n2").alias("n2_c"),
+        F.col("embedding").alias("emb_c"),
+        F.col("bucket"),
     )
-    cos = _cosine(F.col("iv_q"), F.col("iv_c"), F.col("n2_q"), F.col("n2_c"))
+    cos = _dot_fixed_point(F.col("emb_q"), F.col("emb_c")).cast(
+        "double"
+    ) / (
+        F.sqrt(F.col("n2_q").cast("double"))
+        * F.sqrt(F.col("n2_c").cast("double"))
+    )
     scored = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -55,6 +55,24 @@ def sliding_2h_hourly_stream(
     )
 
 
+def dedup_events_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream dedup-by-key (§2.9 extension — the reference has none):
+    drop replayed/duplicate events by event_id within the watermark
+    horizon via ``dropDuplicatesWithinWatermark``. This is the
+    at-least-once -> effectively-once repair stage an event-bus
+    redelivery (the reference's EventBridge retries) needs.
+
+    Scale notes: state is one entry per event_id seen within the
+    watermark window — bounded by arrival rate x horizon, evicted by
+    watermark advance (a plain dropDuplicates would grow state
+    forever)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def session_window_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -153,6 +153,31 @@ def test_streaming_windows_match_batch(spark, tmp_path):
         assert want_map[k] == v
 
 
+def test_stream_dedup_by_key(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a replayed (duplicated) event
+    stream dedups back to the distinct event_id count."""
+    ev_batch = tables.load_events(spark, SF_DIR).limit(500)
+    src = tmp_path / "events_dup"
+    ev_batch.write.parquet(str(src))
+    ev_batch.write.mode("append").parquet(str(src))  # replay everything
+
+    stream = spark.readStream.schema(ev_batch.schema).parquet(str(src))
+    out = windows.dedup_events_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_d"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select event_id from dedup_out")
+    want = ev_batch.select("event_id").distinct().count()
+    assert got.count() == want
+    assert got.distinct().count() == want
+
+
 def test_session_window_stream_runs(spark, tmp_path):
     ev_batch = tables.load_events(spark, SF_DIR)
     src = tmp_path / "events_parquet2"
