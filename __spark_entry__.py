@@ -11,7 +11,6 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from serverless_smurf_etl_and_analytics_spark import tables
 from serverless_smurf_etl_and_analytics_spark.operators import metrics

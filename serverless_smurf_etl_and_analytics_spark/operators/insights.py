@@ -227,8 +227,6 @@ def llm_classify(txns: DataFrame, classify_fn=None) -> DataFrame:
     fn = classify_fn or default_fake
 
     def classify(batches):
-        import pandas as pd
-
         for pdf in batches:
             if len(pdf) == 0:
                 continue

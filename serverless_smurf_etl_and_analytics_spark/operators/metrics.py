@@ -21,10 +21,10 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.money import cents, dollars, round_to
+from ..functions.money import cents, dollars
 
 
 def store_day_metrics(txns: DataFrame) -> DataFrame:

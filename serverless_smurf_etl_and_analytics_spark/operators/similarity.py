@@ -9,16 +9,25 @@ bit-identical between Spark and the DuckDB oracle regardless of
 reduction order. Cosine then divides identical integers in double.
 
 Scale design:
-- brute force is the correctness baseline: Q x N pairs via a broadcast
-  of the (small) query set against the (huge) candidate set — no
-  shuffle of the candidate side, linear scan, whole-stage codegen
-  array ops (zip_with/aggregate), no Python.
-- the LSH variant buckets vectors by the sign pattern of 8
-  deterministic md5-derived hyperplanes: candidates meet only inside
-  their bucket (self-equi-join on an 8-bit key), cutting the pair
-  count ~256x at the cost of recall — the classic ANN trade.
-- at 100 TB: bucket keys are computed in the scan projection; the join
-  shuffles by bucket key; skewed buckets are handled by AQE skew-join.
+- brute force (sim1) is the correctness baseline: the bounded query
+  matrix broadcasts (collected once, like a model artifact) and every
+  candidate partition scores all queries in one Arrow-batched numpy
+  matmul — the candidate side is a shuffle-free linear scan.
+- sign-random-projection LSH buckets vectors by md5-derived
+  hyperplanes: top-k (sim3) joins inside one 8-plane bucket; near-dup
+  (sim2) OR-amplifies across 8 independent bands with inline
+  first-matching-band dedup — candidates ~ bands * N^2 / 256, never
+  all pairs.
+- IVF (sim4) is the inverted-list alternative: nearest-centroid
+  assignment via broadcast matmul, probes join on centroid id.
+- heavy array math runs as Arrow-batched numpy (mapInPandas /
+  pandas_udf) because higher-order array functions are CodegenFallback
+  (interpreted, ~1 ms/row at dim 64 — measured); all of it is exact
+  int64, so results stay hash-identical to the DuckDB oracles.
+- at 100 TB: band/list keys are computed in the scan-side Python
+  stage; joins shuffle by bucket/centroid key; skewed buckets are
+  handled by AQE skew-join; persisted band tables are explicitly
+  repartitioned so match-heavy probes keep full parallelism.
 """
 
 from __future__ import annotations
