@@ -47,9 +47,14 @@ _VERIFY_FIRST = [
     "mm2_modality_stats", "mm3_pairing_integrity",
     "sim4_ivf_topk", "t4_token_count_bpe", "t5_rolling_fingerprint",
     "j5_wide_pivot_timeseries", "a4_payment_map_rollup",
-    # redesigned this round (bucketed LSH / pigeonhole bands; insights
+    "j6_top_customers", "j7_store_region_rollup",
+    # redesigned this round (bucketed LSH / pigeonhole bands /
+    # vectorized scoring / null-propagating band oracles; insights
     # layer now shares persisted daily/anomaly inputs)
     "sim2_cosine_neardup", "d6_simhash_neardup",
+    "sim1_cosine_topk", "sim3_lsh_topk",
+    "d2_minhash_signatures", "d3_lsh_candidate_pairs",
+    "d4_minhash_neardup",
     "i1_anomaly_classify", "i2_trend_insights", "i3_recommendations",
     "i4_combine_insights", "i5_insight_summary",
 ]

@@ -115,3 +115,93 @@ def pivot_timeseries(
         .agg(F.first("sales"))
         .na.fill(0.0)
     )
+
+
+def top_customers(
+    txns: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 20
+) -> DataFrame:
+    """J-series extension: customer-level revenue rollup. The
+    reference's transactions carry a required ``customer_id``
+    (``upload-schema.json:63-66``) it never aggregates by; here the
+    customer dimension resolves through the order (transaction_id ->
+    order -> customer) and rolls up net revenue, top-K.
+
+    Scale notes: two broadcast hash joins (orders/customer are
+    dimension-sized next to line items; at a scale where orders stops
+    broadcasting, both sides co-shuffle on the key) followed by one
+    bounded-group aggregation and TakeOrderedAndProject for the top-K.
+    """
+    ok = orders.select(
+        F.col("o_orderkey").alias("transaction_id"),
+        F.col("o_custkey").alias("cust_id"),
+    )
+    cust = customer.select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    j = txns.join(F.broadcast(ok), "transaction_id").join(
+        F.broadcast(cust), "cust_id"
+    )
+    g = j.groupBy("cust_id", "customer_name", "segment").agg(
+        (F.sum("line_cents") - F.sum("discount_cents")).alias("rev_c"),
+        F.count(F.lit(1)).alias("line_count"),
+        F.countDistinct("transaction_id").alias("order_count"),
+    )
+    return (
+        g.orderBy(F.desc("rev_c"), F.asc("cust_id"))
+        .limit(k)
+        .select(
+            "cust_id",
+            "customer_name",
+            "segment",
+            (F.col("rev_c") / 100.0).cast("double").alias("revenue"),
+            "line_count",
+            "order_count",
+        )
+    )
+
+
+def store_region_rollup(
+    txns: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """J-series extension: store-geography rollup through the snowflake
+    dimension chain store -> supplier -> nation -> region (the
+    reference has a flat 11-store chain; a real deployment rolls stores
+    up by geography). Three broadcast joins off the store_daily grain —
+    the fact table is aggregated FIRST, so the join input is one row
+    per store-day, not per line item."""
+    daily = store_daily_cents(txns)
+    sup = supplier.select(
+        F.lpad(F.col("s_suppkey").cast("string"), 4, "0").alias("store_id"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    nat = nation.select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation_name"),
+        F.col("n_regionkey").alias("regionkey"),
+    )
+    reg = region.select(
+        F.col("r_regionkey").alias("regionkey"),
+        F.col("r_name").alias("region_name"),
+    )
+    j = (
+        daily.join(F.broadcast(sup), "store_id")
+        .join(F.broadcast(nat), "nationkey")
+        .join(F.broadcast(reg), "regionkey")
+    )
+    g = j.groupBy("region_name", "nation_name").agg(
+        F.sum("sales_c").alias("sales_c"),
+        F.countDistinct("store_id").alias("store_count"),
+        F.countDistinct("sale_date").alias("days"),
+    )
+    return g.select(
+        "region_name",
+        "nation_name",
+        (F.col("sales_c") / 100.0).cast("double").alias("total_sales"),
+        "store_count",
+        "days",
+    )

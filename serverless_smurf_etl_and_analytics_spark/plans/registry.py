@@ -695,6 +695,66 @@ register(
     None,
 )
 
+# J-extension — customer revenue rollup via order -> customer chain
+register(
+    "j6_top_customers",
+    lambda spark, sf: joins.top_customers(
+        tables.transactions(spark, sf),
+        tables.load(spark, sf, "orders"),
+        tables.load(spark, sf, "customer"),
+        20,
+    ),
+    f"""
+WITH {TXN},
+g AS (
+    SELECT
+        o.o_custkey AS cust_id,
+        c.c_name    AS customer_name,
+        c.c_mktsegment AS segment,
+        sum(t.line_cents) - sum(t.discount_cents) AS rev_c,
+        count(*) AS line_count,
+        cast(count(DISTINCT t.transaction_id) AS bigint) AS order_count
+    FROM transactions t
+    JOIN orders o ON o.o_orderkey = t.transaction_id
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY o.o_custkey, c.c_name, c.c_mktsegment
+)
+SELECT
+    cust_id, customer_name, segment,
+    cast(rev_c / 100.0 AS double) AS revenue,
+    line_count, order_count
+FROM g
+ORDER BY rev_c DESC, cust_id ASC
+LIMIT 20
+""",
+)
+
+# J-extension — store geography rollup via supplier -> nation -> region
+register(
+    "j7_store_region_rollup",
+    lambda spark, sf: joins.store_region_rollup(
+        tables.transactions(spark, sf),
+        tables.load(spark, sf, "supplier"),
+        tables.load(spark, sf, "nation"),
+        tables.load(spark, sf, "region"),
+    ),
+    f"""
+WITH {TXN}, {SQL_DAILY_CENTS}
+SELECT
+    r.r_name AS region_name,
+    n.n_name AS nation_name,
+    cast(sum(d.sales_c) / 100.0 AS double) AS total_sales,
+    cast(count(DISTINCT d.store_id) AS bigint) AS store_count,
+    cast(count(DISTINCT d.sale_date) AS bigint) AS days
+FROM daily d
+JOIN supplier s
+  ON lpad(cast(s.s_suppkey AS varchar), 4, '0') = d.store_id
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+
 # A14 — serving KPI re-aggregation with fixed payment columns
 register(
     "a14_kpi_for_range",
