@@ -131,6 +131,106 @@ def pairing_integrity(docs: DataFrame, emb: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, out_width int, out_height int, "
+    "resized_fp string"
+)
+
+FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, offset_ms long, frame_fp string"
+)
+
+
+def resize_images(
+    decoded: DataFrame, max_side: int = 256, use_real_decoder: bool = False
+) -> DataFrame:
+    """Resize plumbing over decoded image metadata: aspect-preserving
+    fit into a ``max_side`` box. The geometry is real; the pixel
+    resample is the DETERMINISTIC FAKE (output fingerprint = md5 of
+    the identity + target geometry) with the real resampler slot
+    stubbed — same pattern as decode_assets."""
+    if use_real_decoder:
+        raise NotImplementedError(
+            "real image resampling requires codec libraries (PIL) not "
+            "available in this environment"
+        )
+    imgs = decoded.filter(F.col("modality") == "image")
+    ms = max_side
+
+    def fake_resize(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "out_width": [], "out_height": [], "resized_fp": [],
+            }
+            for doc_id, w, h in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"]
+            ):
+                scale = min(1.0, ms / max(w, h))
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                fp = hashlib.md5(
+                    f"{doc_id}|{w}x{h}->{ow}x{oh}".encode()
+                ).hexdigest()
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["resized_fp"].append(fp)
+            yield pd.DataFrame(out)
+
+    return imgs.mapInPandas(fake_resize, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    decoded: DataFrame, n_frames: int = 4, use_real_decoder: bool = False
+) -> DataFrame:
+    """Frame-sampling plumbing over decoded video metadata: emit
+    ``n_frames`` evenly spaced frame records per video (one input row
+    fans out to many output rows — the mapInPandas shape a real frame
+    extractor uses). Frame fingerprints come from the DETERMINISTIC
+    FAKE (md5 of asset id + offset); the real extractor slot (ffmpeg)
+    is stubbed."""
+    if use_real_decoder:
+        raise NotImplementedError(
+            "real frame extraction requires ffmpeg, not available in "
+            "this environment"
+        )
+    vids = decoded.filter(F.col("modality") == "video")
+    nf = n_frames
+
+    def fake_frames(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "doc_id": [], "frame_idx": [], "offset_ms": [],
+                "frame_fp": [],
+            }
+            for doc_id, dur in zip(pdf["doc_id"], pdf["duration_ms"]):
+                for i in range(nf):
+                    off = int(dur * i / nf)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["offset_ms"].append(off)
+                    out["frame_fp"].append(
+                        hashlib.md5(f"{doc_id}|{off}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return vids.mapInPandas(fake_frames, FRAME_SCHEMA)
+
+
 def decode_assets(
     docs: DataFrame, use_real_decoder: bool = False
 ) -> DataFrame:

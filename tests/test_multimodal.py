@@ -49,3 +49,42 @@ def test_decode_assets_metadata_shape(spark, docs):
 def test_real_decoder_is_stubbed(spark, docs):
     with pytest.raises(NotImplementedError):
         multimodal.decode_assets(docs, use_real_decoder=True)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(
+            multimodal.decode_assets(docs), use_real_decoder=True
+        )
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(
+            multimodal.decode_assets(docs), use_real_decoder=True
+        )
+
+
+def test_resize_preserves_aspect_and_bounds(spark, docs):
+    decoded = multimodal.decode_assets(docs)
+    rows = multimodal.resize_images(decoded, max_side=256).collect()
+    assert rows
+    for r in rows:
+        assert max(r["out_width"], r["out_height"]) <= 256
+        # aspect preserved within integer-truncation granularity
+        in_ratio = r["width"] / r["height"]
+        out_ratio = r["out_width"] / r["out_height"]
+        tol = 1.0 / min(r["out_width"], r["out_height"]) + 1e-9
+        assert abs(in_ratio - out_ratio) / in_ratio <= tol
+        # never upscale
+        assert r["out_width"] <= r["width"]
+        assert r["out_height"] <= r["height"]
+
+
+def test_frame_sampling_fans_out(spark, docs):
+    decoded = multimodal.decode_assets(docs)
+    n_videos = decoded.filter(decoded.modality == "video").count()
+    frames = multimodal.sample_frames(decoded, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == n_videos * 4
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        offs = [r["offset_ms"] for r in sorted(doc_rows, key=lambda r: r["frame_idx"])]
+        assert offs[0] == 0
+        assert offs == sorted(offs)  # evenly spaced, monotone
