@@ -207,7 +207,14 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def minhash_neardup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: band -> candidates -> exact
-    Jaccard -> threshold."""
+    Jaccard -> threshold.
+
+    The tokenize->shingle subtree is persisted up front: the signature
+    build and the exact-Jaccard verify both consume shingle_rows(docs),
+    and Spark's cache manager substitutes the persisted plan into every
+    logically-equal subtree — so the corpus is tokenized once, not once
+    per stage."""
+    shingle_rows(docs).persist(StorageLevel.MEMORY_AND_DISK)
     verified = jaccard_verify(docs, lsh_candidate_pairs(docs))
     return verified.filter(F.col("jaccard") >= threshold)
 
