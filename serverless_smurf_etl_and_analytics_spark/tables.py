@@ -41,18 +41,17 @@ TABLES = (
 )
 
 
-_TUNED: set[int] = set()
-
-
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # every query path enters here — make sure a session we did not
     # build (the driver hands us its own) carries the runtime-settable
-    # confs correctness depends on (UTC, no partition type inference)
-    if id(spark) not in _TUNED:
+    # confs correctness depends on (UTC, no partition type inference).
+    # The memo rides on the session object itself: an id()-keyed set
+    # could skip a NEW session that reuses a freed id.
+    if not getattr(spark, "_smurf_tuned", False):
         from .session import tune_existing
 
         tune_existing(spark)
-        _TUNED.add(id(spark))
+        spark._smurf_tuned = True
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
