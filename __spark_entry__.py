@@ -42,7 +42,9 @@ _VERIFY_FIRST = [
     "x3_export_anomalies", "x4_export_trends",
     "x5_export_recommendations", "x6_export_manifest",
     "r1_daily_report_lines",
-    # new this round
+    # new this round (r3)
+    "j5_wide_serialized",
+    # new in r2
     "sd_nested_store_daily", "mm1_binary_fingerprint_dedup",
     "mm2_modality_stats", "mm3_pairing_integrity",
     "sim4_ivf_topk", "t4_token_count_bpe", "t5_rolling_fingerprint",

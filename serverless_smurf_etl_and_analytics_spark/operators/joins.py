@@ -117,6 +117,35 @@ def pivot_timeseries(
     )
 
 
+def pivot_timeseries_serialized(
+    txns: DataFrame, expected: DataFrame, start: str, end: str
+) -> DataFrame:
+    """J5 wide form, oracle-hashable twin: one row per date, the
+    per-store columns serialized to ONE sorted ``store=value`` string
+    (``get-trends/lambda_function.py:285-304``). Same information as
+    :func:`pivot_timeseries`, but the schema is fixed regardless of the
+    store dimension, so a DuckDB oracle can hash-check the VALUES that
+    the dynamic pivot would spread across columns.
+
+    Scale notes: one bounded-group aggregation over the dense grid
+    (|dates| x |stores| rows — dimension-sized, independent of fact
+    volume); the sort is per-group over <=|stores| entries.
+    """
+    long = dense_date_store_grid(txns, expected, start, end)
+    return long.groupBy("sale_date").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.format_string(
+                        "%s=%.2f", F.col("store_id"), F.col("sales")
+                    )
+                )
+            ),
+            ",",
+        ).alias("series")
+    )
+
+
 def top_customers(
     txns: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 20
 ) -> DataFrame:

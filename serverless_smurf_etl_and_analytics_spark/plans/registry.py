@@ -695,6 +695,48 @@ register(
     None,
 )
 
+# J5 wide form, serialized twin — the same grid with the per-store
+# columns folded into one sorted 'store=value' string, so the schema is
+# fixed and the VALUES of the dynamic pivot get a full rows+schema+hash
+# CORRECTNESS row (the true wide form above stays Spark-only).
+register(
+    "j5_wide_serialized",
+    lambda spark, sf: joins.pivot_timeseries_serialized(
+        tables.transactions(spark, sf),
+        joins.expected_stores(spark, sf),
+        W_START,
+        W_END,
+    ),
+    f"""
+WITH {TXN}, {SQL_DAILY_CENTS},
+dates AS (
+    SELECT strftime(cast(generate_series AS date), '%Y-%m-%d') AS sale_date
+    FROM generate_series(DATE '{W_START}', DATE '{W_END}', INTERVAL 1 day)
+),
+stores AS (
+    SELECT lpad(cast(s_suppkey AS varchar), 4, '0') AS store_id FROM supplier
+),
+grid AS (
+    SELECT
+        d.sale_date,
+        s.store_id,
+        cast(coalesce(f.sales_c, 0) / 100.0 AS double) AS sales
+    FROM dates d
+    CROSS JOIN stores s
+    LEFT JOIN daily f
+      ON f.sale_date = d.sale_date AND f.store_id = s.store_id
+)
+SELECT
+    sale_date,
+    string_agg(
+        printf('%s=%.2f', store_id, sales), ','
+        ORDER BY printf('%s=%.2f', store_id, sales)
+    ) AS series
+FROM grid
+GROUP BY sale_date
+""",
+)
+
 # J-extension — customer revenue rollup via order -> customer chain
 register(
     "j6_top_customers",
