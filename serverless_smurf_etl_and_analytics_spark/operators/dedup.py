@@ -213,7 +213,9 @@ def minhash_neardup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     build and the exact-Jaccard verify both consume shingle_rows(docs),
     and Spark's cache manager substitutes the persisted plan into every
     logically-equal subtree — so the corpus is tokenized once, not once
-    per stage."""
+    per stage. The cache is session-lived and caller-owned: long-lived
+    sessions free it via ``session.clear_operator_caches`` (or
+    ``unpersist()`` on a tracked handle) after consuming."""
     shingle_rows(docs).persist(StorageLevel.MEMORY_AND_DISK)
     verified = jaccard_verify(docs, lsh_candidate_pairs(docs))
     return verified.filter(F.col("jaccard") >= threshold)
@@ -304,15 +306,18 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         return F.shiftright(col, shifts[j]).bitwiseAND(F.lit(masks[j]))
 
     # persisted: the signature pipeline (tokenize/explode/vote-agg) runs
-    # once and both sides of the band self-join read materialized rows.
+    # once and both sides of the band self-join read materialized rows;
+    # cache lifetime is caller-owned (session.clear_operator_caches).
     # The explicit ROUND-ROBIN repartition pins the probe side at full
     # parallelism with even load: AQE coalesces by shuffle BYTES and
     # would run this tiny but match-explosive input (30M+ candidate
     # probes at sf0.1) on one task, while key-partitioning would pile
-    # hot band values onto a few tasks. The build side is broadcast, so
-    # probe rows need no co-location. (At a scale where the band table
-    # exceeds broadcast range, switch to a key-partitioned shuffle join
-    # and let AQE skew-splitting handle hot bands.)
+    # hot band values onto a few tasks. The build side is pinned with an
+    # explicit F.broadcast hint so probe rows need no co-location and
+    # the plan cannot silently flip to a shuffle join past the session's
+    # autoBroadcastJoinThreshold. (At a scale where the band table
+    # exceeds broadcast range, drop the hint for a key-partitioned
+    # shuffle join and let AQE skew-splitting handle hot bands.)
     p = docs.sparkSession.sparkContext.defaultParallelism
     eb = (
         s.select(
@@ -326,7 +331,7 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = eb.alias("a")
-    b = eb.alias("b")
+    b = F.broadcast(eb.alias("b"))
     # exactly-once without a distinct shuffle: keep a pair only at its
     # first matching band (all earlier bands must differ), and verify
     # the full Hamming bound inline — candidate generation, dedup, and

@@ -48,6 +48,21 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def clear_operator_caches(spark: SparkSession) -> None:
+    """Free every DataFrame persisted by the operator layer.
+
+    Cache lifetime is CALLER-owned: several operators persist shared
+    subtrees (dedup shingles/band tables, similarity band/assignment
+    tables, the insights daily/anomaly inputs) so that logically-equal
+    plans within — and across — queries reuse one materialization via
+    Spark's cache manager. A short-lived job gets that reuse for free
+    and the blocks die with the session; a long-lived serving session
+    should call this (or ``df.unpersist()`` on handles it tracked, as
+    ``pipeline.run_daily_pipeline`` does) once a batch of queries is
+    done, or cached blocks accumulate for the session lifetime."""
+    spark.catalog.clearCache()
+
+
 def tune_existing(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable tuning to a session we did not build
     (the driver hands us its own session in ``entry``/``queries``)."""

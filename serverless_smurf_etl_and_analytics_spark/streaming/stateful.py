@@ -39,7 +39,16 @@ def running_deviation(store_days: DataFrame, min_days: int = 3) -> DataFrame:
     # self-contained closure: no module-global references, so workers
     # never need this repo on their PYTHONPATH
     def fn(key, pdfs, state):
+        import math
+
         import pandas as pd
+
+        # half-away-from-zero at 1 decimal: Python round() is
+        # half-to-even and would diverge from the batch A10 path and
+        # the DuckDB oracle (both F.round/ROUND semantics) at exact
+        # .05 boundaries
+        def round1(x):
+            return math.copysign(math.floor(abs(x) * 10.0 + 0.5), x) / 10.0
 
         (store_id,) = key
         days, sum_c = state.get if state.exists else (0, 0)
@@ -52,7 +61,7 @@ def running_deviation(store_days: DataFrame, min_days: int = 3) -> DataFrame:
                 sc = int(r["sales_c"])
                 if days >= md and sum_c > 0:
                     avg = sum_c / days
-                    dev = round((sc - avg) / avg * 1000.0) / 10.0
+                    dev = round1((sc - avg) / avg * 100.0)
                     out["store_id"].append(store_id)
                     out["sale_date"].append(r["sale_date"])
                     out["sales_c"].append(sc)
