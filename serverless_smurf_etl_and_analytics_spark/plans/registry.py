@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .. import tables
 from ..operators import history, metrics
+from . import shared
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -26,7 +27,15 @@ ORACLES: dict[str, str] = {}
 
 
 def register(name: str, fn: QueryFn, sql: str | None = None) -> None:
-    QUERIES[name] = fn
+    # every registry query runs behind the shared MV layer: warming
+    # persists the store-day base plans once per (session, sf) so
+    # logically-equal subtrees across queries read ONE materialization
+    # (plans/shared.py; lazy — non-consumers pay nothing).
+    def warmed(spark: SparkSession, sf: str, _fn: QueryFn = fn) -> DataFrame:
+        shared.warm_store_day_layer(spark, sf)
+        return _fn(spark, sf)
+
+    QUERIES[name] = warmed
     if sql is not None:
         ORACLES[name] = sql
 
