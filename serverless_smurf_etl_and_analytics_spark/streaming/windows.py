@@ -73,6 +73,36 @@ def dedup_events_stream(
     )
 
 
+def dropped_late_rows(query) -> int:
+    """Late-row accounting (§2.9 late/partial-data handling): total
+    state-input rows dropped because they arrived behind the
+    watermark, summed over the query's progress history. This is the
+    per-batch ``numRowsDroppedByWatermark`` the stateful operators
+    report — the stream-side analogue of the batch ingest layer's
+    quarantine counts, and the number an ops dashboard alerts on when
+    an upstream producer starts delivering outside the lateness SLA.
+
+    Unit caveat: for windowed AGGREGATIONS the drop happens after the
+    map-side partial aggregate, so the count is distinct late
+    (window, key) groups per batch, not raw input rows (raw-row grain
+    would need the pre-shuffle rows, which Spark filters only at the
+    state boundary). For ``dropDuplicatesWithinWatermark`` state the
+    unit IS the input row. Timing caveat: the late-event filter uses
+    the PREVIOUS batch's watermark (SPARK-40925), so a row is only
+    counted dropped once a prior batch has advanced the watermark past
+    its window.
+
+    Use ``recentProgress`` right after ``awaitTermination`` — the
+    buffer is bounded (``spark.sql.streaming.numRecentProgressUpdates``,
+    default 100), so long-lived queries should drain it per trigger via
+    a StreamingQueryListener instead."""
+    total = 0
+    for p in query.recentProgress:
+        for so in p.get("stateOperators", []):
+            total += int(so.get("numRowsDroppedByWatermark", 0) or 0)
+    return total
+
+
 def session_window_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
