@@ -32,10 +32,16 @@ def _section(df: DataFrame, rank: int, line: F.Column, order: list) -> DataFrame
     )
 
 
-def daily_report_lines(txns: DataFrame, date: str) -> DataFrame:
+def daily_report_lines(
+    txns: DataFrame, date: str, recs: DataFrame | None = None
+) -> DataFrame:
     """The report body for one date as (section_rank, line_no, line)
     rows — header, company KPIs (+ best/worst store), payment methods
-    by amount desc, and recommendations by priority rank."""
+    by amount desc, and recommendations by priority rank.
+
+    ``recs``: optionally a precomputed recommendations DataFrame (the
+    pipeline passes its persisted anomaly-derived set so the report
+    does not re-run the window chain over the fact table)."""
     day = txns.filter(F.col("sale_date") == date)
 
     daily = store_day_metrics(day)
@@ -78,7 +84,9 @@ def daily_report_lines(txns: DataFrame, date: str) -> DataFrame:
         [F.desc("net_amount"), F.asc("payment_method")],
     )
 
-    recs = recommendations(txns).filter(F.col("sale_date") == date)
+    recs = (
+        recommendations(txns) if recs is None else recs
+    ).filter(F.col("sale_date") == date)
     rec_lines = _section(
         recs,
         4,

@@ -37,8 +37,8 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from . import tables
+from .functions.money import cents
 from .operators import export, metrics, report
-from .operators.history import store_daily_cents
 from .operators.insights import (
     classify_anomalies_from_daily,
     recommendations_from,
@@ -112,12 +112,21 @@ def run_daily_pipeline(
     export_start: str | None = None,
     export_end: str | None = None,
     force: bool = False,
+    full_refresh: bool = False,
 ) -> dict:
     """One daily-analysis run (§3.2): materialize the derived tables,
     classify insights, format the report for ``run_date``, export the
     BI datasets, record the ledger row. Returns per-table row counts;
     ``{"skipped": True}`` when the ledger already shows a succeeded run
-    for ``run_date`` (S10)."""
+    for ``run_date`` (S10).
+
+    The first run (or ``full_refresh=True``) bootstraps the full
+    store_daily history; every later run aggregates ONLY ``run_date``'s
+    transactions and dynamically overwrites that one partition — the
+    incremental upsert the reference's per-day processing implies
+    (each ``calculate-metrics`` invocation handles one day's uploads).
+    ``full_refresh`` is the restatement path for when HISTORY changed
+    (late-arriving fact rows, schema backfill)."""
     if not force and already_succeeded(spark, out_dir, run_date):
         return {"run_date": run_date, "skipped": True}
 
@@ -125,10 +134,21 @@ def run_daily_pipeline(
     stats: dict = {"run_date": run_date, "skipped": False}
 
     # 1. store_daily — the central MV, nested serving shape, one
-    #    partition per day so a daily run upserts only its date
+    #    partition per day. Incremental runs aggregate run_date's rows
+    #    only (every store_daily column is a per-(store, day) quantity,
+    #    so single-date aggregation is exact) and rewrite one
+    #    partition; the bootstrap aggregates all history. At 100 TB the
+    #    fact side of an incremental run is one day's slice — with a
+    #    date-partitioned fact layout (the S5 sink's shape) the scan
+    #    prunes to that day's files.
     sd_path = os.path.join(out_dir, "store_daily")
+    bootstrap = full_refresh or not os.path.isdir(sd_path)
+    mv_input = (
+        txns if bootstrap else txns.filter(F.col("sale_date") == run_date)
+    )
+    stats["store_daily_mode"] = "bootstrap" if bootstrap else "incremental"
     (
-        metrics.store_daily_nested(txns)
+        metrics.store_daily_nested(mv_input)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("sale_date")
@@ -178,8 +198,19 @@ def run_daily_pipeline(
     stats["product_daily_rows"] = spark.read.parquet(pd_path).count()
 
     # 4. insights — ONE persisted daily-cents + ONE persisted anomaly
-    #    set feed all three classifiers (no duplicate window chains)
-    daily = store_daily_cents(txns).persist(StorageLevel.MEMORY_AND_DISK)
+    #    set feed all three classifiers (no duplicate window chains).
+    #    daily-cents is DERIVED FROM THE MATERIALIZED MV, not the fact
+    #    table: sales_c/txn_count round-trip exactly through the
+    #    persisted total_sales/transaction_count (integer-cents rule),
+    #    so the window chain reads |stores| x |days| rows instead of
+    #    rescanning raw transactions (detect-anomalies reads the
+    #    persisted summaries too, lambda_function.py:64-135).
+    daily = store_daily.select(
+        "store_id",
+        "sale_date",
+        cents(F.col("total_sales")).alias("sales_c"),
+        F.col("transaction_count").alias("txn_count"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     anomalies = classify_anomalies_from_daily(daily).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -196,11 +227,13 @@ def run_daily_pipeline(
             spark.read.parquet(os.path.join(ins_path, name)).count()
         )
 
-    # 5. daily report for run_date (O5/O9 string layer)
+    # 5. daily report for run_date (O5/O9 string layer); the
+    #    recommendations section reuses the persisted anomaly set
+    #    instead of re-running the window chain over the fact table
     rpt_path = os.path.join(out_dir, "report")
-    report.daily_report_lines(txns, run_date).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(rpt_path)
+    report.daily_report_lines(
+        txns, run_date, recs=recs
+    ).coalesce(1).write.mode("overwrite").parquet(rpt_path)
     stats["report_lines"] = spark.read.parquet(rpt_path).count()
 
     # 6. BI exports (S7) from the MATERIALIZED tables
