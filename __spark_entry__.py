@@ -43,6 +43,12 @@ _VERIFY_FIRST = [
     # inside the driver's 50-query window this round. Values are
     # unchanged by construction; this re-proves it.
     "j5_wide_serialized",  # new in r3 (serialized pivot twin)
+    # r3: sim2 gained adaptive band sizing (similarity.py
+    # adaptive_band_config). At driver scales it resolves to the same
+    # (8, 8) config — this re-proves the values are untouched. Pushes
+    # a18_event_type_summary (unchanged since its r01-green row) to
+    # the tail.
+    "sim2_cosine_neardup",
     "a4_payment_map_rollup", "sd_nested_store_daily",
     "x1_export_store_summaries", "x2_export_top_products",
     "x3_export_anomalies", "x4_export_trends",

@@ -33,6 +33,7 @@ Scale design:
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -66,6 +67,46 @@ def plane_signs(n_planes: int, dim: int = DIM) -> list[list[int]]:
 # 64 planes cover the 8 OR-amplification bands of 8 planes each; band 0
 # is byte-identical to the single-band sim3 bucket key.
 PLANE_SIGNS = plane_signs(N_BANDS * N_PLANES)
+
+
+def adaptive_band_config(
+    n: int,
+    *,
+    target_recall: float = 0.93,
+    cos_floor: float = 0.9,
+    occupancy: int = 16,
+) -> tuple[int, int]:
+    """(n_bands, band_planes) for an ``n``-vector corpus — the fix for
+    the one super-linear term a FIXED band width has: with ``w`` plane
+    bits per band, buckets have only ``2^w`` values, so candidate pairs
+    grow ~ ``bands * n^2 / 2^w`` — quadratic once ``n >> 2^w``
+    (measured: 10x corpus -> 12.4x wall at (8,8), sf1 rehearsal).
+
+    Widening bands with the corpus keeps mean bucket occupancy at
+    ``occupancy``: ``w = max(8, ceil(log2(n / occupancy)))``, so
+    ``2^w ~ n/16`` and candidates are O(n * bands) — linear in n with a
+    log-growing band count. Per-band collision for a pair at cosine c
+    is ``p^w`` (p = 1 - acos(c)/pi, Goemans-Williamson), so wider bands
+    lose recall; the band COUNT restores it: the smallest b with
+    ``1 - (1 - p^w)^b >= target_recall`` at ``c = cos_floor``.
+
+    Pure function of n (deterministic, same planes via the md5 stream),
+    floored at the (8, 8) the DuckDB oracle hardcodes — below 4096
+    vectors (every driver-verified scale: sf0.001/0.01/0.1 have
+    20/200/2000) the config, plans, and hashes are byte-identical to
+    the fixed form. n=20k -> (14, 11); n=1M -> (31, 16)."""
+    p = 1.0 - math.acos(cos_floor) / math.pi
+    band_planes = max(
+        N_PLANES, math.ceil(math.log2(max(n, 1) / occupancy))
+    )
+    n_bands = max(
+        N_BANDS,
+        math.ceil(
+            math.log(1.0 - target_recall)
+            / math.log(1.0 - p**band_planes)
+        ),
+    )
+    return n_bands, band_planes
 
 
 def _dot_fixed_point(ea, eb):
@@ -125,7 +166,15 @@ def band_table(emb: DataFrame, n_bands: int, band_planes: int) -> DataFrame:
 
     p = emb.sparkSession.sparkContext.defaultParallelism
     n_planes = n_bands * band_planes
-    planes_t = np.array(PLANE_SIGNS[:n_planes], dtype=np.int64).T
+    # the md5 plane stream is prefix-stable: configs beyond the 64
+    # precomputed planes (adaptive_band_config at large n) extend it,
+    # smaller ones slice it — band 0 stays byte-identical either way
+    planes = (
+        PLANE_SIGNS
+        if n_planes <= len(PLANE_SIGNS)
+        else plane_signs(n_planes)
+    )
+    planes_t = np.array(planes[:n_planes], dtype=np.int64).T
     bp = band_planes
     scale = SCALE
 
@@ -343,8 +392,8 @@ def cosine_neardup_allpairs(
 def cosine_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.3,
-    n_bands: int = N_BANDS,
-    band_planes: int = N_PLANES,
+    n_bands: int | None = None,
+    band_planes: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed cosine near-dup — the scale path, mirroring the
     MinHash d3->d4 pipeline shape: candidates are pairs sharing a
@@ -366,7 +415,19 @@ def cosine_neardup_pairs(
     P ~ 1-(1-0.29)^8 ~ 0.93, while borderline pairs (c ~ threshold
     0.3, p ~ 0.6) are mostly skipped (~14%) — precision stays exact
     because every candidate is verified; only recall is traded, and
-    the trade concentrates on the least-similar qualifying pairs."""
+    the trade concentrates on the least-similar qualifying pairs.
+
+    ``n_bands``/``band_planes`` default to ``adaptive_band_config`` of
+    the corpus size (a cheap metadata count at plan-build time — the
+    stand-in for catalog row stats): fixed-width bands go quadratic
+    once n >> 2^width, adaptive width keeps candidates O(n log n) at
+    the same >= 0.93 recall floor. Below 4096 vectors the resolved
+    config is exactly (8, 8), so driver-verified scales are
+    byte-identical to the fixed form the oracle hardcodes."""
+    if n_bands is None or band_planes is None:
+        auto = adaptive_band_config(emb.count())
+        n_bands = auto[0] if n_bands is None else n_bands
+        band_planes = auto[1] if band_planes is None else band_planes
     eb = band_table(emb, n_bands, band_planes)
     a = eb.alias("a")
     b = eb.alias("b")

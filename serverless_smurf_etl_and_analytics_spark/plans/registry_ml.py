@@ -555,6 +555,13 @@ cpairs AS (
 """
 )
 
+# Oracle validity: the SQL hardcodes the (8 bands x 8 planes) LSH
+# config, which similarity.adaptive_band_config resolves to for any
+# corpus under 4096 vectors — true at every driver scale (sf0.001/
+# 0.01/0.1 = 20/200/2000 embeddings). Larger corpora get wider bands
+# (the sf1 rehearsal's super-linear fix); re-deriving the SQL for
+# those sizes means regenerating the bucket literals at the resolved
+# (n_bands, band_planes).
 register(
     "sim2_cosine_neardup",
     lambda spark, sf: similarity.cosine_neardup_pairs(

@@ -319,3 +319,27 @@ def test_d4_measured_recall_on_planted_jaccard_neardups(spark, docs):
         f"measured d4 recall {recall:.3f} outside analytic window "
         f"[{lo:.3f}, {hi:.3f}] (mean {mean:.3f})"
     )
+
+
+def test_adaptive_band_config_laws():
+    """The sim2 auto-sizing is a pure function with three contracts:
+    (a) floor: every driver-verified scale resolves to the oracle's
+    hardcoded (8, 8); (b) recall: the analytic collision probability
+    1-(1-p^w)^b stays >= the 0.93 target at cosine 0.9 for every
+    corpus size; (c) linearity: expected candidates-per-vector
+    b*n/2^w stays bounded (the fixed-width form's is unbounded)."""
+    p = 1.0 - math.acos(0.9) / math.pi
+    for n in (1, 20, 200, 2000, 4096):
+        assert similarity.adaptive_band_config(n) == (8, 8)
+    prev_bands, prev_planes = 0, 0
+    for exp in range(4, 31):
+        n = 2**exp
+        b, w = similarity.adaptive_band_config(n)
+        recall = 1.0 - (1.0 - p**w) ** b
+        assert recall >= 0.93, (n, b, w, recall)
+        # monotone non-decreasing in corpus size
+        assert b >= prev_bands and w >= prev_planes, (n, b, w)
+        prev_bands, prev_planes = b, w
+        # candidates per vector ~ b * occupancy, occupancy <= 32
+        # (ceil rounds 2^w up, never past doubling the target 16)
+        assert b * n / 2**w <= 32 * b, (n, b, w)
