@@ -43,12 +43,14 @@ _VERIFY_FIRST = [
     # inside the driver's 50-query window this round. Values are
     # unchanged by construction; this re-proves it.
     "j5_wide_serialized",  # new in r3 (serialized pivot twin)
+    "d7_semantic_dedup",  # new in r3 (SemDeDup over the sim2 band path)
     # r3: sim2 gained adaptive band sizing (similarity.py
-    # adaptive_band_config). At driver scales it resolves to the same
-    # (8, 8) config — this re-proves the values are untouched. Pushes
-    # a18_event_type_summary (unchanged since its r01-green row) to
-    # the tail.
-    "sim2_cosine_neardup",
+    # adaptive_band_config) and d6 a sketch-width parameter
+    # (dedup.simhash_neardup_pairs bits=32 default). At driver scales
+    # both resolve to their r2 plans — this re-proves the values are
+    # untouched. Pushes ev_session_windows / a18_event_type_summary
+    # (unchanged since their r01-green rows) to the tail.
+    "sim2_cosine_neardup", "d6_simhash_neardup",
     "a4_payment_map_rollup", "sd_nested_store_daily",
     "x1_export_store_summaries", "x2_export_top_products",
     "x3_export_anomalies", "x4_export_trends",
@@ -73,9 +75,9 @@ _VERIFY_FIRST = [
     "u1_union_tagged", "f1_scalar_sampler",
     # events layer: unchanged plans, least-recently-verified (r01)
     "ev_tumbling_hourly", "ev_sliding_2h_hourly",
-    "ev_session_windows", "a18_event_type_summary",
-    # tail (beyond the 50-window): ML layer unchanged since its green
-    # CORRECTNESS_r02 rows (mm*/sim*/t*/d*)
+    # tail (beyond the 50-window): ev_session_windows and
+    # a18_event_type_summary (r01-green, unchanged) plus the ML layer
+    # unchanged since its green CORRECTNESS_r02 rows (mm*/sim*/t*/d*)
 ]
 
 

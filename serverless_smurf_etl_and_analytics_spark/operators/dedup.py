@@ -278,28 +278,54 @@ def band_bounds(bits: int, n_bands: int) -> list[tuple[int, int]]:
     return bounds
 
 
-def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+def simhash_neardup_pairs(
+    docs: DataFrame, max_hamming: int = 6, bits: int = 32
+) -> DataFrame:
     """Pigeonhole-banded SimHash near-dup with GUARANTEED recall: the
-    32-bit signature is split into ``max_hamming + 1`` contiguous bands,
-    so any pair at Hamming distance <= max_hamming must agree exactly on
-    at least one band (pigeonhole). Candidates = per-band equi-join on
-    (band_idx, band_value); verification = one ``bit_count(xor)`` on the
-    numeric signature. Output is therefore the EXACT set of pairs at
-    hamming <= max_hamming — the DuckDB oracle states the spec directly
-    as an all-pairs filter.
+    ``bits``-wide signature is split into ``max_hamming + 1`` contiguous
+    bands, so any pair at Hamming distance <= max_hamming must agree
+    exactly on at least one band (pigeonhole). Candidates = per-band
+    equi-join on (band_idx, band_value); verification = one
+    ``bit_count(xor)`` on the numeric signature. Output is therefore the
+    EXACT set of pairs at hamming <= max_hamming — the DuckDB oracle
+    states the spec directly as an all-pairs filter.
 
     Scale design: the band join shuffles by (band_idx, band_value) —
     bounded candidates (~(h+1) * N^2 / 2^band_bits worst case, far less
     under real bucket distributions), no O(N^2) pair space, AQE
-    skew-join for hot bands. At 100 TB, widen the signature (64/128
-    bits) so bands stay >= 8 bits; the scheme is unchanged."""
-    s = simhash(docs).select(
-        "doc_id", F.conv("simhash", 2, 10).cast("long").alias("sig")
-    )
-    bounds = band_bounds(32, max_hamming + 1)
+    skew-join for hot bands. Unlike sim2, the sketch width cannot adapt
+    silently: hamming <= h over a ``bits``-wide sketch IS the operator's
+    semantics, so changing ``bits`` changes the answer, not just the
+    plan. At corpus sizes where 32-bit band space saturates (~(h+1)
+    * N^2 / 2^(32/(h+1)) candidates), callers opt into ``bits=64`` so
+    bands stay >= 9 wide; the banding/verify scheme is unchanged (the
+    signature stays a single long up to 64)."""
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in [1, 64] (signature is a long)")
+    # bits > 32: assemble the long from two halves — conv() returns an
+    # UNSIGNED decimal string, so a direct cast overflows to null for
+    # signatures >= 2^63. The wrap to a negative long is fine: every
+    # downstream op (shiftright+mask, xor, bit_count) is bit-pattern
+    # arithmetic, and the sign bits an arithmetic shift drags in are
+    # stripped by the band mask.
+    if bits > 32:
+        sig_col = F.shiftleft(
+            F.conv(F.substring("simhash", 1, bits - 32), 2, 10).cast(
+                "long"
+            ),
+            32,
+        ).bitwiseOR(
+            F.conv(F.substring("simhash", bits - 31, 32), 2, 10).cast(
+                "long"
+            )
+        )
+    else:
+        sig_col = F.conv("simhash", 2, 10).cast("long")
+    s = simhash(docs, bits).select("doc_id", sig_col.alias("sig"))
+    bounds = band_bounds(bits, max_hamming + 1)
     # band j as an integer: bits are MSB-first in the signature string,
-    # so a band at (start, ln) is (sig >> (32 - (start + ln - 1))) & mask
-    shifts = [32 - (st + ln - 1) for st, ln in bounds]
+    # so a band at (start, ln) is (sig >> (bits - (start + ln - 1))) & mask
+    shifts = [bits - (st + ln - 1) for st, ln in bounds]
     masks = [(1 << ln) - 1 for _, ln in bounds]
 
     def bval(col, j):
@@ -366,3 +392,38 @@ def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
             hamming.alias("hamming"),
         )
     )
+
+
+def semantic_dedup(
+    docs: DataFrame, emb: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """d7: embedding-based (semantic) document dedup — the SemDeDup
+    recipe (Abbas et al. 2023): a document is a semantic duplicate when
+    its EMBEDDING is a near-duplicate of a lower-id document's, even if
+    the surface text shares no n-grams. Candidates come from the sim2
+    LSH band path (adaptive width, exact-cosine verify), so the pair
+    search is O(n log n), never all-pairs; the keep/drop rule is the
+    deterministic keep-lowest-id convention exact_dedup uses.
+
+    Output: one row per DROPPED doc — (doc_id, lang, dup_of = its
+    smallest near-dup partner, n_neardups, max_cosine). Chains are
+    resolved greedily (B drops to A, C drops to B) rather than by
+    connected components — transitive canonicalization is iterative
+    (graph connectivity), deliberately out of the oracle-checkable
+    path; the greedy rule removes the same document SET.
+
+    Pairing contract: embeddings join documents on vec_id == doc_id
+    (the mm3 pairing-integrity rule); docs without an embedding are
+    never dropped."""
+    from .similarity import cosine_neardup_pairs
+
+    pairs = cosine_neardup_pairs(emb, threshold)
+    drops = pairs.groupBy("vec_b").agg(
+        F.min("vec_a").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_neardups"),
+        F.max("cosine").alias("max_cosine"),
+    )
+    return drops.join(
+        docs.select("doc_id", "lang"),
+        drops["vec_b"] == F.col("doc_id"),
+    ).select("doc_id", "lang", "dup_of", "n_neardups", "max_cosine")

@@ -582,6 +582,51 @@ WHERE {_COS} > 0.3
 )
 
 
+# d7: semantic (embedding-based) document dedup — SemDeDup recipe over
+# the sim2 band path; same (8 x 8) oracle-validity bound as sim2.
+# Pairing contract: vec_id == doc_id (mm3). sum(...) counts via the
+# HUGEINT-safe bigint cast (driver-contract DuckDB quirk).
+register(
+    "d7_semantic_dedup",
+    lambda spark, sf: dedup.semantic_dedup(
+        tables.load(spark, sf, "documents"),
+        tables.load(spark, sf, "embeddings"),
+        0.4,
+    ),
+    f"""
+WITH {SQL_MULTIBAND},
+verified AS (
+    SELECT
+        p.vec_a,
+        p.vec_b,
+        cast(cast(round(({_COS}) * 1000000.0) AS bigint) / 1000000.0
+             AS double) AS cosine
+    FROM cpairs p
+    JOIN fxn a ON a.vec_id = p.vec_a
+    JOIN fxn b ON b.vec_id = p.vec_b
+    WHERE {_COS} > 0.4
+),
+drops AS (
+    SELECT
+        vec_b,
+        min(vec_a)                      AS dup_of,
+        cast(count(*) AS bigint)        AS n_neardups,
+        max(cosine)                     AS max_cosine
+    FROM verified
+    GROUP BY vec_b
+)
+SELECT
+    d.doc_id,
+    d.lang,
+    dr.dup_of,
+    dr.n_neardups,
+    dr.max_cosine
+FROM drops dr
+JOIN documents d ON d.doc_id = dr.vec_b
+""",
+)
+
+
 _DOT_FC = (
     "cast(list_sum(list_transform(range(64), "
     "i -> f.iv[i+1] * c.civ[i+1])) AS bigint)"

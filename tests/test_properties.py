@@ -73,17 +73,20 @@ def planted_emb(spark, emb):
     return planted, targets
 
 
-def test_pigeonhole_banding_equals_allpairs(spark, docs):
+@pytest.mark.parametrize("bits", [32, 64])
+def test_pigeonhole_banding_equals_allpairs(spark, docs, bits):
     """The d6 claim: 7-band pigeonhole blocking finds EXACTLY the
     all-pairs hamming<=6 set — guaranteed recall, zero false
-    positives after verification."""
+    positives after verification. At 64 bits this also proves the
+    two-half long assembly (signatures past 2^63 wrap negative;
+    shift+mask/xor/bit_count stay bit-pattern-correct)."""
     banded = {
         (r["doc_a"], r["doc_b"], r["hamming"])
-        for r in dedup.simhash_neardup_pairs(docs, 6).collect()
+        for r in dedup.simhash_neardup_pairs(docs, 6, bits).collect()
     }
-    s = dedup.simhash(docs)
+    s = dedup.simhash(docs, bits)
     a, b = s.alias("a"), s.alias("b")
-    pos = F.sequence(F.lit(1), F.lit(32))
+    pos = F.sequence(F.lit(1), F.lit(bits))
     hamming = F.size(
         F.filter(
             pos,
