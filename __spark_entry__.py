@@ -44,6 +44,8 @@ _VERIFY_FIRST = [
     # unchanged by construction; this re-proves it.
     "j5_wide_serialized",  # new in r3 (serialized pivot twin)
     "d7_semantic_dedup",  # new in r3 (SemDeDup over the sim2 band path)
+    "d8_decontaminate",  # new in r3 (benchmark n-gram decontamination)
+    "t6_stratified_sample",  # new in r3 (deterministic stratum sampling)
     # r3: sim2 gained adaptive band sizing (similarity.py
     # adaptive_band_config) and d6 a sketch-width parameter
     # (dedup.simhash_neardup_pairs bits=32 default). At driver scales
@@ -68,15 +70,17 @@ _VERIFY_FIRST = [
     "a14_kpi_for_range", "a15_top_products_reagg",
     "a16_product_range_stats", "a17_distinct_dates",
     "j1_missing_stores_anti", "j3_brand_revenue",
-    "j5_dense_date_store_grid", "j5_wide_pivot_timeseries",
+    "j5_dense_date_store_grid",
     "j6_top_customers", "j7_store_region_rollup",
     "p1_store_summary_projection", "p2_prefix_filter",
     "p3_point_lookup", "p4_range_filter_daily", "p6_isin_filter",
     "u1_union_tagged", "f1_scalar_sampler",
     # events layer: unchanged plans, least-recently-verified (r01)
-    "ev_tumbling_hourly", "ev_sliding_2h_hourly",
-    # tail (beyond the 50-window): ev_session_windows and
-    # a18_event_type_summary (r01-green, unchanged) plus the ML layer
+    "ev_sliding_2h_hourly",
+    # tail (beyond the 50-window): j5_wide_pivot_timeseries (rows-only
+    # by design; its values are hash-proven in-window by the
+    # j5_wide_serialized twin), ev_tumbling_hourly / ev_session_windows
+    # / a18_event_type_summary (r01-green, unchanged) and the ML layer
     # unchanged since its green CORRECTNESS_r02 rows (mm*/sim*/t*/d*)
 ]
 

@@ -1,0 +1,106 @@
+"""Corpus-curation operators for LLM training-data pipelines:
+deterministic stratified sampling and token-budget sequence packing.
+
+Like the rest of the ML layer these extend the reference's dedup/
+analysis family (SURVEY.md LLM-pipeline brief) — the reference has no
+analogue; the semantics follow standard pretraining-pipeline practice.
+
+Determinism rules for oracle parity (see plans/registry_ml.py): all
+randomness is md5-derived (hex output byte-identical across Spark,
+DuckDB, Python), all arithmetic is integer, so both operators are
+fully hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import tokens_col
+
+# Per-language keep rates (percent) for the registered t6 query:
+# downsample the dominant language, keep the low-resource ones — the
+# language-rebalancing step of a pretraining data mix.
+DEFAULT_RATES = {"en": 40, "es": 80, "de": 80, "fr": 80, "zh": 80}
+U32 = 1 << 32
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_pct: dict[str, int] | None = None,
+    default_pct: int = 100,
+    salt: str = "sample",
+) -> DataFrame:
+    """t6: deterministic per-stratum (language) sampling — keep a doc
+    iff the first 32 bits of ``md5(salt|doc_id)`` fall below its
+    stratum's rate. The decision is a pure function of (doc_id, salt),
+    so the sample is reproducible across engines and runs, stable
+    under corpus growth (existing docs never flip), and the keep
+    probability is exact to 1/2^32.
+
+    Scale design: a single narrow filter — no shuffle, no sampling
+    state, fully pushed into whole-stage codegen; at 100 TB it is a
+    scan with a cheap predicate. The integer compare
+    ``u * 100 < pct * 2^32`` avoids float thresholds entirely."""
+    rates = DEFAULT_RATES if rates_pct is None else rates_pct
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + "|"), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    pct = F.lit(default_pct)
+    for lang, p in sorted(rates.items()):
+        pct = F.when(F.col("lang") == lang, F.lit(p)).otherwise(pct)
+    return docs.filter(u * 100 < pct * F.lit(U32)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, budget_tokens: int = 256, by: str = "source"
+) -> DataFrame:
+    """pack1: token-budget sequence packing — assign documents to
+    fixed-size training shards. Within each ``by`` stream, documents
+    are laid out in doc_id order and a document's shard is the number
+    of full ``budget_tokens`` windows before its first token
+    (``floor(prev_cum_tokens / budget)``) — the greedy contiguous
+    packing used to build fixed-length pretraining batches, with
+    overflow spilling into the next shard.
+
+    Output: (doc_id, stream, n_tokens, shard_id, offset_in_shard) —
+    all integers, reproducible, and oracle-expressible as a window
+    cumsum (registered next verify-window rotation; pytest-parity
+    checked meanwhile).
+
+    Scale design: one shuffle on the stream key plus a within-
+    partition sort — the window never sees unbounded frames (running
+    sum only). Stream keys bound skew: at 100 TB pick a stream key
+    with enough cardinality (source x date, or a hash-salted split)
+    so no single stream exceeds an executor's sort budget; packing is
+    per-stream by construction so salting does not change semantics
+    within a stream."""
+    n_tok = F.size(tokens_col(F.col("text"))).cast("long")
+    d = docs.select(
+        "doc_id", F.col(by).alias("stream"), n_tok.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_cum = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "stream",
+        "n_tokens",
+        F.floor(prev_cum / budget_tokens).cast("long").alias("shard_id"),
+        (prev_cum % budget_tokens).cast("long").alias("offset_in_shard"),
+    )

@@ -24,7 +24,7 @@ Scale design (the point of each variant at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -427,3 +427,70 @@ def semantic_dedup(
         docs.select("doc_id", "lang"),
         drops["vec_b"] == F.col("doc_id"),
     ).select("doc_id", "lang", "dup_of", "n_neardups", "max_cosine")
+
+
+def benchmark_membership(salt: str = "bench") -> Column:
+    """Deterministic heldout-set membership for :func:`decontaminate`:
+    a doc is "benchmark" when the last hex nibble of
+    ``md5(salt|doc_id)`` lands in {0, 1} (a fixed 1/8 split). md5 of
+    the decimal doc_id string is byte-identical across Spark, DuckDB
+    and Python, so the split is reproducible everywhere without
+    materializing a membership table."""
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string")))
+    return F.substring(h, 32, 1).isin("0", "1")
+
+
+def decontaminate(docs: DataFrame, min_bp: int = 1000) -> DataFrame:
+    """d8: benchmark decontamination — flag training documents whose
+    n-gram (bigram-shingle) overlap with a heldout benchmark corpus is
+    high enough to contaminate evaluation, the n-gram-overlap decontam
+    rule used by large pretraining pipelines (the reference has no
+    analogue; this extends its dedup family to the train/eval split).
+
+    The corpus splits deterministically via
+    :func:`benchmark_membership` (~1/8 benchmark, ~7/8 training).
+    A training doc is contaminated when >= ``min_bp`` basis points
+    (default 10%) of its distinct shingles appear in ANY benchmark
+    document. Output: one row per contaminated doc — (doc_id, lang,
+    n_shingles, n_contaminated, contamination_bp).
+
+    Scale design: benchmark corpora are small by construction (the
+    1/8 split here is an upper bound; real eval sets are ~1e4 docs),
+    so the distinct benchmark-shingle set is broadcast and the
+    training side is a map-side hash probe — no shuffle of the big
+    side by shingle. The only full shuffles are the shingle build
+    (window by doc_id) and one groupBy(doc_id) that computes totals
+    and overlaps together off the broadcast left join. If the
+    benchmark side ever outgrows broadcast, drop the hint and the
+    same plan becomes a shuffle join on sh — semantics unchanged."""
+    sh = shingle_rows(docs).withColumn("is_bench", benchmark_membership())
+    bench_sh = (
+        sh.filter(F.col("is_bench")).select("sh").distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    train = sh.filter(~F.col("is_bench")).select("doc_id", "sh")
+    per_doc = (
+        train.join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0).cast("long")).alias(
+                "n_contaminated"
+            ),
+        )
+    )
+    bp = F.round(
+        F.col("n_contaminated") * 10000.0 / F.col("n_shingles")
+    ).cast("long")
+    return (
+        per_doc.withColumn("contamination_bp", bp)
+        .filter(F.col("contamination_bp") >= min_bp)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_shingles",
+            "n_contaminated",
+            "contamination_bp",
+        )
+    )

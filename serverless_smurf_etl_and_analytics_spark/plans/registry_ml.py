@@ -10,7 +10,7 @@ fully oracle-checkable, not rows-only.
 from __future__ import annotations
 
 from .. import tables
-from ..operators import dedup, multimodal, similarity, textops
+from ..operators import curate, dedup, multimodal, similarity, textops
 from .registry import register
 
 STOP_SQL = "('the', 'a', 'and', 'of', 'to', 'in')"
@@ -738,5 +738,83 @@ SELECT query_id, neighbor_id,
             AS double) AS cosine,
        rank
 FROM ranked WHERE rank <= 3
+""",
+)
+
+
+# d8: benchmark decontamination — training docs whose bigram-shingle
+# overlap with the deterministic md5 heldout split is >= 10% (1000 bp).
+# The oracle restates the spec directly: distinct-shingle rows, an
+# EXISTS-style left join against the benchmark shingle set, one
+# grouped count. Round-at-integer-scale keeps the bp column exact.
+register(
+    "d8_decontaminate",
+    lambda spark, sf: dedup.decontaminate(
+        tables.load(spark, sf, "documents"), 1000
+    ),
+    f"""
+WITH {SQL_SHINGLES},
+sh_rows AS (SELECT doc_id, unnest(sh) AS s FROM sh_t),
+marked AS (
+    SELECT doc_id,
+           substr(md5('bench|' || cast(doc_id AS varchar)), 32, 1)
+               IN ('0', '1') AS is_bench
+    FROM documents
+),
+bench_sh AS (
+    SELECT DISTINCT r.s
+    FROM sh_rows r JOIN marked m USING (doc_id)
+    WHERE m.is_bench
+),
+train AS (
+    SELECT r.doc_id, r.s
+    FROM sh_rows r JOIN marked m USING (doc_id)
+    WHERE NOT m.is_bench
+),
+per_doc AS (
+    SELECT
+        t.doc_id,
+        cast(count(*) AS bigint)  AS n_shingles,
+        cast(count(b.s) AS bigint) AS n_contaminated
+    FROM train t LEFT JOIN bench_sh b ON t.s = b.s
+    GROUP BY t.doc_id
+)
+SELECT
+    p.doc_id,
+    d.lang,
+    p.n_shingles,
+    p.n_contaminated,
+    cast(round(p.n_contaminated * 10000.0 / p.n_shingles) AS bigint)
+        AS contamination_bp
+FROM per_doc p JOIN documents d USING (doc_id)
+WHERE cast(round(p.n_contaminated * 10000.0 / p.n_shingles) AS bigint)
+      >= 1000
+""",
+)
+
+
+_RATE_CASE = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{lang}' THEN {p}"
+        for lang, p in sorted(curate.DEFAULT_RATES.items())
+    )
+    + " ELSE 100 END"
+)
+
+# t6: deterministic stratified sampling — the language-rebalancing
+# step of a pretraining data mix. Keep iff the first 32 md5 bits fall
+# under the stratum rate; pure integer compare, no float thresholds.
+register(
+    "t6_stratified_sample",
+    lambda spark, sf: curate.stratified_sample(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE ('0x' || substr(md5('sample|' || cast(doc_id AS varchar)), 1, 8))
+          ::bigint * 100
+      < ({_RATE_CASE}) * 4294967296
 """,
 )

@@ -1,0 +1,74 @@
+"""Curation-layer tests: sequence packing invariants (pack1 has no
+registered oracle yet — queued for the next verify-window rotation)
+plus stratified-sample structural properties beyond the registered
+t6 oracle parity (covered in test_parity.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from serverless_smurf_etl_and_analytics_spark import tables
+from serverless_smurf_etl_and_analytics_spark.operators import curate
+
+from conftest import SF_DIR
+
+BUDGET = 256
+
+
+def test_pack_sequences_matches_greedy_reference(spark):
+    docs = tables.load(spark, SF_DIR, "documents")
+    out = curate.pack_sequences(docs, BUDGET, by="source").toPandas()
+    assert len(out) == docs.count()
+    # Reference implementation: per-stream greedy cumsum in doc_id
+    # order, recomputed in pandas from the operator's own n_tokens.
+    out = out.sort_values(["stream", "doc_id"]).reset_index(drop=True)
+    for _, grp in out.groupby("stream"):
+        cum = 0
+        for row in grp.itertuples():
+            assert row.shard_id == cum // BUDGET
+            assert row.offset_in_shard == cum % BUDGET
+            cum += row.n_tokens
+
+
+def test_pack_sequences_shards_are_contiguous(spark):
+    docs = tables.load(spark, SF_DIR, "documents")
+    out = curate.pack_sequences(docs, BUDGET, by="source").toPandas()
+    for _, grp in out.groupby("stream"):
+        shards = grp.sort_values("doc_id")["shard_id"].tolist()
+        # shard ids start at 0, never decrease, never skip by > the
+        # overflow of a single oversized doc
+        assert shards[0] == 0
+        assert all(b >= a for a, b in zip(shards, shards[1:]))
+
+
+def test_stratified_sample_is_deterministic_subset(spark):
+    docs = tables.load(spark, SF_DIR, "documents")
+    a = curate.stratified_sample(docs).toPandas()
+    b = curate.stratified_sample(docs).toPandas()
+    key = ["doc_id"]
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # a sample is a subset of the corpus, and the dominant language is
+    # downsampled harder than the low-resource strata
+    full = docs.select("lang").toPandas()["lang"].value_counts()
+    kept = a["lang"].value_counts()
+    rate = {
+        lang: kept.get(lang, 0) / full[lang] for lang in full.index
+    }
+    for lang, pct in curate.DEFAULT_RATES.items():
+        if lang in rate:
+            assert abs(rate[lang] - pct / 100.0) < 0.15, (lang, rate)
+
+
+def test_stratified_sample_stable_under_corpus_growth(spark):
+    # membership decisions never flip when new docs arrive: sampling
+    # half the corpus yields exactly the full-corpus decisions
+    # restricted to that half
+    docs = tables.load(spark, SF_DIR, "documents")
+    half = docs.filter("doc_id % 2 = 0")
+    full_kept = curate.stratified_sample(docs).toPandas()
+    half_kept = curate.stratified_sample(half).toPandas()
+    expect = sorted(
+        d for d in full_kept["doc_id"].tolist() if d % 2 == 0
+    )
+    assert sorted(half_kept["doc_id"].tolist()) == expect
