@@ -28,24 +28,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .textops import tokens_col
+from .textops import token_rows
 
 N_MINHASH = 8
 BAND_SIZE = 4  # 2 bands of 4 hashes
 HEX = "0123456789abcdef"
-
-
-def token_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, tok) — tokenization happens ONCE per document,
-    then explodes; downstream per-token work is row-at-a-time in
-    whole-stage codegen and parallelized by the next shuffle. (NOT
-    repartitioned up front: pushing the whole tokenize->hash->aggregate
-    chain into one post-shuffle stage produces a generated method past
-    the JIT compile limit and the stage runs as interpreted bytecode —
-    measured 6x slower than the split-stage form.)"""
-    return docs.select(
-        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
-    )
 
 
 def shingle_rows(docs: DataFrame, n: int = 2) -> DataFrame:

@@ -66,3 +66,22 @@ def test_entry_smoke(spark):
 def test_registry_consistency():
     # every oracle refers to a registered query
     assert set(registry.ORACLES) <= set(registry.QUERIES)
+
+
+# Queries staged for the next verify-window rotation get the same
+# oracle-parity gate locally before they ever reach the driver.
+from serverless_smurf_etl_and_analytics_spark.plans import registry_pending
+
+
+@pytest.mark.parametrize("name", sorted(registry_pending.PENDING_ORACLES))
+def test_pending_oracle_parity(spark, duck, name):
+    sdf = registry_pending.PENDING_QUERIES[name](spark, SF_DIR).toPandas()
+    ddf = duck.execute(registry_pending.PENDING_ORACLES[name]).df()
+    scols, srows = canon(sdf)
+    dcols, drows = canon(ddf)
+    assert scols == dcols, f"{name}: columns {scols} != {dcols}"
+    assert len(srows) == len(drows), (
+        f"{name}: rowcount {len(srows)} != {len(drows)}"
+    )
+    mismatches = [(a, b) for a, b in zip(srows, drows) if a != b][:3]
+    assert not mismatches, f"{name}: first mismatches {mismatches}"
