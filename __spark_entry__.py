@@ -31,35 +31,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return metrics.store_daily_nested(txns, 5)
 
 
-# The driver verifies a bounded prefix of the registry (r1 checked the
-# first 50 entries), so ordering is deliberate: queries that are NEW or
-# REDESIGNED this round come first; the tail holds queries unchanged
-# since their green CORRECTNESS_r01 rows (t*/d1-d5/sim1/sim3), so every
-# query has a driver-verified row in at least one round.
+# The driver verifies a bounded prefix of the registry (50 entries per
+# round), so ordering is deliberate: queries that are NEW or whose PLAN
+# CHANGED this round come first, then the least-recently-verified, so
+# every registered query has a driver-verified green row in at least
+# one round and nothing outside the window has a changed plan.
 _VERIFY_FIRST = [
-    # r3: the shared store-day MV layer (plans/shared.py) changed the
-    # physical plan of every transactions-consuming query (cache
-    # substitution of the store-day subtrees), so ALL 45 of them sit
-    # inside the driver's 50-query window this round. Values are
-    # unchanged by construction; this re-proves it.
-    "j5_wide_serialized",  # new in r3 (serialized pivot twin)
-    "d7_semantic_dedup",  # new in r3 (SemDeDup over the sim2 band path)
-    "d8_decontaminate",  # new in r3 (benchmark n-gram decontamination)
-    "t6_stratified_sample",  # new in r3 (deterministic stratum sampling)
-    # r3: sim2 gained adaptive band sizing (similarity.py
-    # adaptive_band_config) and d6 a sketch-width parameter
-    # (dedup.simhash_neardup_pairs bits=32 default). At driver scales
-    # both resolve to their r2 plans — this re-proves the values are
-    # untouched. Pushes ev_session_windows / a18_event_type_summary
-    # (unchanged since their r01-green rows) to the tail.
-    "sim2_cosine_neardup", "d6_simhash_neardup",
-    "a4_payment_map_rollup", "sd_nested_store_daily",
-    "x1_export_store_summaries", "x2_export_top_products",
-    "x3_export_anomalies", "x4_export_trends",
-    "x5_export_recommendations", "x6_export_manifest",
-    "r1_daily_report_lines",
-    "i1_anomaly_classify", "i2_trend_insights", "i3_recommendations",
-    "i4_combine_insights", "i5_insight_summary",
+    # --- r4 new: promoted from plans/registry_pending (staged in r3
+    # with full oracles + local parity; first driver verification now)
+    "t7_repetition_filter", "t8_doc_frequency",
+    "pack1_sequence_packing",
+    # --- r4 new: the k-means trainer behind sim4's IVF quantizer,
+    # registered with an unrolled fixed-point Lloyd oracle
+    "c1_kmeans_clusters",
+    # --- r4 plan change: tables.load_events grew the timestamp_ntz ->
+    # timestamp normalization (value-preserving under the UTC session,
+    # but a new cast node in every events-consuming plan) — all four
+    # consumers re-verify in-window
+    "ev_tumbling_hourly", "ev_sliding_2h_hourly",
+    "ev_session_windows", "a18_event_type_summary",
+    # --- r4 recheck (ADVICE r3): the one rows-only query; its plan
+    # changed in r3 via the shared store-day MV but sat outside that
+    # round's window. Values stay hash-proven by the
+    # j5_wide_serialized twin; this refreshes the rows-only row.
+    "j5_wide_pivot_timeseries",
+    # --- least-recently-verified: the ML layer, green in r01/r02 and
+    # untouched since (the r3 token_rows code move kept expression
+    # trees identical; re-proving here retires that caveat)
+    "t1_text_stats", "t2_lang_id", "t3_fingerprint",
+    "t4_token_count_bpe", "t5_rolling_fingerprint",
+    "d1_exact_dedup", "d2_minhash_signatures",
+    "d3_lsh_candidate_pairs", "d4_minhash_neardup", "d5_simhash",
+    "sim1_cosine_topk", "sim3_lsh_topk", "sim4_ivf_topk",
+    "mm1_binary_fingerprint_dedup", "mm2_modality_stats",
+    "mm3_pairing_integrity",
+    # --- r3-green, plans unchanged; 25 of the 50 fit in the window
+    # (core metrics/join/projection families)
     "a1_store_day_metrics", "a2_payment_breakdown",
     "a2_payment_per_store_day", "a3_top5_products_store_day",
     "a4_company_daily", "a6_product_daily_exact",
@@ -70,18 +77,15 @@ _VERIFY_FIRST = [
     "a14_kpi_for_range", "a15_top_products_reagg",
     "a16_product_range_stats", "a17_distinct_dates",
     "j1_missing_stores_anti", "j3_brand_revenue",
-    "j5_dense_date_store_grid",
-    "j6_top_customers", "j7_store_region_rollup",
+    "j5_dense_date_store_grid", "j6_top_customers",
+    "j7_store_region_rollup",
     "p1_store_summary_projection", "p2_prefix_filter",
-    "p3_point_lookup", "p4_range_filter_daily", "p6_isin_filter",
-    "u1_union_tagged", "f1_scalar_sampler",
-    # events layer: unchanged plans, least-recently-verified (r01)
-    "ev_sliding_2h_hourly",
-    # tail (beyond the 50-window): j5_wide_pivot_timeseries (rows-only
-    # by design; its values are hash-proven in-window by the
-    # j5_wide_serialized twin), ev_tumbling_hourly / ev_session_windows
-    # / a18_event_type_summary (r01-green, unchanged) and the ML layer
-    # unchanged since its green CORRECTNESS_r02 rows (mm*/sim*/t*/d*)
+    # --- tail (beyond the 50-window), last-green ledger: every entry
+    # below is r3-green (CORRECTNESS_r03.json) with a plan untouched
+    # this round — p3/p4/p6/u1/f1, x1-x6, r1, i1-i5,
+    # sd_nested_store_daily, a4_payment_map_rollup,
+    # j5_wide_serialized, d6_simhash_neardup, d7_semantic_dedup,
+    # d8_decontaminate, sim2_cosine_neardup, t6_stratified_sample.
 ]
 
 

@@ -50,24 +50,33 @@ def main() -> None:
 
     spark.range(1000).repartition(32).mapInPandas(_ident, "id long").count()
 
-    # min of 2 runs per query: single-shot local[32] timings vary up to
-    # 3x run-to-run (JIT/GC/AQE nondeterminism); min-of-N is the
-    # standard way to measure the plan rather than the jitter
-    runs = int(os.environ.get("SMURF_BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
-    for name in names:
-        best = None
-        for _ in range(runs):
+    # min of 3 INTERLEAVED passes per query: single-shot local[32]
+    # timings vary up to 3x run-to-run (JIT/GC/AQE nondeterminism, and
+    # the driver box runs bench concurrently with other load — r3 saw
+    # ~43 false regression flags from exactly that). min-of-N measures
+    # the plan rather than the jitter; interleaving the passes (all
+    # queries once, then again) decorrelates a load spike from any one
+    # query's N samples, where back-to-back repeats would eat it whole.
+    runs = int(os.environ.get("SMURF_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(runs):
+        for name in names:
             t0 = time.perf_counter()
             df = registry.QUERIES[name](spark, sf_dir)
             df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples[name].append(time.perf_counter() - t0)
+    timings = {n: round(min(s), 3) for n, s in samples.items()}
+    medians = {
+        n: round(sorted(s)[len(s) // 2], 3) for n, s in samples.items()
+    }
     total = round(sum(timings.values()), 3)
 
     # regression check vs the committed per-query baseline (sf0.1):
-    # flag anything >1.2x slower so plan regressions surface per-round
+    # flag anything whose MIN is >1.2x the baseline so plan regressions
+    # surface per-round; each flag carries the query's own min/median/
+    # max spread so a load spike (huge spread, min near baseline) is
+    # distinguishable from a real plan regression (tight spread, all
+    # samples slow).
     regressions: dict[str, str] = {}
     base_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -80,14 +89,21 @@ def main() -> None:
         for name, sec in timings.items():
             b = base.get(name)
             if b and sec > b * 1.2:
-                regressions[name] = f"{sec:.2f}s vs {b:.2f}s ({sec / b:.2f}x)"
+                s = samples[name]
+                regressions[name] = (
+                    f"min {sec:.2f}s vs baseline {b:.2f}s "
+                    f"({sec / b:.2f}x); samples min/med/max "
+                    f"{min(s):.2f}/{sorted(s)[len(s) // 2]:.2f}/"
+                    f"{max(s):.2f}s"
+                )
     out = {
         "metric": "bench_total_query_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "sf": sf,
-        "timing": f"min_of_{runs}",
+        "timing": f"min_of_{runs}_interleaved",
     }
     if regressions:
         out["regressions_vs_baseline"] = regressions

@@ -10,7 +10,14 @@ fully oracle-checkable, not rows-only.
 from __future__ import annotations
 
 from .. import tables
-from ..operators import curate, dedup, multimodal, similarity, textops
+from ..operators import (
+    clustering,
+    curate,
+    dedup,
+    multimodal,
+    similarity,
+    textops,
+)
 from .registry import register
 
 STOP_SQL = "('the', 'a', 'and', 'of', 'to', 'in')"
@@ -817,4 +824,230 @@ WHERE ('0x' || substr(md5('sample|' || cast(doc_id AS varchar)), 1, 8))
           ::bigint * 100
       < ({_RATE_CASE}) * 4294967296
 """,
+)
+
+
+# ---- promoted from registry_pending (r4 rotation) ------------------------
+
+# t7: Gopher-style token-repetition filter. The oracle restates the
+# two-stage count directly; non-distinct bigrams via list_transform
+# over the token array (the non-distinct twin of SQL_SHINGLES).
+register(
+    "t7_repetition_filter",
+    lambda spark, sf: textops.repetition_stats(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+WITH {SQL_TOKS},
+tok_rows AS (SELECT doc_id, unnest(toks) AS tok FROM toks_t),
+uni AS (
+    SELECT doc_id,
+           cast(max(c) AS bigint) AS top_unigram_n,
+           cast(sum(c) AS bigint) AS n_tokens
+    FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM tok_rows GROUP BY doc_id, tok
+    ) GROUP BY doc_id
+),
+bg_rows AS (
+    SELECT doc_id, unnest(
+        list_transform(range(len(toks) - 1),
+                       i -> concat(toks[i+1], ' ', toks[i+2]))
+    ) AS bg
+    FROM toks_t
+),
+bi AS (
+    SELECT doc_id,
+           cast(max(c) AS bigint) AS top_bigram_n,
+           cast(sum(c) AS bigint) AS n_bg
+    FROM (
+        SELECT doc_id, bg, count(*) AS c
+        FROM bg_rows GROUP BY doc_id, bg
+    ) GROUP BY doc_id
+)
+SELECT
+    d.doc_id,
+    d.lang,
+    coalesce(u.n_tokens, 0)      AS n_tokens,
+    coalesce(u.top_unigram_n, 0) AS top_unigram_n,
+    coalesce(b.top_bigram_n, 0)  AS top_bigram_n,
+    CASE WHEN coalesce(u.n_tokens, 0) > 0
+         THEN cast(round(coalesce(u.top_unigram_n, 0) * 10000.0
+                         / u.n_tokens) AS bigint)
+         ELSE 0 END AS rep_unigram_bp,
+    CASE WHEN coalesce(b.n_bg, 0) > 0
+         THEN cast(round(coalesce(b.top_bigram_n, 0) * 10000.0
+                         / b.n_bg) AS bigint)
+         ELSE 0 END AS rep_bigram_bp,
+    (CASE WHEN coalesce(b.n_bg, 0) > 0
+          THEN cast(round(coalesce(b.top_bigram_n, 0) * 10000.0
+                          / b.n_bg) AS bigint)
+          ELSE 0 END >= 2000
+     OR
+     CASE WHEN coalesce(u.n_tokens, 0) > 0
+          THEN cast(round(coalesce(u.top_unigram_n, 0) * 10000.0
+                          / u.n_tokens) AS bigint)
+          ELSE 0 END >= 3000) AS is_repetitive
+FROM documents d
+LEFT JOIN uni u USING (doc_id)
+LEFT JOIN bi b USING (doc_id)
+""",
+)
+
+
+# t8: corpus document-frequency top-100. Deterministic total order
+# (df DESC, tok ASC) makes the LIMIT row set engine-identical.
+register(
+    "t8_doc_frequency",
+    lambda spark, sf: textops.doc_frequency(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+WITH {SQL_TOKS},
+dfreq AS (
+    SELECT tok, cast(count(*) AS bigint) AS df
+    FROM (
+        SELECT DISTINCT doc_id, unnest(toks) AS tok FROM toks_t
+    ) GROUP BY tok
+),
+n AS (SELECT cast(count(*) AS bigint) AS n_docs FROM documents)
+SELECT tok, df,
+       cast(round(df * 1000000.0 / n_docs) AS bigint)
+           AS docs_per_million
+FROM dfreq, n
+ORDER BY df DESC, tok
+LIMIT 100
+""",
+)
+
+
+# pack1: token-budget sequence packing (window cumsum restated as the
+# oracle's running SUM OVER).
+register(
+    "pack1_sequence_packing",
+    lambda spark, sf: curate.pack_sequences(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+WITH {SQL_TOKS},
+d AS (
+    SELECT doc_id, source AS stream,
+           cast(len(toks) AS bigint) AS n_tokens
+    FROM toks_t JOIN documents USING (doc_id)
+),
+c AS (
+    SELECT doc_id, stream, n_tokens,
+           sum(n_tokens) OVER (
+               PARTITION BY stream ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS prev_cum
+    FROM d
+)
+SELECT doc_id, stream, n_tokens,
+       cast(floor(prev_cum / 256) AS bigint) AS shard_id,
+       cast(prev_cum % 256 AS bigint)        AS offset_in_shard
+FROM c
+""",
+)
+
+
+# ---- c1: k-means (the IVF coarse-quantizer trainer) ----------------------
+
+def _kmeans_lloyd_sql(k: int, n_iter: int, dim: int = 64) -> str:
+    """Restate clustering.kmeans_train's fixed-point Lloyd iterations
+    as unrolled SQL: n_iter x (assign -> per-dim sums -> centroid
+    update with empty-cluster carry-over), then a final labeling pass
+    against the final centroids. Every quantity is the same int64
+    fixed-point the Spark side uses (SCALE=1e7), distances are exact
+    integers, centroid updates round half-away-from-zero at integer
+    scale — so the assignment table is bit-identical by construction,
+    not approximately."""
+
+    def dot(a_iv: str, b_iv: str) -> str:
+        return (
+            f"cast(list_sum(list_transform(range({dim}), "
+            f"i -> {a_iv}[i+1] * {b_iv}[i+1])) AS bigint)"
+        )
+
+    parts = [
+        SQL_FIXED,
+        f"""
+cent_0 AS (
+    SELECT vec_id AS cid, iv AS civ FROM fx WHERE vec_id < {k}
+)""",
+    ]
+    for t in range(n_iter + 1):
+        # assignment vs cent_t: d2 = ||x||^2 - 2 x.c + ||c||^2, ties to
+        # the lowest cid (Spark argmin first-occurrence)
+        parts.append(
+            f"""
+centn_{t} AS (
+    SELECT cid, civ,
+           cast(list_sum(list_transform(civ, x -> x * x)) AS bigint)
+               AS cn2
+    FROM cent_{t}
+)""",
+        )
+        parts.append(
+            f"""
+assign_{t} AS (
+    SELECT vec_id, cid, d2 FROM (
+        SELECT f.vec_id, c.cid,
+               f.n2 - 2 * {dot('f.iv', 'c.civ')} + c.cn2 AS d2,
+               row_number() OVER (
+                   PARTITION BY f.vec_id
+                   ORDER BY f.n2 - 2 * {dot('f.iv', 'c.civ')} + c.cn2,
+                            c.cid) AS rn
+        FROM fxn f CROSS JOIN centn_{t} c
+    ) WHERE rn = 1
+)""",
+        )
+        if t == n_iter:
+            break  # final labeling pass: no further update
+        parts.append(
+            f"""
+sums_{t} AS (
+    SELECT a.cid, r.i, cast(sum(f.iv[r.i + 1]) AS bigint) AS s,
+           cast(count(*) AS bigint) AS n
+    FROM assign_{t} a
+    JOIN fxn f USING (vec_id)
+    CROSS JOIN range({dim}) r(i)
+    GROUP BY a.cid, r.i
+)""",
+        )
+        parts.append(
+            f"""
+newc_{t} AS (
+    SELECT cid,
+           list(cast(round(cast(s AS double) / n) AS bigint)
+                ORDER BY i) AS civ
+    FROM sums_{t}
+    GROUP BY cid
+)""",
+        )
+        parts.append(
+            f"""
+cent_{t + 1} AS (
+    SELECT p.cid, coalesce(nw.civ, p.civ) AS civ
+    FROM cent_{t} p LEFT JOIN newc_{t} nw USING (cid)
+)""",
+        )
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT vec_id, cast(cid AS bigint) AS cluster_id, d2 AS dist2
+FROM assign_{n_iter}
+"""
+
+
+# The registered config matches sim4_ivf_topk's coarse quantizer
+# (k=16) so a green row here driver-verifies the IVF trainer, not just
+# a toy. Oracle cost at sf0.01 (200 vecs): 5 unrolled iterations of a
+# 200x16 distance table + 64-dim sum regroup — trivial for DuckDB.
+register(
+    "c1_kmeans_clusters",
+    lambda spark, sf: clustering.kmeans_train(
+        tables.load(spark, sf, "embeddings"), k=16, n_iter=5
+    )[0],
+    _kmeans_lloyd_sql(16, 5),
 )

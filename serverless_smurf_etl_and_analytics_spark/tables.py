@@ -56,16 +56,32 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects. Read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
-    microseconds with integer division — exactly what DuckDB does, so
-    oracle comparisons agree. (``ts div 1000`` stays in long; a double
-    division would lose precision above 2^53.)"""
+    """Normalize ``ts`` to a watermark-compatible TIMESTAMP (LTZ)
+    whatever physical shape events.parquet has:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read
+      nanos as long (``spark.sql.legacy.parquet.nanosAsLong``) and
+      truncate to microseconds with integer division — exactly what
+      DuckDB does, so oracle comparisons agree. (``ts div 1000`` stays
+      in long; a double division would lose precision above 2^53.)
+    - TIMESTAMP(MICROS) without timezone: Spark 4 reads TIMESTAMP_NTZ,
+      which ``withWatermark`` rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+      Cast NTZ -> TIMESTAMP: under the engine's pinned UTC session
+      timezone (session.py) the wall-clock value is unchanged, so every
+      batch ``ev_*`` oracle hash is identical and the streaming layer
+      gets a legal event-time column."""
+    if not getattr(spark, "_smurf_tuned", False):
+        from .session import tune_existing
+
+        tune_existing(spark)
+        spark._smurf_tuned = True
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes)["ts"] in ("bigint", "long"):
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
