@@ -397,7 +397,14 @@ def semantic_dedup(
     resolved greedily (B drops to A, C drops to B) rather than by
     connected components — transitive canonicalization is iterative
     (graph connectivity), deliberately out of the oracle-checkable
-    path; the greedy rule removes the same document SET.
+    path. The greedy rule drops exactly the docs with at least one
+    LOWER-id near-dup partner, a subset of what full connected
+    components would drop; the two sets coincide whenever every
+    non-minimal doc of a component has a lower-id neighbor (true on
+    the driver corpora — asserted by tests/test_graph_dedup.py — and
+    typical, since near-dup similarity is close to transitive at high
+    thresholds). :func:`semantic_dedup_cc` is the iterative variant
+    that guarantees the full-component semantics at any chain length.
 
     Pairing contract: embeddings join documents on vec_id == doc_id
     (the mm3 pairing-integrity rule); docs without an embedding are
@@ -414,6 +421,95 @@ def semantic_dedup(
         docs.select("doc_id", "lang"),
         drops["vec_b"] == F.col("doc_id"),
     ).select("doc_id", "lang", "dup_of", "n_neardups", "max_cosine")
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "vec_a",
+    dst: str = "vec_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components by min-label propagation:
+    returns (v, component) where ``component`` is the smallest vertex
+    id reachable from ``v``. Iterative (one Spark job per round), so it
+    lives OUTSIDE the oracle-checkable path by design — the driver
+    contract has no SQL analogue for a fixed-point loop.
+
+    Scale design: each round is one shuffle — join labels onto the
+    undirected adjacency, take min over neighbors, least() with the
+    current label — and convergence needs at most graph-diameter
+    rounds. Near-dup graphs are unions of tiny dense clusters (the
+    whole point of dedup), so diameter is small and the loop exits
+    early via the ``changed == 0`` check; the adjacency is persisted
+    once and each round's labels replace the last (bounded memory). At
+    100 TB the same loop holds because label state is one row per
+    DISTINCT vertex of the edge set — near-dup vertices only, not the
+    corpus — and the alternating-star optimization (Kiveris et al.,
+    "Connected Components in MapReduce") can swap in without changing
+    the output contract if diameters ever grow adversarial."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    adj = e.union(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        adj.select(F.col("s").alias("v"))
+        .distinct()
+        .withColumn("component", F.col("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels.count()
+    for _ in range(max_iter):
+        nbr_min = (
+            adj.join(labels, adj["d"] == labels["v"])
+            .groupBy("s")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["v"] == nbr_min["s"], "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_min", F.col("component")),
+                ).alias("component"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    adj.unpersist()
+    return labels
+
+
+def semantic_dedup_cc(
+    docs: DataFrame, emb: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """Connected-components variant of :func:`semantic_dedup`: resolve
+    near-dup CHAINS transitively, keeping exactly one doc (the
+    smallest id) per component. Same candidates (the sim2 adaptive
+    band path), same verify; only the keep/drop rule differs —
+    ``dup_of`` is the component's canonical doc rather than the
+    smallest direct partner, so A<-B<-C drops C to A even when (A, C)
+    was never a verified pair. Guarantees drop-set ⊇ the greedy
+    rule's; equality holds when every non-minimal doc has a lower-id
+    neighbor (tests/test_graph_dedup.py asserts both laws)."""
+    from .similarity import cosine_neardup_pairs
+
+    pairs = cosine_neardup_pairs(emb, threshold)
+    comp = connected_components(pairs)
+    dropped = comp.filter(F.col("v") != F.col("component"))
+    return dropped.join(
+        docs.select("doc_id", "lang"),
+        dropped["v"] == F.col("doc_id"),
+    ).select("doc_id", "lang", F.col("component").alias("dup_of"))
 
 
 def benchmark_membership(salt: str = "bench") -> Column:

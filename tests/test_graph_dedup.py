@@ -1,0 +1,79 @@
+"""Laws for the connected-components dedup variant (VERDICT r3 item 7):
+
+- connected_components computes min-reachable labels (synthetic graphs
+  with known answers, including a multi-hop chain).
+- greedy semantic_dedup's drop-set is a SUBSET of the CC drop-set, with
+  a synthetic witness for strictness (a doc whose only neighbor has a
+  larger id is kept by greedy, dropped by CC).
+- on the driver corpus the two sets coincide (the documented
+  equivalence condition holds there), and semantic_dedup_cc's dup_of
+  is always the component's true minimum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serverless_smurf_etl_and_analytics_spark import tables
+from serverless_smurf_etl_and_analytics_spark.operators import dedup
+
+from conftest import SF_DIR
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "vec_a long, vec_b long")
+
+
+def _labels(df):
+    return {r["v"]: r["component"] for r in df.collect()}
+
+
+def test_cc_chain_canonicalizes_transitively(spark):
+    # 1-2-3-4 chain: everything reaches 1 even though (1,4) is no edge
+    comp = dedup.connected_components(
+        _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    )
+    assert _labels(comp) == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_cc_disjoint_components(spark):
+    comp = dedup.connected_components(
+        _edges(spark, [(1, 2), (5, 7), (7, 9)])
+    )
+    assert _labels(comp) == {1: 1, 2: 1, 5: 5, 7: 5, 9: 5}
+
+
+def test_greedy_is_subset_of_cc_with_strict_witness(spark):
+    # star at 3: edges (1,3) and (2,3). Greedy drops only 3 (doc 2's
+    # single neighbor has a LARGER id, so it keeps 2); CC drops {2, 3}
+    # (component minimum is 1). This is the canonical case where the
+    # two rules differ — the reason semantic_dedup_cc exists.
+    edges = [(1, 3), (2, 3)]
+    greedy_dropped = {b for _, b in edges}
+    comp = dedup.connected_components(_edges(spark, edges))
+    cc_dropped = {
+        v for v, c in _labels(comp).items() if v != c
+    }
+    assert greedy_dropped == {3}
+    assert cc_dropped == {2, 3}
+    assert greedy_dropped < cc_dropped
+
+
+def test_corpus_greedy_equals_cc_and_minima_kept(spark):
+    docs = tables.load(spark, SF_DIR, "documents")
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    greedy = {
+        r["doc_id"]
+        for r in dedup.semantic_dedup(docs, emb, 0.4).collect()
+    }
+    cc_rows = dedup.semantic_dedup_cc(docs, emb, 0.4).collect()
+    cc = {r["doc_id"] for r in cc_rows}
+    # law: greedy ⊆ CC always; equality holds on this corpus (every
+    # non-minimal doc has a lower-id neighbor)
+    assert greedy <= cc
+    assert greedy == cc
+    # dup_of is the component minimum: smaller than the dropped doc and
+    # never itself dropped
+    for r in cc_rows:
+        assert r["dup_of"] < r["doc_id"]
+        assert r["dup_of"] not in cc
