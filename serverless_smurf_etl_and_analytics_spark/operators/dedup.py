@@ -427,53 +427,107 @@ def connected_components(
     edges: DataFrame,
     src: str = "vec_a",
     dst: str = "vec_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
-    """Distributed connected components by min-label propagation:
-    returns (v, component) where ``component`` is the smallest vertex
-    id reachable from ``v``. Iterative (one Spark job per round), so it
-    lives OUTSIDE the oracle-checkable path by design — the driver
-    contract has no SQL analogue for a fixed-point loop.
+    """Distributed connected components: returns (v, component) where
+    ``component`` is the smallest vertex id reachable from ``v``.
+    Iterative (Spark jobs in a driver loop), so it lives OUTSIDE the
+    oracle-checkable path by design — the driver contract has no SQL
+    analogue for a fixed-point loop (the d9 oracle restates it as a
+    DuckDB recursive CTE instead).
 
-    Scale design: each round is one shuffle — join labels onto the
-    undirected adjacency, take min over neighbors, least() with the
-    current label — and convergence needs at most graph-diameter
-    rounds. Near-dup graphs are unions of tiny dense clusters (the
-    whole point of dedup), so diameter is small and the loop exits
-    early via the ``changed == 0`` check; the adjacency is persisted
-    once and each round's labels replace the last (bounded memory). At
-    100 TB the same loop holds because label state is one row per
-    DISTINCT vertex of the edge set — near-dup vertices only, not the
-    corpus — and the alternating-star optimization (Kiveris et al.,
-    "Connected Components in MapReduce") can swap in without changing
-    the output contract if diameters ever grow adversarial."""
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    adj = e.union(
-        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    Each round does min-label PROPAGATION (join labels onto the
+    undirected adjacency, min over neighbors, least() with own label)
+    followed by one POINTER-JUMP (path halving: component <-
+    component's component). Propagation alone needs graph-diameter
+    rounds — the sf1 rehearsal's amplified corpus produced chains that
+    did NOT converge in 25 — while the jump halves remaining chain
+    depth per round, so convergence is O(log diameter): the same
+    corpus converges in 8 rounds.
+
+    Three things keep per-round cost CONSTANT (measured: naive
+    persist-only labels went 1.4 s -> 288 s by round 6 at sf1):
+    - ``localCheckpoint(eager=True)`` truncates label lineage to an
+      RDD leaf each round. On a real cluster prefer a reliable
+      ``checkpoint`` dir (localCheckpoint is lost with an executor);
+      semantics are identical.
+    - checkpointing alone is NOT enough: Spark's ``Dataset
+      .localCheckpoint`` carries the ORIGIN plan's size-in-bytes
+      statistics onto the checkpointed leaf, and Catalyst's join
+      estimation MULTIPLIES child sizes — so each round SQUARES the
+      stat and the BigInteger's bit length doubles per iteration
+      (measured 34 -> 66 -> 130 -> ... -> 8263 bits by round 8;
+      planning cost grows exponentially until
+      "BigInteger would overflow supported range"). ``_ckpt_fresh``
+      therefore rebuilds the DataFrame from the checkpointed RDD,
+      which resets the leaf to default stats — measured flat 63-bit
+      stats and ~0.25 s/round over 30 rounds on the same loop that
+      previously hit 125 s/round by round 22.
+    - the edge list is materialized ONCE into a persisted DataFrame
+      (the band-path pair search above it is expensive) before the
+      union builds the adjacency.
+
+    Label state is one row per DISTINCT vertex of the edge set —
+    near-dup vertices only, never the corpus — so the loop's state is
+    tiny at any scale; the alternating-star variant (Kiveris et al.,
+    "Connected Components in MapReduce") remains the documented
+    upgrade if edge lists themselves stop fitting the shuffle."""
+    from pyspark.sql import DataFrame as _DF
+
+    spark = edges.sparkSession
+
+    def _ckpt_fresh(df: DataFrame) -> DataFrame:
+        """Eager localCheckpoint + rebuild from the checkpointed RDD so
+        the resulting leaf drops BOTH lineage and the origin plan's
+        carried-over statistics (see docstring; the JVM-side
+        ``javaRDD`` round trip never touches Python serialization)."""
+        ck = df.localCheckpoint(eager=True)
+        jdf = spark._jsparkSession.createDataFrame(
+            ck._jdf.javaRDD(), ck._jdf.schema()
+        )
+        return _DF(jdf, spark)
+
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    labels = (
+    e.count()  # one materialization of the expensive pair search
+    adj = _ckpt_fresh(
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    )
+    e.unpersist()
+    labels = _ckpt_fresh(
         adj.select(F.col("s").alias("v"))
         .distinct()
         .withColumn("component", F.col("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels.count()
     for _ in range(max_iter):
         nbr_min = (
             adj.join(labels, adj["d"] == labels["v"])
             .groupBy("s")
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels["v"] == nbr_min["s"], "left")
+        prop = labels.join(
+            nbr_min, labels["v"] == nbr_min["s"], "left"
+        ).select(
+            "v",
+            F.least(
+                F.col("component"),
+                F.coalesce("nbr_min", F.col("component")),
+            ).alias("component"),
+        )
+        # pointer jump: follow the label's own label one hop
+        ptr = prop.select(
+            F.col("v").alias("pv"), F.col("component").alias("pc")
+        )
+        new_labels = _ckpt_fresh(
+            prop.join(ptr, prop["component"] == ptr["pv"], "left")
             .select(
                 "v",
                 F.least(
                     F.col("component"),
-                    F.coalesce("nbr_min", F.col("component")),
+                    F.coalesce("pc", F.col("component")),
                 ).alias("component"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         changed = (
             new_labels.alias("n")
@@ -481,11 +535,9 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    adj.unpersist()
     return labels
 
 

@@ -1051,3 +1051,45 @@ register(
     )[0],
     _kmeans_lloyd_sql(16, 5),
 )
+
+
+# ---- d9: connected-components semantic dedup -----------------------------
+# The iterative min-label loop (dedup.connected_components) IS
+# SQL-expressible for the oracle: DuckDB's recursive CTE computes the
+# undirected transitive closure of the verified near-dup pairs (UNION
+# recursion terminates at the fixed point), and min(reachable) per
+# vertex is exactly the propagated label Spark converges to. Same
+# (8 x 8) oracle-validity bound as sim2/d7.
+register(
+    "d9_semantic_dedup_cc",
+    lambda spark, sf: dedup.semantic_dedup_cc(
+        tables.load(spark, sf, "documents"),
+        tables.load(spark, sf, "embeddings"),
+        0.4,
+    ),
+    f"""
+WITH RECURSIVE {SQL_MULTIBAND},
+verified AS (
+    SELECT p.vec_a, p.vec_b
+    FROM cpairs p
+    JOIN fxn a ON a.vec_id = p.vec_a
+    JOIN fxn b ON b.vec_id = p.vec_b
+    WHERE {_COS} > 0.4
+),
+adj AS (
+    SELECT vec_a AS s, vec_b AS d FROM verified
+    UNION ALL
+    SELECT vec_b AS s, vec_a AS d FROM verified
+),
+reach(v, r) AS (
+    SELECT s, s FROM adj GROUP BY s
+    UNION
+    SELECT a.s, re.r FROM adj a JOIN reach re ON re.v = a.d
+),
+comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
+SELECT d.doc_id, d.lang, c.component AS dup_of
+FROM comp c
+JOIN documents d ON d.doc_id = c.v
+WHERE c.v != c.component
+""",
+)
