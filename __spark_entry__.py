@@ -45,8 +45,9 @@ _VERIFY_FIRST = [
     # registered with an unrolled fixed-point Lloyd oracle
     "c1_kmeans_clusters",
     # --- r4 new: connected-components semantic dedup (transitive
-    # chains), oracle via DuckDB recursive-CTE closure
-    "d9_semantic_dedup_cc",
+    # chains) and MinHash dup-group assignment, oracles via DuckDB
+    # recursive-CTE closure
+    "d9_semantic_dedup_cc", "d10_minhash_dup_groups",
     # --- r4 plan change: tables.load_events grew the timestamp_ntz ->
     # timestamp normalization (value-preserving under the UTC session,
     # but a new cast node in every events-consuming plan) — all four
@@ -82,10 +83,9 @@ _VERIFY_FIRST = [
     "j1_missing_stores_anti", "j3_brand_revenue",
     "j5_dense_date_store_grid", "j6_top_customers",
     "j7_store_region_rollup",
-    "p1_store_summary_projection",
     # --- tail (beyond the 50-window), last-green ledger: every entry
     # below is r3-green (CORRECTNESS_r03.json) with a plan untouched
-    # this round — p2/p3/p4/p6/u1/f1, x1-x6, r1, i1-i5,
+    # this round — p1/p2/p3/p4/p6/u1/f1, x1-x6, r1, i1-i5,
     # sd_nested_store_daily, a4_payment_map_rollup,
     # j5_wide_serialized, d6_simhash_neardup, d7_semantic_dedup,
     # d8_decontaminate, sim2_cosine_neardup, t6_stratified_sample.

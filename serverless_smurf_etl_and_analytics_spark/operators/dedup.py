@@ -564,6 +564,32 @@ def semantic_dedup_cc(
     ).select("doc_id", "lang", F.col("component").alias("dup_of"))
 
 
+def minhash_dup_groups(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """d10: canonical dup-GROUP assignment over the MinHash near-dup
+    graph — the operator a dedup pipeline actually executes at the end:
+    every document in any near-dup component gets its group's canonical
+    representative (smallest doc_id) and the group size, so the keep
+    set is `is_canonical` and the drop set carries provenance.
+
+    Built by composition: d4's banded MinHash pair search (linear in
+    corpus, never all-pairs) feeds :func:`connected_components`
+    (pointer-jump label propagation, O(log diameter) rounds), then one
+    groupBy for sizes. Scale notes are inherited from both — the only
+    new shuffle is the size aggregation over component labels, keyed
+    by component id (bounded by near-dup vertex count, not corpus)."""
+    pairs = minhash_neardup_pairs(docs, threshold).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("v").alias("doc_id"),
+        F.col("component").alias("canonical_doc_id"),
+        "group_size",
+        (F.col("v") == F.col("component")).alias("is_canonical"),
+    )
+
+
 def benchmark_membership(salt: str = "bench") -> Column:
     """Deterministic heldout-set membership for :func:`decontaminate`:
     a doc is "benchmark" when the last hex nibble of

@@ -1093,3 +1093,46 @@ JOIN documents d ON d.doc_id = c.v
 WHERE c.v != c.component
 """,
 )
+
+
+# ---- d10: MinHash dup groups (canonical assignment) ----------------------
+# Composition proof: d4's pair search + d9's recursive-closure oracle
+# pattern, plus a group-size aggregate. The jaccard threshold predicate
+# is restated exactly as d4's (round-at-integer-scale).
+register(
+    "d10_minhash_dup_groups",
+    lambda spark, sf: dedup.minhash_dup_groups(
+        tables.load(spark, sf, "documents"), 0.5
+    ),
+    f"""
+WITH RECURSIVE {SQL_JACCARD},
+vp AS (
+    SELECT doc_a, doc_b FROM jac
+    WHERE CASE WHEN shingles_union > 0 THEN
+            cast(cast(round(shingles_common * 1000.0 / shingles_union)
+                      AS bigint) / 1000.0 AS double)
+          END >= 0.5
+),
+adj AS (
+    SELECT doc_a AS s, doc_b AS d FROM vp
+    UNION ALL
+    SELECT doc_b AS s, doc_a AS d FROM vp
+),
+reach(v, r) AS (
+    SELECT s, s FROM adj GROUP BY s
+    UNION
+    SELECT a.s, re.r FROM adj a JOIN reach re ON re.v = a.d
+),
+comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+sizes AS (
+    SELECT component, cast(count(*) AS bigint) AS group_size
+    FROM comp GROUP BY component
+)
+SELECT
+    c.v AS doc_id,
+    c.component AS canonical_doc_id,
+    s.group_size,
+    c.v = c.component AS is_canonical
+FROM comp c JOIN sizes s USING (component)
+""",
+)

@@ -1,0 +1,75 @@
+"""Physical-plan quality guards: the scale properties the 100 TB
+design depends on, asserted against the actual planner output so a
+refactor that silently loses pushdown / broadcast / MV substitution /
+bounded-cross-join discipline fails CI, not the next scale rehearsal.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from serverless_smurf_etl_and_analytics_spark.plans import registry
+
+from conftest import SF_DIR
+
+# The ONLY plans allowed to contain a nested-loop/cartesian join: the
+# dense dates x stores grid family (both sides bounded dimensions,
+# SURVEY J5) and t8's broadcast attach of the scalar corpus doc count.
+ALLOWED_NESTED_LOOP = {
+    "j5_dense_date_store_grid",
+    "j5_wide_pivot_timeseries",
+    "j5_wide_serialized",
+    "t8_doc_frequency",
+}
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_unexpected_cross_or_nested_loop_joins(spark):
+    offenders = {}
+    for name in registry.QUERIES:
+        plan = _plan(spark, name)
+        kinds = [
+            k
+            for k in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if k in plan
+        ]
+        if kinds:
+            offenders[name] = kinds
+    assert set(offenders) <= ALLOWED_NESTED_LOOP, (
+        f"unexpected cross/nested-loop joins: "
+        f"{ {k: v for k, v in offenders.items() if k not in ALLOWED_NESTED_LOOP} }"
+    )
+    # and none of them may be a true CartesianProduct (the allowed ones
+    # broadcast a bounded side)
+    assert not [n for n, k in offenders.items() if "CartesianProduct" in k]
+
+
+@pytest.mark.parametrize("name", ["p3_point_lookup", "p4_range_filter_daily"])
+def test_predicate_pushdown_reaches_scan(spark, name):
+    plan = _plan(spark, name)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, f"{name}: no parquet scan with PushedFilters in plan"
+    assert any(p.strip() for p in pushed), (
+        f"{name}: PushedFilters empty — predicate not reaching the scan"
+    )
+
+
+def test_dimension_join_broadcasts(spark):
+    df = registry.QUERIES["j3_brand_revenue"](spark, SF_DIR)
+    df.count()  # let AQE finalize strategy
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shared_store_day_mv_substitutes(spark):
+    # any transactions-consuming query must read the cached store-day
+    # MV, not rescan the fact table (plans/shared.py contract)
+    plan = _plan(spark, "a1_store_day_metrics")
+    assert "InMemoryTableScan" in plan
