@@ -515,7 +515,12 @@ def connected_components(
                 F.coalesce("nbr_min", F.col("component")),
             ).alias("component"),
         )
-        # pointer jump: follow the label's own label one hop
+        # ONE pointer jump (follow the label's own label one hop):
+        # halves remaining chain depth per round. A second jump within
+        # the round was measured SLOWER (109 s vs 42 s for d9 at sf1):
+        # the self-join references the un-checkpointed subtree twice,
+        # so each extra jump re-executes the whole round pipeline —
+        # recompute cost beats the saved rounds.
         ptr = prop.select(
             F.col("v").alias("pv"), F.col("component").alias("pc")
         )
