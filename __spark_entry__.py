@@ -46,8 +46,9 @@ _VERIFY_FIRST = [
     "c1_kmeans_clusters",
     # --- r4 new: connected-components semantic dedup (transitive
     # chains) and MinHash dup-group assignment, oracles via DuckDB
-    # recursive-CTE closure
+    # recursive-CTE closure; embedding dimension profiler
     "d9_semantic_dedup_cc", "d10_minhash_dup_groups",
+    "e1_embedding_dim_profile",
     # --- r4 plan change: tables.load_events grew the timestamp_ntz ->
     # timestamp normalization (value-preserving under the UTC session,
     # but a new cast node in every events-consuming plan) — all four
@@ -82,11 +83,10 @@ _VERIFY_FIRST = [
     "a16_product_range_stats", "a17_distinct_dates",
     "j1_missing_stores_anti", "j3_brand_revenue",
     "j5_dense_date_store_grid", "j6_top_customers",
-    "j7_store_region_rollup",
     # --- tail (beyond the 50-window), last-green ledger: every entry
     # below is r3-green (CORRECTNESS_r03.json) with a plan untouched
-    # this round — p1/p2/p3/p4/p6/u1/f1, x1-x6, r1, i1-i5,
-    # sd_nested_store_daily, a4_payment_map_rollup,
+    # this round — j7_store_region_rollup, p1/p2/p3/p4/p6/u1/f1,
+    # x1-x6, r1, i1-i5, sd_nested_store_daily, a4_payment_map_rollup,
     # j5_wide_serialized, d6_simhash_neardup, d7_semantic_dedup,
     # d8_decontaminate, sim2_cosine_neardup, t6_stratified_sample.
 ]

@@ -660,3 +660,54 @@ def lsh_topk(emb: DataFrame, k: int = 3, n_queries: int = 64) -> DataFrame:
             "rank",
         )
     )
+
+
+def embedding_dim_profile(emb: DataFrame) -> DataFrame:
+    """e1: per-dimension embedding profile — the data-quality pass an
+    embedding pipeline runs before indexing/training: n, mean, std,
+    min, max per dimension expose dead dims (std ~ 0), scale drift
+    between ingestion batches, and clipped components.
+
+    Determinism: components convert to int64 fixed point (SCALE) and
+    all aggregation is EXACT integer math — sums in decimal(38,0) so
+    the squared-sum cannot overflow int64 at any corpus size — with
+    the float mean/std derived from exact sums at the end and rounded
+    at integer scale (the engine-portable convention every similarity
+    oracle uses). Result: byte-identical to the DuckDB oracle.
+
+    Scale design: one posexplode (narrow, no shuffle) and ONE hash
+    aggregation keyed by dim_idx — 64 groups regardless of corpus
+    size, partial aggregation map-side, final reduce is 64 rows. The
+    posexplode multiplies rows by DIM before the partial agg, but
+    whole-stage codegen pipelines explode->partial-agg in one pass
+    over the scan, so nothing is materialized at the exploded width."""
+    x = emb.select(
+        F.posexplode("embedding").alias("dim_idx", "val")
+    ).select(
+        "dim_idx",
+        F.round(F.col("val").cast("double") * SCALE)
+        .cast("long")
+        .alias("iv"),
+    )
+    agg = x.groupBy("dim_idx").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("iv").alias("s"),
+        F.sum(F.col("iv").cast("decimal(38,0)") * F.col("iv")).alias("s2"),
+        F.min("iv").alias("min_iv"),
+        F.max("iv").alias("max_iv"),
+    )
+    n = F.col("n_vecs").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = F.col("s2").cast("double") / n - mean * mean
+    r6 = lambda c: (  # noqa: E731 — the shared 1e-6 rounding idiom
+        F.round(c * 1000000.0).cast("long") / 1000000.0
+    ).cast("double")
+    scale_d = float(SCALE)
+    return agg.select(
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        r6(mean / scale_d).alias("mean"),
+        r6(F.sqrt(F.greatest(var, F.lit(0.0))) / scale_d).alias("std"),
+        r6(F.col("min_iv").cast("double") / scale_d).alias("min_val"),
+        r6(F.col("max_iv").cast("double") / scale_d).alias("max_val"),
+    )

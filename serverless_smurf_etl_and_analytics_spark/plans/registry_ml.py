@@ -1136,3 +1136,50 @@ SELECT
 FROM comp c JOIN sizes s USING (component)
 """,
 )
+
+
+# ---- e1: embedding dimension profile -------------------------------------
+# Exact-integer aggregation (decimal-128 squared sums) with the shared
+# 1e-6 rounding idiom; the oracle restates it over unnested components.
+register(
+    "e1_embedding_dim_profile",
+    lambda spark, sf: similarity.embedding_dim_profile(
+        tables.load(spark, sf, "embeddings")
+    ),
+    """
+WITH x AS (
+    SELECT
+        cast(i AS int) AS dim_idx,
+        cast(round(cast(embedding[i + 1] AS double) * 10000000)
+             AS bigint) AS iv
+    FROM embeddings, range(64) r(i)
+),
+agg AS (
+    SELECT
+        dim_idx,
+        cast(count(*) AS bigint)              AS n_vecs,
+        cast(sum(iv) AS bigint)               AS s,
+        sum(cast(iv AS hugeint) * iv)         AS s2,
+        cast(min(iv) AS bigint)               AS min_iv,
+        cast(max(iv) AS bigint)               AS max_iv
+    FROM x GROUP BY dim_idx
+)
+SELECT
+    dim_idx,
+    n_vecs,
+    cast(cast(round((cast(s AS double) / n_vecs) / 10000000
+                    * 1000000.0) AS bigint) / 1000000.0 AS double)
+        AS mean,
+    cast(cast(round(sqrt(greatest(
+             cast(s2 AS double) / n_vecs
+             - (cast(s AS double) / n_vecs)
+               * (cast(s AS double) / n_vecs), 0.0)) / 10000000
+             * 1000000.0) AS bigint) / 1000000.0 AS double)
+        AS std,
+    cast(cast(round(cast(min_iv AS double) / 10000000 * 1000000.0)
+              AS bigint) / 1000000.0 AS double) AS min_val,
+    cast(cast(round(cast(max_iv AS double) / 10000000 * 1000000.0)
+              AS bigint) / 1000000.0 AS double) AS max_val
+FROM agg
+""",
+)
