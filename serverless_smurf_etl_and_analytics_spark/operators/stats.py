@@ -1,0 +1,153 @@
+"""Distributive statistics operators: mergeable KMV distinct-count
+sketches and exact grouped quantiles via value-domain compression
+(SURVEY.md LLM-pipeline brief; the reference computes no cardinality
+estimates or percentiles — its rollups are plain sums,
+``calculate-metrics/lambda_function.py``).
+
+Both operators are deterministic across engines: the KMV sketch hashes
+with md5 (hex is byte-identical everywhere, so the retained k-minimum
+set is a pure function of the data), and the quantile definition is
+the explicit ceil-rank order statistic (idx = ceil(p*n), value = the
+idx-th smallest) restated identically in the DuckDB oracle — no
+engine-specific interpolation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+U32 = 1 << 32
+KMV_K = 64
+KMV_SALT = "kmv|"
+
+
+def _hash32(col: F.Column) -> F.Column:
+    """First 32 bits of md5 as an unsigned long — the KMV hash domain.
+    md5 hex is byte-identical in Spark, DuckDB, and Python, so the
+    sketch contents (not just the estimate) are oracle-checkable."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(KMV_SALT), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame, group: str, value: str, k: int = KMV_K
+) -> DataFrame:
+    """sk1: per-``group`` KMV (k-minimum-values) distinct-count sketch
+    over ``value``, with the exact count alongside so the estimate is
+    auditable: est = (k-1) * 2^32 / h_k where h_k is the k-th smallest
+    distinct 32-bit hash (Bar-Yossef et al. 2002); groups holding
+    fewer than k distinct hashes report their exact hash count.
+
+    Output: (group, n_exact, n_hashes_kept, kth_hash, est_distinct,
+    err_bp) — all integers.
+
+    Scale design (the reason KMV and not a plain countDistinct): the
+    sketch is MERGEABLE — min-k of a union is the min-k of the merged
+    min-k's — so it partial-aggregates. The plan is (1) map-side
+    distinct on (group, hash); (2) an Arrow-batched per-partition
+    combiner that keeps only each group's k smallest hashes, bounding
+    what the shuffle and the final per-group sort ever see to
+    k x n_partitions rows regardless of cardinality; (3) a final
+    window over that bounded set. A billion-distinct group ships 64
+    values per partition, not a billion. Merge law is pytest-proven
+    (``tests/test_stats.py``).
+    """
+    hashed = (
+        df.select(
+            F.col(group).cast("string").alias("g"),
+            _hash32(F.col(value)).alias("h"),
+        )
+        .distinct()
+    )
+
+    def keep_kmin(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield b.sort_values("h").groupby("g", sort=False).head(k)[
+                ["g", "h"]
+            ]
+
+    partial = hashed.mapInPandas(keep_kmin, schema="g string, h long")
+    # the group key survives mapInPandas as a string for schema
+    # stability; restore the caller's type on the way out.
+    gtype = df.schema[group].dataType
+    w = Window.partitionBy("g").orderBy("h")
+    ranked = partial.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    sketch = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_hashes_kept"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_hash"),
+    )
+    exact = df.groupBy(F.col(group).cast("string").alias("g")).agg(
+        F.countDistinct(value).alias("n_exact")
+    )
+    j = sketch.join(exact, "g")
+    est = F.when(
+        F.col("kth_hash").isNotNull(),
+        F.expr(f"({k - 1} * {U32}) div kth_hash"),
+    ).otherwise(F.col("n_hashes_kept"))
+    out = j.select(
+        F.col("g").cast(gtype).alias(group),
+        "n_exact",
+        "n_hashes_kept",
+        "kth_hash",
+        est.alias("est_distinct"),
+    )
+    return out.withColumn(
+        "err_bp",
+        F.expr(
+            "cast(round(abs(est_distinct - n_exact) * 10000.0 / n_exact)"
+            " as bigint)"
+        ),
+    )
+
+
+def group_quantiles(txns: DataFrame) -> DataFrame:
+    """q1: exact p50/p90/p99 of line cents per payment method, via
+    value-domain compression — the scalable exact-quantile plan.
+
+    Definition (engine-neutral): idx_p = ceil(p*n) computed as
+    (p_pct*n + 99) div 100 in pure integers; the quantile is the
+    smallest value whose cumulative row count reaches idx_p.
+
+    Scale design: instead of sorting n rows per group (a window over
+    the fact table), aggregate to (group, value) counts FIRST — the
+    window then runs over distinct values only, which for integer
+    cents is bounded by the price domain, not the row count. At
+    100 TB the partial count agg is map-side combined and the sort
+    input shrinks by orders of magnitude; if even the value domain is
+    huge, the same plan coarsens values into fixed-point bins
+    (documented alternative; exact here since cents are discrete).
+    """
+    uni = txns.groupBy(
+        "payment_method", F.col("line_cents").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("payment_method")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("payment_method")
+    u = uni.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+
+    def q(pct: int) -> F.Column:
+        idx = F.expr(f"({pct} * n + 99) div 100")
+        return F.min(F.when(F.col("cum") >= idx, F.col("v")))
+
+    return u.groupBy("payment_method").agg(
+        F.max("n").alias("n_lines"),
+        F.min("v").alias("min_c"),
+        q(50).alias("p50_c"),
+        q(90).alias("p90_c"),
+        q(99).alias("p99_c"),
+        F.max("v").alias("max_c"),
+    )

@@ -1313,3 +1313,4 @@ GROUP BY insight_type
 # `register` symbol and shared SQL CTEs above exist).
 from . import registry_ml  # noqa: E402,F401
 from . import registry_export  # noqa: E402,F401
+from . import registry_stats  # noqa: E402,F401

@@ -1,0 +1,155 @@
+"""Registry entries for the temporal-join and distributive-statistics
+extensions (operators/timejoin.py, operators/stats.py): as-of join,
+interval-overlap (range) join, KMV distinct sketch, exact grouped
+quantiles.
+
+Oracle notes: aj1 is checked against DuckDB's NATIVE ``ASOF JOIN``
+(the right side is pre-aggregated to one row per (user, day) so the
+as-of match is deterministic in both engines); the others restate the
+engine-neutral integer definitions (ceil-rank order statistics, md5
+min-k hash sets) directly.
+"""
+
+from __future__ import annotations
+
+from .. import tables
+from ..operators import stats, timejoin
+from .registry import TXN, register
+
+# aj1: left as-of join — every event attributed to the user's most
+# recent order-day at or before the event (union + running-window
+# carry on the Spark side; native ASOF LEFT JOIN in the oracle).
+register(
+    "aj1_event_order_asof",
+    lambda spark, sf: timejoin.event_order_asof(
+        tables.load_events(spark, sf), tables.load(spark, sf, "orders")
+    ),
+    """
+WITH q AS (
+    SELECT o_custkey AS user_id, o_orderdate AS order_ts,
+           cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint)
+               AS day_total_c,
+           cast(count(*) AS bigint) AS day_orders,
+           cast(max(o_orderkey) AS bigint) AS last_orderkey
+    FROM orders GROUP BY 1, 2
+)
+SELECT
+    e.event_id, e.user_id, e.event_type,
+    strftime(e.ts, '%Y-%m-%d %H:%M:%S')  AS ts_s,
+    strftime(q.order_ts, '%Y-%m-%d')     AS order_day,
+    cast(q.day_total_c / 100.0 AS double) AS order_day_total,
+    q.day_orders, q.last_orderkey,
+    cast(date_diff('day', cast(q.order_ts AS date), cast(e.ts AS date))
+         AS bigint) AS days_since_order
+FROM events e ASOF LEFT JOIN q
+  ON e.user_id = q.user_id AND e.ts >= q.order_ts
+""",
+)
+
+# rj1: interval-overlap range join — top-10 busiest hours widened to
+# 90-minute windows, rolled up over the events each window overlaps.
+# Registered with the broadcast strategy (10 intervals is
+# dimension-sized); the binned both-sides-large strategy is law-tested
+# equal in tests/test_timejoin.py.
+register(
+    "rj1_busy_window_events",
+    lambda spark, sf: timejoin.busy_window_events(
+        tables.load_events(spark, sf), 10
+    ),
+    """
+WITH hours AS (
+    SELECT date_trunc('hour', ts) AS h, cast(count(*) AS bigint)
+        AS hour_events
+    FROM events GROUP BY 1
+),
+top AS (SELECT h, hour_events FROM hours ORDER BY hour_events DESC, h
+        LIMIT 10),
+iv AS (
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS interval_id, hour_events,
+           h - INTERVAL 15 minute AS lo, h + INTERVAL 75 minute AS hi
+    FROM top
+)
+SELECT iv.interval_id, iv.hour_events,
+       cast(count(*) AS bigint) AS n_events,
+       cast(count(DISTINCT e.user_id) AS bigint) AS n_users,
+       cast(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS bigint) AS n_purchases
+FROM iv JOIN events e ON e.ts >= iv.lo AND e.ts < iv.hi
+GROUP BY 1, 2
+""",
+)
+
+# sk1: mergeable KMV distinct-count sketch per store over item_sku,
+# exact count alongside for auditability. The oracle rebuilds the
+# identical min-64 md5 hash set, so the sketch CONTENTS are checked,
+# not just the estimate.
+register(
+    "sk1_kmv_distinct_skus",
+    lambda spark, sf: stats.kmv_distinct(
+        tables.transactions(spark, sf), "store_id", "item_sku"
+    ),
+    f"""
+WITH {TXN},
+hashed AS (
+    SELECT DISTINCT store_id AS g,
+        ('0x' || substr(md5('kmv|' || cast(item_sku AS varchar)), 1, 8))
+            ::bigint AS h
+    FROM transactions
+),
+ranked AS (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM hashed
+),
+sketch AS (
+    SELECT g, cast(count(*) AS bigint) AS n_hashes_kept,
+           max(CASE WHEN rn = 64 THEN h END) AS kth_hash
+    FROM ranked WHERE rn <= 64 GROUP BY g
+),
+exact AS (
+    SELECT store_id AS g, cast(count(DISTINCT item_sku) AS bigint)
+        AS n_exact
+    FROM transactions GROUP BY 1
+),
+j AS (
+    SELECT s.g AS store_id, e.n_exact, s.n_hashes_kept, s.kth_hash,
+        CASE WHEN s.kth_hash IS NOT NULL
+             THEN (63 * 4294967296) // s.kth_hash
+             ELSE s.n_hashes_kept END AS est_distinct
+    FROM sketch s JOIN exact e USING (g)
+)
+SELECT *, cast(round(abs(est_distinct - n_exact) * 10000.0 / n_exact)
+               AS bigint) AS err_bp
+FROM j
+""",
+)
+
+# q1: exact ceil-rank percentiles of line cents per payment method via
+# value-domain compression (count per distinct value first; the window
+# runs over the value domain, not the row count).
+register(
+    "q1_payment_quantiles",
+    lambda spark, sf: stats.group_quantiles(tables.transactions(spark, sf)),
+    f"""
+WITH {TXN},
+uni AS (
+    SELECT payment_method, line_cents AS v, cast(count(*) AS bigint) AS c
+    FROM transactions GROUP BY 1, 2
+),
+u AS (
+    SELECT payment_method, v, c,
+        sum(c) OVER (PARTITION BY payment_method ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum,
+        sum(c) OVER (PARTITION BY payment_method) AS n
+    FROM uni
+)
+SELECT payment_method,
+    cast(max(n) AS bigint) AS n_lines,
+    min(v) AS min_c,
+    min(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END) AS p50_c,
+    min(CASE WHEN cum >= (90 * n + 99) // 100 THEN v END) AS p90_c,
+    min(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END) AS p99_c,
+    max(v) AS max_c
+FROM u GROUP BY 1
+""",
+)

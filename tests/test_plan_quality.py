@@ -16,12 +16,16 @@ from conftest import SF_DIR
 
 # The ONLY plans allowed to contain a nested-loop/cartesian join: the
 # dense dates x stores grid family (both sides bounded dimensions,
-# SURVEY J5) and t8's broadcast attach of the scalar corpus doc count.
+# SURVEY J5), t8's broadcast attach of the scalar corpus doc count,
+# and rj1's range join whose broadcast side is the top-10 bounded
+# interval set (the binned equi-join strategy is the at-scale path,
+# law-tested equal in test_timejoin.py).
 ALLOWED_NESTED_LOOP = {
     "j5_dense_date_store_grid",
     "j5_wide_pivot_timeseries",
     "j5_wide_serialized",
     "t8_doc_frequency",
+    "rj1_busy_window_events",
 }
 
 

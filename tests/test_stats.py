@@ -1,0 +1,114 @@
+"""Laws for the distributive statistics (operators/stats.py): KMV
+sketch mergeability / partition-invariance and accuracy bounds; exact
+quantile definition checked against a direct sorted-list computation."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from serverless_smurf_etl_and_analytics_spark import tables
+from serverless_smurf_etl_and_analytics_spark.operators import stats
+
+from conftest import SF_DIR
+
+
+def _h32(v) -> int:
+    return int(
+        hashlib.md5(f"kmv|{v}".encode()).hexdigest()[:8], 16
+    )
+
+
+def test_kmv_partition_invariance(spark):
+    """The sketch is a pure function of the data: re-partitioning (a
+    different per-partition combiner decomposition) must not move a
+    single output value — this IS the merge law, exercised through the
+    engine rather than asserted abstractly."""
+    txns = tables.transactions(spark, SF_DIR)
+    a = stats.kmv_distinct(txns, "store_id", "item_sku").collect()
+    b = stats.kmv_distinct(
+        txns.repartition(17), "store_id", "item_sku"
+    ).collect()
+    key = lambda r: r["store_id"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_kmv_matches_reference_python(spark):
+    """Sketch contents vs an independent single-threaded Python
+    reference: same kth hash, same estimate."""
+    txns = tables.transactions(spark, SF_DIR)
+    rows = (
+        txns.select("store_id", "item_sku").distinct().collect()
+    )
+    by_store: dict[str, set[int]] = {}
+    for r in rows:
+        by_store.setdefault(r["store_id"], set()).add(_h32(r["item_sku"]))
+    out = {
+        r["store_id"]: r
+        for r in stats.kmv_distinct(txns, "store_id", "item_sku").collect()
+    }
+    assert set(out) == set(by_store)
+    for store, hashes in by_store.items():
+        got = out[store]
+        ordered = sorted(hashes)
+        if len(ordered) >= stats.KMV_K:
+            kth = ordered[stats.KMV_K - 1]
+            assert got["kth_hash"] == kth
+            assert got["est_distinct"] == (
+                (stats.KMV_K - 1) * (1 << 32)
+            ) // kth
+        else:
+            assert got["kth_hash"] is None
+            assert got["est_distinct"] == len(ordered)
+
+
+def test_kmv_relative_error_bound(spark):
+    """KMV standard error is ~1/sqrt(k-2); at k=64 that is ~12.7%.
+    Allow 4 sigma — a failure here means the estimator is broken, not
+    unlucky (the hash set is deterministic, so this never flakes)."""
+    txns = tables.transactions(spark, SF_DIR)
+    for r in stats.kmv_distinct(txns, "store_id", "item_sku").collect():
+        if r["kth_hash"] is None:
+            assert r["est_distinct"] == r["n_hashes_kept"]
+        else:
+            rel = abs(r["est_distinct"] - r["n_exact"]) / r["n_exact"]
+            assert rel < 4 / math.sqrt(stats.KMV_K - 2), r
+
+
+def test_group_quantiles_vs_sorted_lists(spark):
+    txns = tables.transactions(spark, SF_DIR)
+    vals: dict[str, list[int]] = {}
+    for r in txns.select("payment_method", "line_cents").collect():
+        vals.setdefault(r["payment_method"], []).append(r["line_cents"])
+    out = {
+        r["payment_method"]: r
+        for r in stats.group_quantiles(txns).collect()
+    }
+    assert set(out) == set(vals)
+    for pay, v in vals.items():
+        v.sort()
+        n = len(v)
+        got = out[pay]
+        assert got["n_lines"] == n
+        assert got["min_c"] == v[0]
+        assert got["max_c"] == v[-1]
+        for pct, col in ((50, "p50_c"), (90, "p90_c"), (99, "p99_c")):
+            idx = -(-pct * n // 100)  # ceil(pct*n/100)
+            assert got[col] == v[idx - 1], (pay, pct)
+
+
+def test_group_quantiles_tiny_groups(spark):
+    """n=1 and all-equal-value groups: every percentile degenerates to
+    the single value; the ceil-rank formula must not index to 0."""
+    df = spark.createDataFrame(
+        [("X", 500), ("Y", 7), ("Y", 7), ("Y", 7)],
+        "payment_method string, line_cents long",
+    )
+    out = {
+        r["payment_method"]: r for r in stats.group_quantiles(df).collect()
+    }
+    for pay, v in (("X", 500), ("Y", 7)):
+        for col in ("min_c", "p50_c", "p90_c", "p99_c", "max_c"):
+            assert out[pay][col] == v
+    assert out["X"]["n_lines"] == 1
+    assert out["Y"]["n_lines"] == 3
