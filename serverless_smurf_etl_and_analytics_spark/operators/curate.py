@@ -104,3 +104,57 @@ def pack_sequences(
         F.floor(prev_cum / budget_tokens).cast("long").alias("shard_id"),
         (prev_cum % budget_tokens).cast("long").alias("offset_in_shard"),
     )
+
+
+def weighted_sample(docs: DataFrame, salt: str = "wsample") -> DataFrame:
+    """w1: quality-weighted Bernoulli downsampling — each document is
+    kept with probability proportional to its quality score (the t1
+    stopword/uniqueness blend, as integer basis points), the standard
+    "sample better data more" curation step between hard filters and
+    uniform sampling.
+
+    keep  iff  md5_u32(salt|doc_id) * 10000 < weight_bp * 2^32
+
+    Pure integer compare (exact to 1/2^32, like stratified_sample);
+    the decision is a function of (doc_id, salt, text) only, so the
+    sample is reproducible across engines and stable under corpus
+    growth. Zero-quality and empty documents have weight 0 and are
+    never kept.
+
+    Scale design: one narrow whole-stage-codegen filter over the scan
+    — the weight derives from per-row token arrays (no shuffle, no
+    state), so at 100 TB this is a bandwidth-bound scan like t6."""
+    toks = tokens_col(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        F.size(
+            F.filter(toks, lambda w: w.isin("the", "a", "and", "of", "to", "in"))
+        )
+        .cast("long")
+        .alias("n_stop"),
+    )
+    weight = F.when(
+        F.col("n_tokens") > 0,
+        F.round(
+            (F.col("n_stop") * 3000.0 + F.col("n_uniq") * 7000.0)
+            / F.col("n_tokens")
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.withColumn("weight_bp", weight)
+        .filter(u * 10000 < F.col("weight_bp") * F.lit(U32))
+        .select("doc_id", "lang", "source", "weight_bp")
+    )

@@ -322,3 +322,51 @@ def doc_frequency(docs: DataFrame, top_n: int = 100) -> DataFrame:
         .orderBy(F.col("df").desc(), F.col("tok"))
         .limit(top_n)
     )
+
+
+# PII patterns, written in the regex intersection of Java (Spark) and
+# RE2 (DuckDB): character classes, bounded repeats and \b only — no
+# lookaround, no backreferences — so the SAME pattern string runs in
+# both engines (cross-engine parity proven on synthetic PII fixtures
+# in tests/test_pii.py; the driver corpus contains no PII, so this
+# operator is pytest-verified rather than registry-verified).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"(\+\d{1,3}[- ]?)?\(?\d{3}\)?[- ]?\d{3}[- ]?\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """t9: PII detection + redaction — per-document match counts for
+    each pattern class and the text with every match replaced by its
+    ``[CLASS]`` tag, plus an md5 of the redacted text so audits can
+    prove the scrub without re-reading content.
+
+    Scale design: pure JVM regexp expressions (regexp_count /
+    regexp_replace) inside whole-stage codegen — a linear scan, no
+    shuffle at all; at 100 TB this is bandwidth-bound like any
+    filter. Patterns are applied in a fixed order (email, ipv4,
+    phone, ssn) so overlapping matches resolve deterministically."""
+    out = docs
+    counts = []
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    total = None
+    for c in PII_PATTERNS:
+        col = F.col(f"n_{c}")
+        total = col if total is None else total + col
+    return (
+        out.select("doc_id", F.col(text_col), *counts)
+        .withColumn("n_pii", total.cast("long"))
+        .withColumn("redacted", red)
+        .withColumn("redacted_md5", F.md5(red))
+        .drop(text_col)
+    )

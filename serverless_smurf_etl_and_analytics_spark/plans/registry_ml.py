@@ -20,17 +20,9 @@ from ..operators import (
 )
 from .registry import register
 
-STOP_SQL = "('the', 'a', 'and', 'of', 'to', 'in')"
-
-SQL_TOKS = r"""
-toks_t AS (
-    SELECT
-        doc_id, lang, text,
-        list_filter(string_split_regex(trim(text), '\s+'),
-                    x -> x != '') AS toks
-    FROM documents
-)
-"""
+# the tokenization/stopword fragments live in the leaf module
+# sql_text.py so registry_stats can share them cycle-free
+from .sql_text import SQL_TOKS, STOP_SQL  # noqa: F401
 
 SQL_SHINGLES = (
     SQL_TOKS

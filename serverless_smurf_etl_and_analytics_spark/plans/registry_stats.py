@@ -13,7 +13,7 @@ min-k hash sets) directly.
 from __future__ import annotations
 
 from .. import tables
-from ..operators import stats, timejoin
+from ..operators import curate, stats, timejoin
 from .registry import TXN, register
 
 # aj1: left as-of join — every event attributed to the user's most
@@ -151,5 +151,42 @@ SELECT payment_method,
     min(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END) AS p99_c,
     max(v) AS max_c
 FROM u GROUP BY 1
+""",
+)
+
+
+# w1: quality-weighted Bernoulli downsampling — keep probability
+# proportional to the t1 stopword/uniqueness quality blend (integer
+# basis points), decided by a pure md5 integer compare like t6.
+from .sql_text import SQL_TOKS, STOP_SQL  # noqa: E402
+
+register(
+    "w1_weighted_sample",
+    lambda spark, sf: curate.weighted_sample(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+WITH {SQL_TOKS},
+m AS (
+    SELECT t.doc_id, t.lang, d.source,
+        cast(len(toks) AS bigint) AS n_tokens,
+        cast(len(list_distinct(toks)) AS bigint) AS n_uniq,
+        cast(len(list_filter(toks, x -> x IN {STOP_SQL})) AS bigint)
+            AS n_stop
+    FROM toks_t t JOIN documents d USING (doc_id)
+),
+w AS (
+    SELECT doc_id, lang, source,
+        CASE WHEN n_tokens > 0
+             THEN cast(round((n_stop * 3000.0 + n_uniq * 7000.0)
+                             / n_tokens) AS bigint)
+             ELSE 0 END AS weight_bp
+    FROM m
+)
+SELECT doc_id, lang, source, weight_bp
+FROM w
+WHERE ('0x' || substr(md5('wsample|' || cast(doc_id AS varchar)), 1, 8))
+          ::bigint * 10000
+      < weight_bp * 4294967296
 """,
 )

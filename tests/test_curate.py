@@ -72,3 +72,55 @@ def test_stratified_sample_stable_under_corpus_growth(spark):
         d for d in full_kept["doc_id"].tolist() if d % 2 == 0
     )
     assert sorted(half_kept["doc_id"].tolist()) == expect
+
+
+def test_weighted_sample_zero_weight_never_kept(spark):
+    from serverless_smurf_etl_and_analytics_spark.operators import curate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", "web"),
+            (2, "   ", "en", "web"),
+            (3, "the quick brown fox the lazy dog", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = curate.weighted_sample(docs).collect()
+    assert all(r["weight_bp"] > 0 for r in out)
+    assert all(r["doc_id"] == 3 for r in out)  # empty docs filtered
+
+
+def test_weighted_sample_rate_tracks_weight(spark, duck):
+    """Realized keep-count ~= sum of keep-probabilities (md5 keys are
+    uniform; the data is fixed, so this is a deterministic assertion
+    about the estimator, not a flaky statistical one)."""
+    import math
+
+    from serverless_smurf_etl_and_analytics_spark import tables
+    from serverless_smurf_etl_and_analytics_spark.operators import curate
+    from serverless_smurf_etl_and_analytics_spark.plans.registry_ml import (
+        SQL_TOKS,
+        STOP_SQL,
+    )
+
+    from conftest import SF_DIR
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    kept = curate.weighted_sample(docs).count()
+    n = docs.count()
+    expected = duck.execute(
+        f"""
+        WITH {SQL_TOKS},
+        m AS (
+            SELECT len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_uniq,
+                   len(list_filter(toks, x -> x IN {STOP_SQL})) AS n_stop
+            FROM toks_t
+        )
+        SELECT sum(CASE WHEN n_tokens > 0
+                   THEN round((n_stop * 3000.0 + n_uniq * 7000.0)
+                              / n_tokens) ELSE 0 END) / 10000.0
+        FROM m
+        """
+    ).fetchone()[0]
+    assert abs(kept - expected) < 6 * math.sqrt(n), (kept, expected)
