@@ -370,3 +370,60 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("redacted_md5", F.md5(red))
         .drop(text_col)
     )
+
+
+def tfidf_keywords(docs: DataFrame, top_k: int = 3) -> DataFrame:
+    """tf1: per-document keyword extraction — the ``top_k`` tokens by
+    TF-IDF, the classic topic-tagging / dedup-explanation signal of a
+    corpus pipeline. All-integer scoring keeps it engine-portable:
+
+        idf_ppm = round(1e6 * n_docs / df)     (no logarithms — ln is
+        score   = tf * idf_ppm                  not bit-stable across
+                                                engines; 1/df ranks
+                                                identically)
+
+    Ties break on token text, so the emitted row set is a
+    deterministic total order both engines agree on.
+
+    Scale design: (1) per-(doc, token) counts — one shuffle with
+    map-side combine; (2) document frequency per token — second
+    bounded-by-vocabulary aggregate; (3) tf joins df on the token key
+    (co-shuffled equi-join; at 100 TB both sides are already
+    token-keyed, and the df side is vocabulary-sized — broadcastable
+    while the vocab fits); (4) per-doc top-k via one window over the
+    doc's own tokens. The corpus doc count attaches as a broadcast
+    scalar exactly like t8."""
+    tf = (
+        token_rows(docs)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_t = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    n_docs = docs.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    scored = (
+        tf.join(df_t, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(F.lit(1000000.0) * F.col("n_docs") / F.col("df"))
+            .cast("long")
+            .alias("idf_ppm"),
+        )
+        .withColumn("score", (F.col("tf") * F.col("idf_ppm")).cast("long"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "rank", "tok", "tf", "df", "score")
+    )

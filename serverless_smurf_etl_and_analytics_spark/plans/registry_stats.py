@@ -13,7 +13,7 @@ min-k hash sets) directly.
 from __future__ import annotations
 
 from .. import tables
-from ..operators import curate, stats, timejoin
+from ..operators import curate, stats, textops, timejoin
 from .registry import TXN, register
 
 # aj1: left as-of join — every event attributed to the user's most
@@ -188,5 +188,44 @@ FROM w
 WHERE ('0x' || substr(md5('wsample|' || cast(doc_id AS varchar)), 1, 8))
           ::bigint * 10000
       < weight_bp * 4294967296
+""",
+)
+
+
+# tf1: per-document TF-IDF keyword extraction (top-3). Integer idf_ppm
+# (round(1e6 * n_docs / df)) ranks identically to 1/df with no
+# cross-engine logarithm drift; ties break on token text.
+register(
+    "tf1_tfidf_keywords",
+    lambda spark, sf: textops.tfidf_keywords(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+WITH {SQL_TOKS},
+tok_rows AS (SELECT doc_id, unnest(toks) AS tok FROM toks_t),
+tf AS (
+    SELECT doc_id, tok, cast(count(*) AS bigint) AS tf
+    FROM tok_rows GROUP BY 1, 2
+),
+dft AS (SELECT tok, cast(count(*) AS bigint) AS df FROM tf GROUP BY 1),
+n AS (
+    SELECT cast(count(DISTINCT doc_id) AS bigint) AS n_docs
+    FROM documents
+),
+scored AS (
+    SELECT t.doc_id, t.tok, t.tf, d.df,
+        cast(round(1000000.0 * n.n_docs / d.df) AS bigint) AS idf_ppm
+    FROM tf t JOIN dft d USING (tok), n
+),
+r AS (
+    SELECT doc_id, tok, tf, df,
+        cast(tf * idf_ppm AS bigint) AS score,
+        row_number() OVER (
+            PARTITION BY doc_id ORDER BY tf * idf_ppm DESC, tok
+        ) AS rank
+    FROM scored
+)
+SELECT doc_id, cast(rank AS bigint) AS rank, tok, tf, df, score
+FROM r WHERE rank <= 3
 """,
 )
