@@ -59,11 +59,17 @@ def kmv_distinct(
     values per partition, not a billion. Merge law is pytest-proven
     (``tests/test_stats.py``).
     """
+    # distinct FIRST, md5 after: the hash is a pure function of the
+    # value, so deduping raw (group, value) pairs before hashing does
+    # not change the retained set but cuts the md5+conv work from
+    # row-count to distinct-count (6x fewer at sf0.1)
+    # the second distinct collapses 32-bit hash collisions so the
+    # sketch is over distinct HASHES (the KMV estimator's domain),
+    # exactly like the oracle's DISTINCT (g, h)
     hashed = (
-        df.select(
-            F.col(group).cast("string").alias("g"),
-            _hash32(F.col(value)).alias("h"),
-        )
+        df.select(F.col(group).cast("string").alias("g"), F.col(value).alias("v"))
+        .distinct()
+        .select("g", _hash32(F.col("v")).alias("h"))
         .distinct()
     )
 
@@ -150,4 +156,81 @@ def group_quantiles(txns: DataFrame) -> DataFrame:
         q(90).alias("p90_c"),
         q(99).alias("p99_c"),
         F.max("v").alias("max_c"),
+    )
+
+
+def kmv_daily_sketches(
+    txns: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """Per-(store, day) KMV sketch as an array column — the
+    materializable form: the daily pipeline can persist one bounded
+    row per store-day (<= k hashes) and answer distinct-count
+    questions over ANY date range later by merging, never rescanning
+    the fact table. Retention is ``slice(sort(set), k)`` per group:
+    collect_set is bounded by the per-store-day sku count (catalog-
+    sized, not fact-sized; were it unbounded, the mapInPandas
+    combiner from :func:`kmv_distinct` drops in unchanged)."""
+    h = _hash32(F.col("item_sku"))
+    per_day = txns.select(
+        "store_id", "sale_date", h.alias("h")
+    ).groupBy("store_id", "sale_date").agg(
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("sketch")
+    )
+    return per_day
+
+
+def kmv_merge_range(
+    txns: DataFrame, start: str, end: str, k: int = KMV_K
+) -> DataFrame:
+    """sk2: distinct-SKU estimate per store over [start, end] by
+    MERGING the per-day sketches — min-k of the union of per-day
+    min-k sets equals min-k of the union of all hashes (the KMV merge
+    law; pytest proves merged == direct on the filtered fact table).
+    Exact count rides along for auditability, as in sk1.
+
+    Scale design: after the daily layer is materialized, this query
+    touches |stores| x |days| rows of <= k values each — the fact
+    table is not read at all (here it derives the dailies inline
+    because the bench runs standalone). The merge is explode +
+    re-rank: one bounded shuffle."""
+    in_range = txns.filter(F.col("sale_date").between(start, end))
+    daily = kmv_daily_sketches(in_range, k)
+    exploded = daily.select(
+        "store_id", F.explode("sketch").alias("h")
+    ).distinct()
+    w = Window.partitionBy("store_id").orderBy("h")
+    ranked = exploded.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    sketch = ranked.groupBy("store_id").agg(
+        F.count(F.lit(1)).alias("n_hashes_kept"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_hash"),
+    )
+    days = daily.groupBy("store_id").agg(
+        F.countDistinct("sale_date").alias("n_days_merged")
+    )
+    exact = in_range.groupBy("store_id").agg(
+        F.countDistinct("item_sku").alias("n_exact")
+    )
+    est = F.when(
+        F.col("kth_hash").isNotNull(),
+        F.expr(f"({k - 1} * {U32}) div kth_hash"),
+    ).otherwise(F.col("n_hashes_kept"))
+    return (
+        sketch.join(days, "store_id")
+        .join(exact, "store_id")
+        .select(
+            "store_id",
+            "n_days_merged",
+            "n_exact",
+            "kth_hash",
+            est.alias("est_distinct"),
+        )
+        .withColumn(
+            "err_bp",
+            F.expr(
+                "cast(round(abs(est_distinct - n_exact) * 10000.0"
+                " / n_exact) as bigint)"
+            ),
+        )
     )

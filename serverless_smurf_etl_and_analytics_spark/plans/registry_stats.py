@@ -229,3 +229,72 @@ SELECT doc_id, cast(rank AS bigint) AS rank, tok, tf, df, score
 FROM r WHERE rank <= 3
 """,
 )
+
+
+# sk2: range distinct-count by MERGING per-day KMV sketches — the
+# materialized-sketch pattern: once the daily layer persists one
+# bounded sketch row per store-day, any date range is answerable
+# without rescanning facts. Oracle restates per-day min-k + re-rank.
+from .registry import W_END, W_START  # noqa: E402
+
+register(
+    "sk2_kmv_range_merge",
+    lambda spark, sf: stats.kmv_merge_range(
+        tables.transactions(spark, sf), W_START, W_END
+    ),
+    f"""
+WITH {TXN},
+in_range AS (
+    SELECT * FROM transactions
+    WHERE sale_date BETWEEN '{W_START}' AND '{W_END}'
+),
+hashed AS (
+    SELECT DISTINCT store_id, sale_date,
+        ('0x' || substr(md5('kmv|' || cast(item_sku AS varchar)), 1, 8))
+            ::bigint AS h
+    FROM in_range
+),
+per_day AS (
+    SELECT store_id, sale_date, h,
+        row_number() OVER (
+            PARTITION BY store_id, sale_date ORDER BY h
+        ) AS rn
+    FROM hashed
+),
+merged AS (
+    SELECT DISTINCT store_id, h FROM per_day WHERE rn <= 64
+),
+reranked AS (
+    SELECT store_id, h,
+        row_number() OVER (PARTITION BY store_id ORDER BY h) AS rn
+    FROM merged
+),
+sketch AS (
+    SELECT store_id, cast(count(*) AS bigint) AS n_hashes_kept,
+        max(CASE WHEN rn = 64 THEN h END) AS kth_hash
+    FROM reranked WHERE rn <= 64 GROUP BY store_id
+),
+days AS (
+    SELECT store_id, cast(count(DISTINCT sale_date) AS bigint)
+        AS n_days_merged
+    FROM in_range GROUP BY store_id
+),
+exact AS (
+    SELECT store_id, cast(count(DISTINCT item_sku) AS bigint) AS n_exact
+    FROM in_range GROUP BY store_id
+),
+j AS (
+    SELECT s.store_id, d.n_days_merged, e.n_exact, s.kth_hash,
+        CASE WHEN s.kth_hash IS NOT NULL
+             THEN (63 * 4294967296) // s.kth_hash
+             ELSE s.n_hashes_kept END AS est_distinct
+    FROM sketch s
+    JOIN days d USING (store_id)
+    JOIN exact e USING (store_id)
+)
+SELECT store_id, n_days_merged, n_exact, kth_hash, est_distinct,
+    cast(round(abs(est_distinct - n_exact) * 10000.0 / n_exact)
+         AS bigint) AS err_bp
+FROM j
+""",
+)

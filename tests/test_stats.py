@@ -112,3 +112,32 @@ def test_group_quantiles_tiny_groups(spark):
             assert out[pay][col] == v
     assert out["X"]["n_lines"] == 1
     assert out["Y"]["n_lines"] == 3
+
+
+def test_kmv_merge_law(spark):
+    """Merged per-day sketches == the direct sketch over the same
+    range-filtered rows: identical kth hash and estimate per store
+    (min-k of a union of per-day min-k's is the min-k of the union)."""
+    from pyspark.sql import functions as F
+
+    txns = tables.transactions(spark, SF_DIR)
+    start, end = "2001-06-23", "2001-06-29"
+    merged = {
+        r["store_id"]: r
+        for r in stats.kmv_merge_range(txns, start, end).collect()
+    }
+    direct = {
+        r["store_id"]: r
+        for r in stats.kmv_distinct(
+            txns.filter(F.col("sale_date").between(start, end)),
+            "store_id",
+            "item_sku",
+        ).collect()
+    }
+    assert set(merged) == set(direct)
+    for store in merged:
+        assert merged[store]["kth_hash"] == direct[store]["kth_hash"], store
+        assert (
+            merged[store]["est_distinct"] == direct[store]["est_distinct"]
+        ), store
+        assert merged[store]["n_exact"] == direct[store]["n_exact"], store
