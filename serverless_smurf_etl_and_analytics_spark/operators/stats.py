@@ -195,6 +195,36 @@ def kmv_merge_range(
     re-rank: one bounded shuffle."""
     in_range = txns.filter(F.col("sale_date").between(start, end))
     daily = kmv_daily_sketches(in_range, k)
+    merged = kmv_merge_daily(daily, k)
+    exact = in_range.groupBy("store_id").agg(
+        F.countDistinct("item_sku").alias("n_exact")
+    )
+    return (
+        merged.join(exact, "store_id")
+        .select(
+            "store_id",
+            "n_days_merged",
+            "n_exact",
+            "kth_hash",
+            "est_distinct",
+        )
+        .withColumn(
+            "err_bp",
+            F.expr(
+                "cast(round(abs(est_distinct - n_exact) * 10000.0"
+                " / n_exact) as bigint)"
+            ),
+        )
+    )
+
+
+def kmv_merge_daily(daily: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Merge a per-(store, day) sketch table over whatever rows it
+    holds — the half of sk2 the PIPELINE uses: once
+    ``kmv_daily_sketches`` is materialized, any range query filters
+    the bounded sketch table and merges, never touching facts (so
+    there is no exact column here; auditing against facts is the
+    registered sk2 query's job)."""
     exploded = daily.select(
         "store_id", F.explode("sketch").alias("h")
     ).distinct()
@@ -209,28 +239,10 @@ def kmv_merge_range(
     days = daily.groupBy("store_id").agg(
         F.countDistinct("sale_date").alias("n_days_merged")
     )
-    exact = in_range.groupBy("store_id").agg(
-        F.countDistinct("item_sku").alias("n_exact")
-    )
     est = F.when(
         F.col("kth_hash").isNotNull(),
         F.expr(f"({k - 1} * {U32}) div kth_hash"),
     ).otherwise(F.col("n_hashes_kept"))
-    return (
-        sketch.join(days, "store_id")
-        .join(exact, "store_id")
-        .select(
-            "store_id",
-            "n_days_merged",
-            "n_exact",
-            "kth_hash",
-            est.alias("est_distinct"),
-        )
-        .withColumn(
-            "err_bp",
-            F.expr(
-                "cast(round(abs(est_distinct - n_exact) * 10000.0"
-                " / n_exact) as bigint)"
-            ),
-        )
+    return sketch.join(days, "store_id").select(
+        "store_id", "n_days_merged", "kth_hash", est.alias("est_distinct")
     )

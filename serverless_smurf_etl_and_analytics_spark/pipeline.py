@@ -39,6 +39,7 @@ from pyspark.storagelevel import StorageLevel
 from . import tables
 from .functions.money import cents
 from .operators import export, metrics, report
+from .operators.stats import kmv_daily_sketches, kmv_merge_daily
 from .operators.insights import (
     classify_anomalies_from_daily,
     recommendations_from,
@@ -197,6 +198,22 @@ def run_daily_pipeline(
     product_daily.write.mode("overwrite").parquet(pd_path)
     stats["product_daily_rows"] = spark.read.parquet(pd_path).count()
 
+    # 3b. sku_sketches — the per-(store, day) KMV sketch layer (one
+    #     bounded row per store-day, <= 64 hashes). Incremental like
+    #     store_daily: a daily run sketches run_date's slice only and
+    #     dynamically overwrites that one partition. Range
+    #     distinct-SKU questions then merge sketches via
+    #     ``distinct_skus_for_range`` below — zero fact-table reads.
+    sk_path = os.path.join(out_dir, "sku_sketches")
+    (
+        kmv_daily_sketches(mv_input)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("sale_date")
+        .parquet(sk_path)
+    )
+    stats["sku_sketch_rows"] = spark.read.parquet(sk_path).count()
+
     # 4. insights — ONE persisted daily-cents + ONE persisted anomaly
     #    set feed all three classifiers (no duplicate window chains).
     #    daily-cents is DERIVED FROM THE MATERIALIZED MV, not the fact
@@ -270,6 +287,23 @@ def run_daily_pipeline(
     daily.unpersist()
     anomalies.unpersist()
     return stats
+
+
+def distinct_skus_for_range(
+    spark: SparkSession, out_dir: str, start: str, end: str
+) -> DataFrame:
+    """Range distinct-SKU estimate per store from the MATERIALIZED
+    sketch layer: filter the bounded sku_sketches table to [start,
+    end] and merge (operators.stats.kmv_merge_daily). The fact table
+    is never read — this is the query shape that stays constant-cost
+    as history grows, and the sketch partitioning means the read
+    prunes to the range's partitions."""
+    daily = spark.read.parquet(
+        os.path.join(out_dir, "sku_sketches")
+    ).withColumn("sale_date", F.col("sale_date").cast("string"))
+    return kmv_merge_daily(
+        daily.filter(F.col("sale_date").between(start, end))
+    )
 
 
 def run_scheduled_catchup(

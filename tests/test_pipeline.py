@@ -84,3 +84,37 @@ def test_ledger_distinguishes_dates(spark, out_dir):
     d, _ = out_dir
     assert pipeline.already_succeeded(spark, d, RUN_DATE)
     assert not pipeline.already_succeeded(spark, d, "1999-01-01")
+
+
+def test_sketch_layer_answers_range_distinct_without_facts(spark, out_dir):
+    """The materialized sku_sketches layer must answer a range
+    distinct-SKU query with exactly the values the direct sk2
+    computation gets from the raw fact table (KMV merge law, through
+    the pipeline's persisted form)."""
+    from serverless_smurf_etl_and_analytics_spark.operators import stats
+
+    d, run_stats = out_dir
+    assert run_stats["sku_sketch_rows"] > 0
+    assert os.path.isdir(os.path.join(d, "sku_sketches"))
+    start, end = "2001-06-10", "2001-06-20"
+    from_mv = {
+        r["store_id"]: r
+        for r in pipeline.distinct_skus_for_range(
+            spark, d, start, end
+        ).collect()
+    }
+    direct = {
+        r["store_id"]: r
+        for r in stats.kmv_merge_range(
+            tables.transactions(spark, SF_DIR), start, end
+        ).collect()
+    }
+    assert set(from_mv) == set(direct)
+    for store in direct:
+        assert from_mv[store]["kth_hash"] == direct[store]["kth_hash"]
+        assert (
+            from_mv[store]["est_distinct"] == direct[store]["est_distinct"]
+        )
+        assert (
+            from_mv[store]["n_days_merged"] == direct[store]["n_days_merged"]
+        )

@@ -25,6 +25,7 @@ ALLOWED_NESTED_LOOP = {
     "j5_wide_pivot_timeseries",
     "j5_wide_serialized",
     "t8_doc_frequency",
+    "tf1_tfidf_keywords",  # same broadcast scalar-count attach as t8
     "rj1_busy_window_events",
 }
 
@@ -77,3 +78,42 @@ def test_shared_store_day_mv_substitutes(spark):
     # MV, not rescan the fact table (plans/shared.py contract)
     plan = _plan(spark, "a1_store_day_metrics")
     assert "InMemoryTableScan" in plan
+
+
+def test_asof_join_has_no_join_operator(spark):
+    """aj1's as-of is the union+window form: the physical plan must
+    contain a window over ONE keyed shuffle and NO join operator at
+    all (a naive as-of via join+filter+argmax would show a join and
+    an extra aggregation over exploded pairs)."""
+    plan = _plan(spark, "aj1_event_order_asof")
+    assert "Window" in plan
+    for kind in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert kind not in plan, f"aj1 plan unexpectedly contains {kind}"
+
+
+def test_kmv_plans_avoid_sort_merge_join(spark):
+    """sk1/sk2 attach the exact-count audit via broadcast of the
+    k-bounded sketch side — a SortMergeJoin would mean the bounded
+    side got shuffled like a fact table."""
+    for name in ("sk1_kmv_distinct_skus", "sk2_kmv_range_merge"):
+        plan = _plan(spark, name)
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_quantiles_scan_prunes_columns(spark):
+    """q1 touches only payment_method (l_returnflag) and line_cents
+    (l_extendedprice): column pruning must reach the parquet scan —
+    reading l_partkey/l_quantity etc. for a 2-column rollup is
+    exactly the waste the declarative plan is supposed to avoid."""
+    plan = _plan(spark, "q1_payment_quantiles")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, "no parquet ReadSchema in q1 plan"
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"l_returnflag", "l_extendedprice"}, cols

@@ -141,3 +141,31 @@ def test_kmv_merge_law(spark):
             merged[store]["est_distinct"] == direct[store]["est_distinct"]
         ), store
         assert merged[store]["n_exact"] == direct[store]["n_exact"], store
+
+
+def test_percentile_approx_within_error_of_exact(spark):
+    """q1's docstring names percentile_approx as the fallback when
+    even the value domain is too large to sort; verify the built-in
+    sketch lands within 1% relative error of the exact ceil-rank
+    answer, so the documented at-scale path is actually usable."""
+    from pyspark.sql import functions as F
+
+    txns = tables.transactions(spark, SF_DIR)
+    exact = {
+        r["payment_method"]: r
+        for r in stats.group_quantiles(txns).collect()
+    }
+    approx = {
+        r["payment_method"]: r["qs"]
+        for r in txns.groupBy("payment_method")
+        .agg(
+            F.percentile_approx(
+                "line_cents", [0.5, 0.9, 0.99], 10000
+            ).alias("qs")
+        )
+        .collect()
+    }
+    for pay, qs in approx.items():
+        for got, col in zip(qs, ("p50_c", "p90_c", "p99_c")):
+            want = exact[pay][col]
+            assert abs(got - want) <= 0.01 * want, (pay, col, got, want)
