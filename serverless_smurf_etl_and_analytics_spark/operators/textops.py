@@ -427,3 +427,51 @@ def tfidf_keywords(docs: DataFrame, top_k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= top_k)
         .select("doc_id", "rank", "tok", "tf", "df", "score")
     )
+
+
+def familiarity_score(docs: DataFrame) -> DataFrame:
+    """t10: corpus-familiarity quality score — the logarithm-free
+    stand-in for a unigram-LM perplexity filter: each document scores
+    the average docs-per-million of its token stream (frequency-
+    weighted, so a rare-token-heavy document scores low exactly like
+    it would perplex a language model), plus the document's rarest
+    token's df as the tail indicator. Empty documents have no token
+    stream and are absent by construction.
+
+    All integer (df counts, round at ppm scale) so the score is
+    hash-identical across engines.
+
+    Scale design: one distinct + count pair builds the vocabulary df
+    table (bounded by vocab, map-side combined); the token stream
+    joins it on the token key (co-shuffled; broadcastable while the
+    vocab fits) and aggregates per doc. No windows, no sorts."""
+    toks = token_rows(docs).select("doc_id", "tok")
+    dfreq = (
+        toks.distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    n_docs = docs.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    dpm = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            "df",
+            F.round(F.col("df") * 1000000.0 / F.col("n_docs"))
+            .cast("long")
+            .alias("dpm"),
+        )
+    )
+    j = toks.join(dpm, "tok")
+    per_doc = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.sum("dpm") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("familiarity_dpm"),
+        F.min("df").alias("min_tok_df"),
+    )
+    return per_doc.join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "n_tokens", "familiarity_dpm", "min_tok_df")

@@ -298,3 +298,43 @@ SELECT store_id, n_days_merged, n_exact, kth_hash, est_distinct,
 FROM j
 """,
 )
+
+
+# t10: corpus-familiarity score — frequency-weighted average token
+# commonness (docs-per-million), the logarithm-free perplexity-filter
+# stand-in; rarest-token df rides along as the tail indicator.
+register(
+    "t10_familiarity",
+    lambda spark, sf: textops.familiarity_score(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+WITH {SQL_TOKS},
+tok_rows AS (SELECT doc_id, unnest(toks) AS tok FROM toks_t),
+dfreq AS (
+    SELECT tok, cast(count(*) AS bigint) AS df
+    FROM (SELECT DISTINCT doc_id, tok FROM tok_rows)
+    GROUP BY tok
+),
+n AS (
+    SELECT cast(count(DISTINCT doc_id) AS bigint) AS n_docs
+    FROM documents
+),
+dpm AS (
+    SELECT tok, df,
+        cast(round(df * 1000000.0 / n_docs) AS bigint) AS dpm
+    FROM dfreq, n
+),
+per_doc AS (
+    SELECT t.doc_id,
+        cast(count(*) AS bigint) AS n_tokens,
+        cast(round(sum(p.dpm) * 1.0 / count(*)) AS bigint)
+            AS familiarity_dpm,
+        min(p.df) AS min_tok_df
+    FROM tok_rows t JOIN dpm p USING (tok)
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id, d.lang, p.n_tokens, p.familiarity_dpm, p.min_tok_df
+FROM per_doc p JOIN documents d USING (doc_id)
+""",
+)

@@ -26,6 +26,7 @@ ALLOWED_NESTED_LOOP = {
     "j5_wide_serialized",
     "t8_doc_frequency",
     "tf1_tfidf_keywords",  # same broadcast scalar-count attach as t8
+    "t10_familiarity",  # same broadcast scalar-count attach as t8
     "rj1_busy_window_events",
 }
 
