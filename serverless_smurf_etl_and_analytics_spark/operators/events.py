@@ -127,3 +127,68 @@ def session_windows(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .alias("duration_sec"),
     )
     return g
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """fun1: strict sequential funnel — a user converts step i only
+    with an event of that type AT OR AFTER their step-(i-1)
+    conversion time (first-touch semantics: the earliest qualifying
+    event per step). Output: one row per step with the user count and
+    conversion rates (basis points, integer) from the previous step
+    and from step 1.
+
+    Scale design: one aggregation per step, each keyed on user_id, and
+    every inter-step join is user-keyed — so the whole chain
+    co-shuffles on one key (a real cluster pays one repartition, then
+    every stage is local). No windows over raw event streams, no
+    per-user arrays; state per stage is one timestamp per user."""
+    per_step: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i, step in enumerate(steps):
+        e = events.filter(F.col("event_type") == step).select(
+            "user_id", "ts"
+        )
+        if prev is None:
+            cur = e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                e.join(prev.select("user_id", F.col("t").alias("t_prev")),
+                       "user_id")
+                .filter(F.col("ts") >= F.col("t_prev"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        per_step.append(
+            cur.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+            .select(
+                F.lit(i + 1).cast("long").alias("step_order"),
+                F.lit(step).alias("step"),
+                "n_users",
+            )
+        )
+        prev = cur
+    out = per_step[0]
+    for df in per_step[1:]:
+        out = out.unionByName(df)
+    w_first = F.first("n_users").over(
+        Window.orderBy("step_order").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    w_prev = F.lag("n_users").over(Window.orderBy("step_order"))
+    return (
+        out.withColumn(
+            "conv_from_first_bp",
+            F.round(F.col("n_users") * 10000.0 / w_first).cast("long"),
+        )
+        .withColumn(
+            "conv_from_prev_bp",
+            F.when(
+                w_prev.isNotNull(),
+                F.round(F.col("n_users") * 10000.0 / w_prev).cast("long"),
+            ),
+        )
+    )

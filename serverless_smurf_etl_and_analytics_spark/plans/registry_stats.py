@@ -338,3 +338,50 @@ SELECT d.doc_id, d.lang, p.n_tokens, p.familiarity_dpm, p.min_tok_df
 FROM per_doc p JOIN documents d USING (doc_id)
 """,
 )
+
+
+# fun1: strict sequential event funnel (view -> click -> purchase,
+# first-touch per step), integer basis-point conversion rates.
+from ..operators import events as ev_ops  # noqa: E402
+
+register(
+    "fun1_event_funnel",
+    lambda spark, sf: ev_ops.event_funnel(tables.load_events(spark, sf)),
+    """
+WITH s1 AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts >= s1.t
+    GROUP BY 1
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+    GROUP BY 1
+),
+counts AS (
+    SELECT cast(1 AS bigint) AS step_order, 'view' AS step,
+           (SELECT cast(count(*) AS bigint) FROM s1) AS n_users
+    UNION ALL
+    SELECT cast(2 AS bigint), 'click',
+           (SELECT cast(count(*) AS bigint) FROM s2)
+    UNION ALL
+    SELECT cast(3 AS bigint), 'purchase',
+           (SELECT cast(count(*) AS bigint) FROM s3)
+)
+SELECT step_order, step, n_users,
+    cast(round(n_users * 10000.0 /
+               first_value(n_users) OVER (ORDER BY step_order))
+         AS bigint) AS conv_from_first_bp,
+    CASE WHEN lag(n_users) OVER (ORDER BY step_order) IS NOT NULL
+         THEN cast(round(n_users * 10000.0 /
+                         lag(n_users) OVER (ORDER BY step_order))
+              AS bigint) END AS conv_from_prev_bp
+FROM counts
+""",
+)

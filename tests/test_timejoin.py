@@ -115,3 +115,23 @@ def test_edge_events_inside_widened_windows(spark):
         )
     )
     assert outside.count() > 0
+
+
+def test_event_funnel_monotone_and_consistent(spark):
+    """Funnel law: step user-counts never increase, and every step-i
+    converter is a step-(i-1) converter (strict sequencing)."""
+    from serverless_smurf_etl_and_analytics_spark.operators import (
+        events as ev_ops,
+    )
+
+    ev = tables.load_events(spark, SF_DIR)
+    rows = sorted(
+        ev_ops.event_funnel(ev).collect(), key=lambda r: r["step_order"]
+    )
+    assert [r["step"] for r in rows] == ["view", "click", "purchase"]
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[0]["conv_from_first_bp"] == 10000
+    assert rows[0]["conv_from_prev_bp"] is None
+    for r in rows[1:]:
+        assert 0 <= r["conv_from_prev_bp"] <= 10000
