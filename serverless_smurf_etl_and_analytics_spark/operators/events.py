@@ -192,3 +192,48 @@ def event_funnel(
             ),
         )
     )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """coh1: weekly cohort retention — users cohorted by the ISO week
+    of their first event; a cohort's week-N retention is the share of
+    its users active in cohort_week + N. The standard growth-analytics
+    companion to the funnel (fun1).
+
+    Output: (cohort_week, week_offset, cohort_size, n_active,
+    retention_bp), integer bp, offset 0 always 10000 by construction.
+
+    Scale design: one min-per-user aggregation (cohort assignment),
+    one distinct on (user, week) — both user-keyed, co-shuffled — then
+    a bounded (cohorts x offsets) rollup; cohort sizes re-attach by
+    broadcast. No windows, no per-user arrays."""
+    wk = lambda c: F.date_trunc("week", c)  # noqa: E731
+    first = events.groupBy("user_id").agg(
+        wk(F.min("ts")).alias("cohort_wk")
+    )
+    active = (
+        events.select("user_id", wk(F.col("ts")).alias("active_wk"))
+        .distinct()
+    )
+    j = active.join(first, "user_id")
+    g = j.groupBy("cohort_wk", "active_wk").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    sizes = first.groupBy("cohort_wk").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    out = g.join(F.broadcast(sizes), "cohort_wk").select(
+        F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+        (
+            F.datediff(F.to_date("active_wk"), F.to_date("cohort_wk"))
+            / 7
+        )
+        .cast("long")
+        .alias("week_offset"),
+        "cohort_size",
+        "n_active",
+        F.round(F.col("n_active") * 10000.0 / F.col("cohort_size"))
+        .cast("long")
+        .alias("retention_bp"),
+    )
+    return out

@@ -385,3 +385,42 @@ SELECT step_order, step, n_users,
 FROM counts
 """,
 )
+
+
+# coh1: weekly cohort retention — cohort = ISO week of first event;
+# retention_bp = active share of cohort at each week offset.
+register(
+    "coh1_cohort_retention",
+    lambda spark, sf: ev_ops.cohort_retention(tables.load_events(spark, sf)),
+    """
+WITH first AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+    FROM events GROUP BY 1
+),
+active AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS active_wk
+    FROM events
+),
+g AS (
+    SELECT f.cohort_wk, a.active_wk,
+           cast(count(DISTINCT a.user_id) AS bigint) AS n_active
+    FROM active a JOIN first f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+),
+sizes AS (
+    SELECT cohort_wk, cast(count(DISTINCT user_id) AS bigint)
+        AS cohort_size
+    FROM first GROUP BY 1
+)
+SELECT
+    strftime(g.cohort_wk, '%Y-%m-%d') AS cohort_week,
+    cast(date_diff('day', cast(g.cohort_wk AS date),
+                   cast(g.active_wk AS date)) / 7 AS bigint)
+        AS week_offset,
+    s.cohort_size,
+    g.n_active,
+    cast(round(g.n_active * 10000.0 / s.cohort_size) AS bigint)
+        AS retention_bp
+FROM g JOIN sizes s ON g.cohort_wk = s.cohort_wk
+""",
+)
