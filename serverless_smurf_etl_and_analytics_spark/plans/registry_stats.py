@@ -1,13 +1,17 @@
-"""Registry entries for the temporal-join and distributive-statistics
-extensions (operators/timejoin.py, operators/stats.py): as-of join,
-interval-overlap (range) join, KMV distinct sketch, exact grouped
-quantiles.
+"""Registry entries for the late-r4 extension families: temporal
+joins (aj1 as-of, rj1 interval-overlap — operators/timejoin.py),
+distributive statistics (sk1/sk2 KMV sketches, q1 exact quantiles —
+operators/stats.py), curation and text scoring (w1 weighted sampling,
+tf1 TF-IDF keywords, t10 familiarity — operators/curate.py,
+operators/textops.py), and event analytics (fun1 funnel, coh1 cohort
+retention — operators/events.py).
 
 Oracle notes: aj1 is checked against DuckDB's NATIVE ``ASOF JOIN``
 (the right side is pre-aggregated to one row per (user, day) so the
-as-of match is deterministic in both engines); the others restate the
-engine-neutral integer definitions (ceil-rank order statistics, md5
-min-k hash sets) directly.
+as-of match is deterministic in both engines); everything else
+restates engine-neutral integer definitions (ceil-rank order
+statistics, md5 min-k hash sets, ppm/bp scores — no logarithms, no
+float thresholds) directly.
 """
 
 from __future__ import annotations

@@ -135,3 +135,30 @@ def test_event_funnel_monotone_and_consistent(spark):
     assert rows[0]["conv_from_prev_bp"] is None
     for r in rows[1:]:
         assert 0 <= r["conv_from_prev_bp"] <= 10000
+
+
+def test_asof_join_hot_key_correctness(spark):
+    """Adversarial skew: one key holds 5k probes against 500 quotes
+    (a hot user in the attribution join). The union+window as-of must
+    stay correct — every probe carries the greatest quote time <= its
+    own — and null out probes before the first quote. (Perf under a
+    hot key is the documented salt-by-time-range trade-off; this
+    pins semantics so that optimization can't drift.)"""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    probes = [
+        (i, 1, base + dt.timedelta(minutes=i)) for i in range(5000)
+    ]
+    quotes = [
+        (1, base + dt.timedelta(minutes=10 * q), q) for q in range(500)
+    ]
+    left = spark.createDataFrame(probes, "id long, k long, t timestamp")
+    right = spark.createDataFrame(quotes, "k long, qt timestamp, qv long")
+    out = timejoin.asof_join(
+        left, right, key="k", left_ts="t", right_ts="qt", attach=["qv"]
+    )
+    got = {r["id"]: r["qv"] for r in out.collect()}
+    assert len(got) == 5000
+    for i in range(5000):
+        assert got[i] == i // 10, i  # quote q covers minutes [10q, 10q+10)
