@@ -1,0 +1,133 @@
+"""Graph analytics: fixed-point PageRank over the customer-store
+purchase graph (SURVEY.md LLM-pipeline brief — the reference has no
+graph surface; its nearest analogue is per-store dict rollups).
+
+Like the k-means trainer (clustering.py) and the CC dedup (dedup.py),
+the iterative algorithm is made ORACLE-CHECKABLE by pinning it to
+exact int64 fixed-point arithmetic and a fixed iteration count: the
+DuckDB oracle unrolls the same five update steps, so the driver
+hash-checks every rank value, not just row counts.
+
+Scale design: one edge table (distinct bipartite pairs, built with a
+broadcast of the order->customer dimension), out-degrees attached
+once, then each iteration is contribution-scatter (edge join on the
+rank table) + gather (sum by destination) — the standard distributed
+PageRank, all shuffles keyed on node id. Five iterations keep the
+plan depth bounded; a convergence-driven variant would add the
+checkpoint-every-k-rounds pattern proven in dedup._ckpt_fresh.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000  # rank fixed-point: 1.0 == 1e9
+DAMP_PM = 850  # damping 0.85 in per-mille
+
+
+def purchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Undirected bipartite edge list: customer node 2*custkey,
+    store node 2*suppkey+1 (disjoint integer id spaces), one edge per
+    distinct (customer, store) purchase relationship, emitted in both
+    directions for the undirected walk."""
+    ok = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_custkey").alias("cust"),
+    )
+    pairs = (
+        lineitem.select("l_orderkey", F.col("l_suppkey").alias("supp"))
+        .join(F.broadcast(ok), "l_orderkey")
+        .select(
+            (F.col("cust") * 2).alias("c_node"),
+            (F.col("supp") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    )
+    rev = pairs.select(
+        F.col("s_node").alias("src"), F.col("c_node").alias("dst")
+    )
+    return fwd.unionByName(rev)
+
+
+def pagerank(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    n_iter: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """pr1: ``n_iter`` exact fixed-point PageRank steps over the
+    purchase graph, reporting the ``top_k`` store nodes.
+
+        base    = ((SCALE div N) * (1000 - DAMP_PM)) div 1000
+        share_u = ((r_u * DAMP_PM) div 1000) div outdeg_u   (per edge)
+        r'_v    = base + sum(share_u over in-edges)
+
+    Every step is integer division, so the trajectory is identical in
+    Spark, DuckDB, and by hand — the oracle unrolls the same steps.
+    Output: (rank_pos, supp_key, rank_fp, n_customers), bounded rows.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    # persist the DEGREE-ANNOTATED edge table: every iteration joins
+    # it against the fresh rank table, and a cached hash-partitioned
+    # left side means each scatter step shuffles only the k-node rank
+    # table, not the edges — without this, every iteration re-derives
+    # the lineitem join + degree aggregate (cache lifetime is
+    # session-owned, released by session.clear_operator_caches like
+    # the shared MV layer)
+    edges = purchase_edges(lineitem, orders)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = e.select(F.col("src").alias("node"), "outdeg").distinct()
+    n = nodes.count()
+    base = ((SCALE // n) * (1000 - DAMP_PM)) // 1000
+    ranks = nodes.select(
+        "node", F.lit(SCALE // n).cast("long").alias("r")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"((r * {DAMP_PM}) div 1000) div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = contrib.select(
+            "node", (F.lit(base) + F.col("in_sum")).cast("long").alias("r")
+        )
+    stores = (
+        ranks.filter(F.col("node") % 2 == 1)
+        .select(
+            F.expr("(node - 1) div 2").alias("supp_key"),
+            F.col("r").alias("rank_fp"),
+        )
+    )
+    indeg = (
+        e.filter(F.col("dst") % 2 == 1)
+        .groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.expr("(dst - 1) div 2").alias("supp_key"),
+            "n_customers",
+        )
+    )
+    top = (
+        stores.join(indeg, "supp_key")
+        .orderBy(F.desc("rank_fp"), F.asc("supp_key"))
+        .limit(top_k)
+    )
+    w = F.row_number().over(
+        Window.orderBy(F.desc("rank_fp"), F.asc("supp_key"))
+    )
+    return top.select(
+        w.cast("long").alias("rank_pos"),
+        "supp_key",
+        "rank_fp",
+        "n_customers",
+    )

@@ -428,3 +428,85 @@ SELECT
 FROM g JOIN sizes s ON g.cohort_wk = s.cohort_wk
 """,
 )
+
+
+# pr1: fixed-point PageRank, oracle = the same five update steps
+# unrolled (clustering.py's _kmeans_lloyd_sql pattern): every rank
+# value hash-checks, not just the row set.
+from ..operators import graph as graph_ops  # noqa: E402
+
+
+def _pagerank_sql(n_iter: int = 5, top_k: int = 20) -> str:
+    scale, damp = graph_ops.SCALE, graph_ops.DAMP_PM
+    parts = [
+        f"""
+pairs AS (
+    SELECT DISTINCT o.o_custkey * 2 AS c_node,
+                    l.l_suppkey * 2 + 1 AS s_node
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+    SELECT c_node AS src, s_node AS dst FROM pairs
+    UNION ALL
+    SELECT s_node AS src, c_node AS dst FROM pairs
+),
+deg AS (
+    SELECT src, cast(count(*) AS bigint) AS outdeg
+    FROM edges GROUP BY 1
+),
+n AS (SELECT cast(count(*) AS bigint) AS n_nodes FROM deg),
+b AS (
+    SELECT (({scale} // n_nodes) * {1000 - damp}) // 1000 AS base
+    FROM n
+),
+r0 AS (
+    SELECT src AS node, {scale} // n_nodes AS r FROM deg, n
+)"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""
+r{t} AS (
+    SELECT e.dst AS node,
+        cast((SELECT base FROM b)
+             + sum(((r.r * {damp}) // 1000) // d.outdeg)
+             AS bigint) AS r
+    FROM edges e
+    JOIN r{t - 1} r ON e.src = r.node
+    JOIN deg d ON e.src = d.src
+    GROUP BY 1
+)"""
+        )
+    parts.append(
+        f"""
+stores AS (
+    SELECT (node - 1) // 2 AS supp_key, r AS rank_fp
+    FROM r{n_iter} WHERE node % 2 = 1
+),
+ind AS (
+    SELECT (dst - 1) // 2 AS supp_key,
+           cast(count(*) AS bigint) AS n_customers
+    FROM edges WHERE dst % 2 = 1 GROUP BY 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT cast(row_number() OVER (ORDER BY t.rank_fp DESC, t.supp_key)
+            AS bigint) AS rank_pos,
+       t.supp_key, t.rank_fp, i.n_customers
+FROM stores t JOIN ind i USING (supp_key)
+ORDER BY t.rank_fp DESC, t.supp_key
+LIMIT {top_k}
+"""
+    )
+
+
+register(
+    "pr1_pagerank_stores",
+    lambda spark, sf: graph_ops.pagerank(
+        tables.load(spark, sf, "lineitem"), tables.load(spark, sf, "orders")
+    ),
+    _pagerank_sql(),
+)

@@ -77,3 +77,28 @@ def test_corpus_greedy_equals_cc_and_minima_kept(spark):
     for r in cc_rows:
         assert r["dup_of"] < r["doc_id"]
         assert r["dup_of"] not in cc
+
+
+def test_pagerank_partition_invariance_and_laws(spark):
+    """Fixed-point PageRank: identical output under repartitioning
+    (integer arithmetic leaves no room for float drift), ranks
+    positive, rank_pos a clean 1..k in rank order."""
+    from serverless_smurf_etl_and_analytics_spark import tables
+    from serverless_smurf_etl_and_analytics_spark.operators import graph
+
+    from conftest import SF_DIR
+
+    li = tables.load(spark, SF_DIR, "lineitem")
+    od = tables.load(spark, SF_DIR, "orders")
+    a = sorted(
+        graph.pagerank(li, od).collect(), key=lambda r: r["rank_pos"]
+    )
+    b = sorted(
+        graph.pagerank(li.repartition(13), od.repartition(7)).collect(),
+        key=lambda r: r["rank_pos"],
+    )
+    assert a == b
+    assert [r["rank_pos"] for r in a] == list(range(1, len(a) + 1))
+    ranks = [r["rank_fp"] for r in a]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r > 0 for r in ranks)
