@@ -35,12 +35,16 @@ def asof_join(
     attach: list[str],
     *,
     tolerance_days: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: for every left row, attach the ``attach``
     columns of the right row with the greatest ``right_ts`` <=
     ``left_ts`` for the same ``key`` (inclusive match, like DuckDB's
     ``ASOF JOIN ... ON l.t >= r.t``); left rows with no prior right
-    row keep NULLs.
+    row keep NULLs. ``direction="forward"`` mirrors it — the SMALLEST
+    ``right_ts`` >= ``left_ts`` (DuckDB ``ON l.t <= r.t``), same
+    single-shuffle union+window plan with the timeline sorted
+    descending.
 
     ``right`` must be unique per (key, right_ts) — pre-aggregate it if
     not — otherwise the carried row is undefined. With
@@ -78,10 +82,15 @@ def asof_join(
         ).alias("_q"),
         *left_cols,
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     u = quotes.unionByName(probes)
+    t_order = (
+        F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    )
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_p").asc())
+        .orderBy(t_order, F.col("_p").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn("_last_q", F.last("_q", ignorenulls=True).over(w))
@@ -90,11 +99,13 @@ def asof_join(
     )
     out = carried.filter(F.col("_p") == 1)
     if tolerance_days is not None:
-        within = F.datediff(
-            F.to_date("_t"), F.to_date("_last_t")
-        ) <= F.lit(tolerance_days)
+        gap = (
+            F.datediff(F.to_date("_t"), F.to_date("_last_t"))
+            if direction == "backward"
+            else F.datediff(F.to_date("_last_t"), F.to_date("_t"))
+        )
         out = out.withColumn(
-            "_last_q", F.when(within, F.col("_last_q"))
+            "_last_q", F.when(gap <= F.lit(tolerance_days), F.col("_last_q"))
         )
     return out.select(
         *left_cols,
@@ -247,4 +258,45 @@ def busy_window_events(
         F.sum(
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).cast("long").alias("n_purchases"),
+    )
+
+
+def order_next_event(orders: DataFrame, events: DataFrame) -> DataFrame:
+    """aj2: the forward as-of twin of :func:`event_order_asof` — every
+    order attributed to the customer's FIRST event at or after the
+    order date ("after this purchase, when did they next engage?").
+    NULLs where the customer has no later event (left as-of, forward
+    direction). The event side pre-dedups to one row per (user, ts)
+    with the lowest event_id as the representative, keeping the
+    carried row well-defined."""
+    ev = events.groupBy(
+        "user_id", F.col("ts").alias("ev_ts")
+    ).agg(
+        F.min("event_id").alias("first_event_id"),
+        F.min_by("event_type", "event_id").alias("event_type"),
+    )
+    left = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("order_ts"),
+    )
+    j = asof_join(
+        left,
+        ev,
+        key="user_id",
+        left_ts="order_ts",
+        right_ts="ev_ts",
+        attach=["ev_ts", "first_event_id", "event_type"],
+        direction="forward",
+    )
+    return j.select(
+        "o_orderkey",
+        "user_id",
+        F.date_format("order_ts", "yyyy-MM-dd").alias("order_day"),
+        F.date_format("ev_ts", "yyyy-MM-dd HH:mm:ss").alias("next_event_ts"),
+        "first_event_id",
+        "event_type",
+        F.datediff(F.to_date("ev_ts"), F.to_date("order_ts"))
+        .cast("long")
+        .alias("days_until_event"),
     )

@@ -510,3 +510,33 @@ register(
     ),
     _pagerank_sql(),
 )
+
+
+# aj2: forward as-of — each order attributed to the customer's first
+# event at or after it; oracle = DuckDB native forward ASOF
+# (ON o.ts <= e.ts picks the smallest matching event time).
+register(
+    "aj2_order_next_event",
+    lambda spark, sf: timejoin.order_next_event(
+        tables.load(spark, sf, "orders"), tables.load_events(spark, sf)
+    ),
+    """
+WITH ev AS (
+    SELECT user_id, ts AS ev_ts,
+           cast(min(event_id) AS bigint) AS first_event_id,
+           arg_min(event_type, event_id) AS event_type
+    FROM events GROUP BY 1, 2
+)
+SELECT
+    o.o_orderkey,
+    o.o_custkey AS user_id,
+    strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+    strftime(e.ev_ts, '%Y-%m-%d %H:%M:%S') AS next_event_ts,
+    e.first_event_id,
+    e.event_type,
+    cast(date_diff('day', cast(o.o_orderdate AS date),
+                   cast(e.ev_ts AS date)) AS bigint) AS days_until_event
+FROM orders o ASOF LEFT JOIN ev e
+  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ev_ts
+""",
+)

@@ -162,3 +162,15 @@ def test_asof_join_hot_key_correctness(spark):
     assert len(got) == 5000
     for i in range(5000):
         assert got[i] == i // 10, i  # quote q covers minutes [10q, 10q+10)
+
+
+def test_asof_forward_semantics(spark):
+    left, right = _asof_fixture(spark)
+    out = timejoin.asof_join(
+        left, right, key="k", left_ts="t", right_ts="qt", attach=["qv"],
+        direction="forward",
+    )
+    got = {r["id"]: r["qv"] for r in out.collect()}
+    # earliest quote at-or-after each probe; probe 4 is past the last
+    # quote, key 8 has none
+    assert got == {1: 100, 2: 100, 3: 200, 4: None, 5: None}
