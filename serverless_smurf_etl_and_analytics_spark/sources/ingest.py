@@ -255,3 +255,56 @@ def make_upload_fixture(
         with open(f"{out_dir}/store_{store}_{date}.json", "w") as f:
             json.dump(recs, f)
     return len(by_file)
+
+
+def compact_partitions(
+    spark: SparkSession, processed_dir: str, target_mb: int = 128
+) -> DataFrame:
+    """Lake maintenance (S5 companion): bin-pack each hive partition's
+    small parquet files into ~``target_mb`` outputs — the OPTIMIZE /
+    compaction pass every incremental sink needs, since per-microbatch
+    writes (S9) and per-day upserts (S8) accumulate files far below
+    the scan-efficient size. Rewrites are per-partition and atomic-ish
+    (write to a sibling temp dir, then swap), so a reader never sees a
+    half-compacted partition, and partitions already at one file are
+    left untouched.
+
+    Returns a report DataFrame: (partition, files_before, files_after,
+    bytes) — the numbers an ops dashboard tracks.
+
+    Scale notes: file listing and the swap are driver-side filesystem
+    calls because this is maintenance, not a query; each partition's
+    rewrite is a distributed read+coalesce+write sized by actual bytes
+    (ceil(bytes / target)). On object stores swap becomes
+    write-new + prefix flip (or use a table format's OPTIMIZE); at
+    100 TB run partitions in parallel batches."""
+    import math
+    import shutil
+    import uuid
+
+    report = []
+    for root, _dirs, files in os.walk(processed_dir):
+        parts = [f for f in files if f.endswith(".parquet")]
+        if len(parts) < 2:
+            continue
+        total = sum(os.path.getsize(os.path.join(root, f)) for f in parts)
+        n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+        if n_out >= len(parts):
+            continue
+        df = spark.read.parquet(root)
+        tmp = f"{root}__compact_{uuid.uuid4().hex[:8]}"
+        df.coalesce(n_out).write.mode("overwrite").parquet(tmp)
+        old = f"{root}__old"
+        os.rename(root, old)
+        os.rename(tmp, root)
+        shutil.rmtree(old)
+        after = len(
+            [f for f in os.listdir(root) if f.endswith(".parquet")]
+        )
+        report.append(
+            (os.path.relpath(root, processed_dir), len(parts), after, total)
+        )
+    return spark.createDataFrame(
+        report or [],
+        "partition string, files_before int, files_after int, bytes long",
+    )

@@ -117,3 +117,67 @@ def test_dynamic_partition_overwrite_idempotency(spark, upload_dir, tmp_path):
     ingest.write_partitioned(one_day, str(out))
     n2 = spark.read.parquet(str(out)).count()
     assert n2 == n1
+
+
+def test_compact_partitions_preserves_data(spark, tmp_path):
+    """S5 companion: compaction bin-packs small files per partition
+    without changing a single row, skips already-compact partitions,
+    and reports what it rewrote."""
+    from serverless_smurf_etl_and_analytics_spark.sources.ingest import (
+        compact_partitions,
+    )
+
+    out = str(tmp_path / "processed")
+    df = spark.range(2000).select(
+        (F.col("id") % 3).cast("string").alias("day"),
+        F.col("id").alias("v"),
+    )
+    # 8 small files per partition
+    df.repartition(8).write.partitionBy("day").parquet(out)
+    before = sorted(
+        (r["day"], r["v"]) for r in spark.read.parquet(out).collect()
+    )
+    rep = compact_partitions(spark, out, target_mb=128)
+    rows = {r["partition"]: r for r in rep.collect()}
+    assert rows, "nothing compacted"
+    for r in rows.values():
+        assert r["files_after"] < r["files_before"]
+        assert r["files_after"] == 1  # tiny data -> one bin
+    after = sorted(
+        (r["day"], r["v"]) for r in spark.read.parquet(out).collect()
+    )
+    assert after == before
+    # second pass is a no-op: everything already one file per partition
+    assert compact_partitions(spark, out, target_mb=128).count() == 0
+
+
+def test_partitioned_sink_schema_evolution(spark, tmp_path):
+    """Late-added columns must not break the partitioned sink: a new
+    day's upload carrying an extra column coexists with old
+    partitions; a mergeSchema read sees the union with NULLs for old
+    rows (the robustness a multi-month 100 TB lake needs when the
+    upstream schema grows)."""
+    out = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [("2024-01-01", "0001", 100)],
+        "day string, store string, sales long",
+    )
+    v1.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("day").parquet(out)
+    v2 = spark.createDataFrame(
+        [("2024-01-02", "0001", 200, "NEWYEAR")],
+        "day string, store string, sales long, promo_code string",
+    )
+    v2.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("day").parquet(out)
+    got = {
+        r["day"]: r
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(out)
+        .collect()
+    }
+    assert got["2024-01-01"]["sales"] == 100
+    assert got["2024-01-01"]["promo_code"] is None
+    assert got["2024-01-02"]["promo_code"] == "NEWYEAR"
