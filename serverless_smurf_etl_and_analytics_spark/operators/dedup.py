@@ -660,3 +660,66 @@ def decontaminate(docs: DataFrame, min_bp: int = 1000) -> DataFrame:
             "contamination_bp",
         )
     )
+
+
+def containment_pairs(docs: DataFrame, threshold_pm: int = 800) -> DataFrame:
+    """d11: containment scoring over the LSH candidate pairs —
+    C(A|B) = |A∩B| / |A| per direction. Jaccard misses near-SUBSET
+    relationships (a short doc quoted inside a long one has high
+    containment but low Jaccard); this is the boilerplate/quotation
+    detector a curation pipeline runs next to the symmetric near-dup
+    pass. Pairs where either direction's containment (per-mille,
+    integer-rounded so the threshold compare is float-free) reaches
+    ``threshold_pm`` are emitted with both directions' scores.
+
+    Recall caveat (documented, inherent): candidates come from the
+    MinHash band index, which is Jaccard-tuned — a tiny doc inside a
+    huge one may never band-collide. At scale the fix is a dedicated
+    containment index (bottom-k sketches of the SMALLER side probing
+    the bigger side's inverted shingle index, d8's decontamination
+    shape); the scoring stage here is index-agnostic.
+
+    Scale design: identical to d4's verify — bounded candidate pairs
+    join the materialized shingle sets; no new shuffles beyond the
+    band path it shares (the persisted shingle subtree substitutes).
+    """
+    sh = doc_shingle_sets(docs)
+    j = (
+        lsh_candidate_pairs(docs)
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    out = j.select(
+        "doc_a",
+        "doc_b",
+        inter.alias("shingles_common"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )
+    c_a = F.round(F.col("shingles_common") * 1000.0 / F.col("n_a")).cast(
+        "long"
+    )
+    c_b = F.round(F.col("shingles_common") * 1000.0 / F.col("n_b")).cast(
+        "long"
+    )
+    return (
+        out.withColumn("containment_a_pm", c_a)
+        .withColumn("containment_b_pm", c_b)
+        .filter(
+            F.greatest("containment_a_pm", "containment_b_pm")
+            >= F.lit(threshold_pm)
+        )
+    )

@@ -540,3 +540,40 @@ FROM orders o ASOF LEFT JOIN ev e
   ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ev_ts
 """,
 )
+
+
+# d11: containment scoring (near-subset detection) over the MinHash
+# candidate pairs — per-mille integer scores, float-free threshold.
+from ..operators import dedup as dedup_ops  # noqa: E402
+from .registry_ml import SQL_LSH_PAIRS  # noqa: E402
+
+register(
+    "d11_containment",
+    lambda spark, sf: dedup_ops.containment_pairs(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+WITH {SQL_LSH_PAIRS},
+scored AS (
+    SELECT
+        p.doc_a,
+        p.doc_b,
+        cast(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+             AS bigint) AS shingles_common,
+        cast(len(a.sh) AS bigint) AS n_a,
+        cast(len(b.sh) AS bigint) AS n_b
+    FROM pairs p
+    JOIN sh_t a ON a.doc_id = p.doc_a
+    JOIN sh_t b ON b.doc_id = p.doc_b
+)
+SELECT *,
+    cast(round(shingles_common * 1000.0 / n_a) AS bigint)
+        AS containment_a_pm,
+    cast(round(shingles_common * 1000.0 / n_b) AS bigint)
+        AS containment_b_pm
+FROM scored
+WHERE greatest(cast(round(shingles_common * 1000.0 / n_a) AS bigint),
+               cast(round(shingles_common * 1000.0 / n_b) AS bigint))
+      >= 800
+""",
+)

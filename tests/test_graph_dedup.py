@@ -102,3 +102,30 @@ def test_pagerank_partition_invariance_and_laws(spark):
     ranks = [r["rank_fp"] for r in a]
     assert ranks == sorted(ranks, reverse=True)
     assert all(r > 0 for r in ranks)
+
+
+def test_containment_dominates_jaccard(spark):
+    """Law: for any candidate pair, max directional containment >=
+    Jaccard (inter/min(n_a,n_b) >= inter/union), and the d11 output is
+    exactly the >= 0.8 filter of the full scored candidate set."""
+    from serverless_smurf_etl_and_analytics_spark import tables
+    from serverless_smurf_etl_and_analytics_spark.operators import dedup
+
+    from conftest import SF_DIR
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_verify(docs, pairs).collect()
+        if r["jaccard"] is not None
+    }
+    out = dedup.containment_pairs(docs).collect()
+    assert out, "no contained pairs at sf0.001"
+    for r in out:
+        cmax = max(r["containment_a_pm"], r["containment_b_pm"])
+        assert cmax >= 800
+        j = jac.get((r["doc_a"], r["doc_b"]))
+        if j is not None:
+            # per-mille rounding gives each side ±0.5pm slack
+            assert cmax + 1 >= round(j * 1000)
