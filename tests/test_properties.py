@@ -346,3 +346,34 @@ def test_adaptive_band_config_laws():
         # candidates per vector ~ b * occupancy, occupancy <= 32
         # (ceil rounds 2^w up, never past doubling the target 16)
         assert b * n / 2**w <= 32 * b, (n, b, w)
+
+
+def test_cosine_topk_scale_invariance(spark):
+    """Cosine law: per-vector positive rescaling must not change
+    sim1's neighbor sets (cosine ignores magnitude). Guards the
+    fixed-point normalization in similarity._normalize against a
+    refactor that silently switches to dot-product ranking."""
+    from pyspark.sql import functions as F
+
+    from serverless_smurf_etl_and_analytics_spark import tables
+    from serverless_smurf_etl_and_analytics_spark.operators import similarity
+
+    from conftest import SF_DIR
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    scaled = emb.withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x: x * (1.0 + (F.col("vec_id") % 7).cast("float")),
+        ),
+    )
+    a = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.cosine_topk(emb, 5).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.cosine_topk(scaled, 5).collect()
+    }
+    assert a == b
