@@ -234,3 +234,46 @@ def store_region_rollup(
         "store_count",
         "days",
     )
+
+
+def sku_copurchase_topk(txns: DataFrame, k: int = 3) -> DataFrame:
+    """co1: "customers also bought" — for every SKU, the top-k partner
+    SKUs by co-occurrence in the same transaction (basket analysis,
+    the item-item CF neighborhood the reference's recommendations
+    Lambda approximates with heuristics). Deterministic order:
+    co-purchase count desc, partner asc.
+
+    Scale design: the self-join key is transaction_id, whose group
+    size is the basket's line count (single digits) — so the pair
+    explosion is bounded per key and the join co-shuffles both sides
+    on the same key (one shuffle; never all-pairs across baskets).
+    The co-occurrence counts partial-aggregate map-side; the final
+    per-SKU top-k window runs over each SKU's partner list (bounded
+    by its co-purchase degree; a popular-SKU-heavy corpus would swap
+    the window for a per-SKU TakeOrdered)."""
+    ts = txns.select("transaction_id", "item_sku").distinct()
+    pairs = (
+        ts.alias("a")
+        .join(
+            ts.alias("b"),
+            (F.col("a.transaction_id") == F.col("b.transaction_id"))
+            & (F.col("a.item_sku") != F.col("b.item_sku")),
+        )
+        .select(
+            F.col("a.item_sku").alias("item_sku"),
+            F.col("b.item_sku").alias("partner_sku"),
+        )
+    )
+    co = pairs.groupBy("item_sku", "partner_sku").agg(
+        F.count(F.lit(1)).cast("long").alias("co_count")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item_sku").orderBy(
+        F.desc("co_count"), F.asc("partner_sku")
+    )
+    return (
+        co.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("item_sku", "rank", "partner_sku", "co_count")
+    )

@@ -577,3 +577,39 @@ WHERE greatest(cast(round(shingles_common * 1000.0 / n_a) AS bigint),
       >= 800
 """,
 )
+
+
+# co1: basket co-purchase top-3 per SKU — the item-item CF
+# neighborhood; bounded pair explosion (self-join keyed on the
+# transaction, basket sizes are single digits).
+from ..operators import joins as joins_ops  # noqa: E402
+
+register(
+    "co1_sku_copurchase",
+    lambda spark, sf: joins_ops.sku_copurchase_topk(
+        tables.transactions(spark, sf)
+    ),
+    f"""
+WITH {TXN},
+ts AS (SELECT DISTINCT transaction_id, item_sku FROM transactions),
+pairs AS (
+    SELECT a.item_sku, b.item_sku AS partner_sku
+    FROM ts a JOIN ts b
+      ON a.transaction_id = b.transaction_id
+     AND a.item_sku != b.item_sku
+),
+co AS (
+    SELECT item_sku, partner_sku, cast(count(*) AS bigint) AS co_count
+    FROM pairs GROUP BY 1, 2
+),
+r AS (
+    SELECT item_sku, partner_sku, co_count,
+        cast(row_number() OVER (
+            PARTITION BY item_sku ORDER BY co_count DESC, partner_sku
+        ) AS bigint) AS rank
+    FROM co
+)
+SELECT item_sku, rank, partner_sku, co_count
+FROM r WHERE rank <= 3
+""",
+)
