@@ -46,6 +46,7 @@ _VERIFY_FIRST = [
     "sk2_kmv_range_merge", "t10_familiarity", "fun1_event_funnel",
     "coh1_cohort_retention", "pr1_pagerank_stores",
     "aj2_order_next_event", "d11_containment", "co1_sku_copurchase",
+    "a19_dow_seasonality",
     # --- r4 new: promoted from plans/registry_pending (staged in r3
     # with full oracles + local parity; first driver verification now)
     "t7_repetition_filter", "t8_doc_frequency",
@@ -84,11 +85,11 @@ _VERIFY_FIRST = [
     "a1_store_day_metrics", "a2_payment_breakdown",
     "a2_payment_per_store_day", "a3_top5_products_store_day",
     "a4_company_daily", "a6_product_daily_exact",
-    "a6_product_daily_top5_parity", "a7_trailing_7day",
+    "a6_product_daily_top5_parity",
     # --- tail (beyond the 50-window), last-green ledger: every entry
     # below is r3-green (CORRECTNESS_r03.json) with a plan untouched
-    # this round — a8_company_trailing, a9_product_trailing,
-    # a10_deviation_vs_trailing,
+    # this round — a7_trailing_7day, a8_company_trailing,
+    # a9_product_trailing, a10_deviation_vs_trailing,
     # a11_trend_recent_vs_earlier,
     # a12_trend_half_vs_half, a13_trend_first_vs_last,
     # a14_kpi_for_range, a15_top_products_reagg,
@@ -100,6 +101,7 @@ _VERIFY_FIRST = [
     # sd_nested_store_daily, a4_payment_map_rollup, j5_wide_serialized,
     # d6_simhash_neardup, d7_semantic_dedup, d8_decontaminate,
     # sim2_cosine_neardup, t6_stratified_sample.
+    "a7_trailing_7day",
     "a8_company_trailing", "a9_product_trailing",
     "a10_deviation_vs_trailing", "a11_trend_recent_vs_earlier",
     "a12_trend_half_vs_half", "a13_trend_first_vs_last",

@@ -298,3 +298,50 @@ def product_range_stats(
         .filter(F.col("rank") <= k)
         .drop("rev_c")
     )
+
+
+def dow_seasonality(txns: DataFrame) -> DataFrame:
+    """a19: day-of-week seasonality profile per store — average daily
+    sales per weekday, indexed against the store's overall daily mean
+    (integer basis points; 10000 = an average day). The generator
+    plants weekend seasonality (``generate_sample_data.py:75-88``);
+    this is the operator that would surface it, and the input a
+    seasonality-aware anomaly baseline (A10's natural refinement)
+    needs.
+
+    Determinism: dow is 0-6 Sunday-first (matching DuckDB strftime
+    '%w'); averages round to integer cents BEFORE the index ratio so
+    every intermediate stays inside exact double range.
+
+    Scale design: two bounded aggregations off the store-day grain
+    (|stores| x 7 output) — at 100 TB the input is the store_daily MV,
+    never raw facts."""
+    daily = store_daily_cents(txns).select(
+        "store_id",
+        "sale_date",
+        "sales_c",
+        (F.dayofweek(F.to_date("sale_date")) - 1).cast("int").alias("dow"),
+    )
+    per_dow = daily.groupBy("store_id", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.sum("sales_c") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("avg_c"),
+    )
+    per_store = daily.groupBy("store_id").agg(
+        F.round(F.sum("sales_c") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("store_avg_c"),
+    )
+    return (
+        per_dow.join(F.broadcast(per_store), "store_id")
+        .select(
+            "store_id",
+            "dow",
+            "n_days",
+            (F.col("avg_c") / 100.0).cast("double").alias("avg_sales"),
+            F.round(F.col("avg_c") * 10000.0 / F.col("store_avg_c"))
+            .cast("long")
+            .alias("dow_index_bp"),
+        )
+    )

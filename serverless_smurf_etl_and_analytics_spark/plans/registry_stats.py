@@ -613,3 +613,43 @@ SELECT item_sku, rank, partner_sku, co_count
 FROM r WHERE rank <= 3
 """,
 )
+
+
+# a19: day-of-week seasonality per store — dow 0-6 Sunday-first
+# (DuckDB strftime '%w' convention), two-step integer rounding keeps
+# the index ratio in exact double range.
+from ..operators import history as history_ops  # noqa: E402
+from .registry import SQL_STORE_DAILY  # noqa: E402
+
+register(
+    "a19_dow_seasonality",
+    lambda spark, sf: history_ops.dow_seasonality(
+        tables.transactions(spark, sf)
+    ),
+    f"""
+WITH {TXN},
+{SQL_STORE_DAILY},
+d AS (
+    SELECT store_id, sale_date, sales_c,
+        cast(strftime(cast(sale_date AS date), '%w') AS int) AS dow
+    FROM store_daily
+),
+per_dow AS (
+    SELECT store_id, dow,
+        cast(count(*) AS bigint) AS n_days,
+        cast(round(sum(sales_c) * 1.0 / count(*)) AS bigint) AS avg_c
+    FROM d GROUP BY 1, 2
+),
+per_store AS (
+    SELECT store_id,
+        cast(round(sum(sales_c) * 1.0 / count(*)) AS bigint)
+            AS store_avg_c
+    FROM d GROUP BY 1
+)
+SELECT p.store_id, p.dow, p.n_days,
+    cast(p.avg_c / 100.0 AS double) AS avg_sales,
+    cast(round(p.avg_c * 10000.0 / s.store_avg_c) AS bigint)
+        AS dow_index_bp
+FROM per_dow p JOIN per_store s USING (store_id)
+""",
+)
