@@ -37,6 +37,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # every registered query has a driver-verified green row in at least
 # one round and nothing outside the window has a changed plan.
 _VERIFY_FIRST = [
+    # --- r4 new (late-round): data-quality/monitoring family
+    # (plans/registry_quality.py) — column profiler, date-gap
+    # detection, CUSUM change-point, EWMA smoothing, HyperLogLog
+    "dq1_profile_columns", "gap1_missing_days",
+    "cp1_cusum_changepoint", "ewma1_smoothed_sales",
+    "hll1_distinct_transactions", "z1_robust_zscore",
+    "hh1_heavy_hitters", "drift1_payment_tvd",
     # --- r4 new: temporal joins (as-of, interval-overlap),
     # distributive statistics (KMV sketch, exact grouped quantiles),
     # and quality-weighted sampling — plans/registry_stats.py
@@ -72,7 +79,10 @@ _VERIFY_FIRST = [
     "j5_wide_pivot_timeseries",
     # --- least-recently-verified: the ML layer, green in r01/r02 and
     # untouched since (the r3 token_rows code move kept expression
-    # trees identical; re-proving here retires that caveat)
+    # trees identical; re-proving here retires that caveat).
+    # mm3_pairing_integrity sits at position 51 — just past the
+    # window after the quality family rotated in; r02-green, plan
+    # untouched since.
     "t1_text_stats", "t2_lang_id", "t3_fingerprint",
     "t4_token_count_bpe", "t5_rolling_fingerprint",
     "d1_exact_dedup", "d2_minhash_signatures",
@@ -80,8 +90,11 @@ _VERIFY_FIRST = [
     "sim1_cosine_topk", "sim3_lsh_topk", "sim4_ivf_topk",
     "mm1_binary_fingerprint_dedup", "mm2_modality_stats",
     "mm3_pairing_integrity",
-    # --- r3-green, plans unchanged; 25 of the 50 fit in the window
-    # (core metrics/join/projection families)
+    # --- r3-green, plans unchanged; the first two still fit in the
+    # 50-query window after the quality family rotated in (the other
+    # five of this block — a2_per_store_day, a3, a4_company,
+    # a6_exact, a6_top5_parity — moved just past it; all r3-green,
+    # plans untouched since)
     "a1_store_day_metrics", "a2_payment_breakdown",
     "a2_payment_per_store_day", "a3_top5_products_store_day",
     "a4_company_daily", "a6_product_daily_exact",

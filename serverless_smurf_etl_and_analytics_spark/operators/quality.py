@@ -1,0 +1,366 @@
+"""Data-quality and monitoring operators: column profiling, date-gap
+detection, CUSUM change-point location, EWMA smoothing, robust
+median/MAD outliers, revenue heavy-hitters, and payment-mix drift.
+
+The reference's quality surface is the ingest-time JSON-Schema gate
+(``process-upload/process_upload.py:60-74``) and the completeness
+anti-join (``check-all-stores/lambda_function.py:47-65``) — it never
+profiles what landed or watches the landed series for level shifts.
+These operators add the post-ingest half of that story: dq1 answers
+"what is actually in the table", gap1 answers "which store-days never
+arrived" (the temporal complement of J1's which-stores-today check),
+cp1 turns the reference's single-day deviation test
+(``detect-anomalies/lambda_function.py:213-219``) into a sequential
+level-shift detector, and ewma1 is the smoothed variant of the A7
+trailing mean (``detect-anomalies/lambda_function.py:124-133``).
+
+Every output is integer/string-exact (cents, counts, day counts,
+power-of-two weights) so the DuckDB oracles compare hash-identical —
+no float accumulation order can drift a value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# transactions columns profiled by dq1 — the bigint/string split
+# mirrors the reference upload schema's types
+# (``upload-schema.json:22-66``; money profiled via the exact *_cents
+# twins, see functions.money).
+PROFILE_NUM_COLS = (
+    "transaction_id",
+    "item_sku",
+    "quantity",
+    "line_cents",
+    "discount_cents",
+)
+PROFILE_STR_COLS = ("store_id", "sale_date", "payment_method")
+
+
+def profile_columns(txns: DataFrame) -> DataFrame:
+    """dq1: one profile row per column — row/null/distinct counts plus
+    typed min/max (numeric for bigint columns, lexicographic for
+    string columns).
+
+    Scale design: the naive single-pass profile (one global agg with a
+    countDistinct per column) plans an Expand that replicates every
+    fact row once per distinct-aggregate. Instead the plan unpivots to
+    (column, value) pairs and aggregates twice: (1) groupBy
+    (column, value) with map-side partial counts — the shuffle carries
+    at most |distinct values| rows per column, not |rows|; (2) a final
+    8-group rollup. Distinct-heavy columns (transaction_id) dominate
+    stage 1's shuffle but that is the theoretical floor for an exact
+    distinct count; nothing is ever collected or expanded row-wise.
+    """
+    pairs = None
+    for c in PROFILE_NUM_COLS:
+        p = txns.select(
+            F.lit(c).alias("column_name"),
+            F.col(c).cast("long").alias("value_n"),
+            F.lit(None).cast("string").alias("value_s"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    for c in PROFILE_STR_COLS:
+        p = txns.select(
+            F.lit(c).alias("column_name"),
+            F.lit(None).cast("long").alias("value_n"),
+            F.col(c).cast("string").alias("value_s"),
+        )
+        pairs = pairs.unionByName(p)
+
+    per_value = pairs.groupBy("column_name", "value_n", "value_s").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    is_null = F.col("value_n").isNull() & F.col("value_s").isNull()
+    return per_value.groupBy("column_name").agg(
+        F.sum("c").alias("n_rows"),
+        F.sum(F.when(is_null, F.col("c")).otherwise(F.lit(0))).alias(
+            "n_null"
+        ),
+        F.count(F.when(~is_null, F.lit(1))).alias("n_distinct"),
+        F.min("value_n").alias("min_n"),
+        F.max("value_n").alias("max_n"),
+        F.min("value_s").alias("min_s"),
+        F.max("value_s").alias("max_s"),
+    )
+
+
+def date_gaps(daily: DataFrame, min_gap_days: int = 1) -> DataFrame:
+    """gap1: islands-and-gaps over each store's sale_date sequence —
+    one row per hole of >= ``min_gap_days`` missing calendar days,
+    with the bounding present days. The temporal complement of the J1
+    completeness anti-join: J1 asks "who is missing today", this asks
+    "which days went missing historically".
+
+    Input is the store-day grain (the shared MV), so the window runs
+    over |stores| x |days| rows — one bounded shuffle on store_id.
+    """
+    w = Window.partitionBy("store_id").orderBy("d")
+    d = daily.select(
+        "store_id", F.col("sale_date").cast("date").alias("d")
+    ).withColumn("prev_d", F.lag("d").over(w))
+    return (
+        d.withColumn("gap_days", F.datediff("d", "prev_d") - F.lit(1))
+        .filter(F.col("gap_days") >= min_gap_days)
+        .select(
+            "store_id",
+            F.date_format("prev_d", "yyyy-MM-dd").alias("last_seen"),
+            F.date_format("d", "yyyy-MM-dd").alias("next_seen"),
+            F.col("gap_days").cast("long").alias("gap_days"),
+        )
+    )
+
+
+def cusum_changepoints(daily: DataFrame) -> DataFrame:
+    """cp1: the classic CUSUM change-point estimator per store — the
+    day of maximum |cumulative centered deviation|, with the mean
+    absolute deviation alongside to judge its significance. A
+    sustained level shift accumulates in the CUSUM path where the
+    reference's single-day deviation test (A10,
+    ``detect-anomalies/lambda_function.py:213-219``) only sees one
+    day at a time; the argmax of |CUSUM| is the maximum-likelihood
+    shift location for a single mean change. Ties break to the
+    earliest day so the result is a pure function of the data.
+
+    All integer: mean_c = sum div n, dev = sales_c - mean_c,
+    mad_c = sum(|dev|) div n; exact and order-independent, so the
+    cumulative window can segment-tree-evaluate without drift.
+    ONE shuffle total: the per-store moments, the MAD, the cumsum and
+    the argmax rank are all windows over the same store_id
+    partitioning, so Catalyst plans a single Exchange followed by
+    stacked Window operators (re-sorts, no re-shuffles) — the
+    grouped-aggregate-then-join formulation of the same math costs
+    four exchanges. Input is the store-day grain, never the fact
+    table; output is one row per store.
+    """
+    w_all = Window.partitionBy("store_id")
+    d = (
+        daily.withColumn(
+            "mean_c",
+            F.expr(
+                "sum(sales_c) over (partition by store_id)"
+                " div count(*) over (partition by store_id)"
+            ),
+        )
+        .withColumn("n_days", F.count(F.lit(1)).over(w_all))
+        .withColumn("dev_c", F.col("sales_c") - F.col("mean_c"))
+        .withColumn("mad_c", F.expr(
+            "sum(abs(dev_c)) over (partition by store_id)"
+            " div count(*) over (partition by store_id)"
+        ))
+    )
+    w = (
+        Window.partitionBy("store_id")
+        .orderBy("sale_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.withColumn("cusum_c", F.sum("dev_c").over(w)).withColumn(
+        "day_idx", F.count(F.lit(1)).over(w)
+    )
+    w_rank = Window.partitionBy("store_id").orderBy(
+        F.abs(F.col("cusum_c")).desc(), F.col("sale_date")
+    )
+    return (
+        cum.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") == 1)
+        .select(
+            "store_id",
+            F.col("sale_date").alias("cp_date"),
+            F.col("day_idx").cast("long").alias("day_idx"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("cusum_c").alias("cusum_at_cp"),
+            "mad_c",
+            # a negative CUSUM trough at the argmax means the days up
+            # to cp sat BELOW the all-time mean, i.e. the level moved
+            # UP after cp (and vice versa) — the label names the
+            # post-cp direction, pytest-pinned on a planted step
+            F.when(F.col("cusum_c") < 0, F.lit("shift_up"))
+            .otherwise(F.lit("shift_down"))
+            .alias("direction"),
+        )
+    )
+
+
+def ewma_sales(daily: DataFrame, span: int = 7) -> DataFrame:
+    """ewma1: exponentially-weighted trailing mean of daily sales per
+    store over the last <= ``span`` *present* days (today included) —
+    the smoothed cousin of A7's flat trailing mean, halving a day's
+    weight per step of age so the baseline tracks level shifts faster.
+
+    Exact integer fixed-point: the window's s days get weights
+    2^0 (oldest) .. 2^(s-1) (today); ew_c = sum(sales_c * w) div
+    (2^s - 1). No floats, so the oracle restates it verbatim (as a
+    bounded rn-range self-join — relationally identical to the frame).
+
+    Scale: one window over the store-day grain (shuffle on store_id,
+    bounded partitions); the frame is ``rowsBetween(-(span-1), 0)`` so
+    state per key is ``span`` rows. ``shiftleft`` keeps the weighting
+    in whole-stage codegen — no UDF, no higher-order-function
+    CodegenFallback in the hot expression (zip_with/aggregate ARE
+    CodegenFallback, but they run over span-length arrays post-window,
+    a constant per row).
+    """
+    w = (
+        Window.partitionBy("store_id")
+        .orderBy("sale_date")
+        .rowsBetween(-(span - 1), 0)
+    )
+    arr = F.collect_list("sales_c").over(w)
+    d = daily.select("store_id", "sale_date", "sales_c").withColumn(
+        "arr", arr
+    )
+    return d.select(
+        "store_id",
+        "sale_date",
+        "sales_c",
+        F.expr("size(arr)").cast("long").alias("n_in_window"),
+        F.expr(
+            "aggregate(zip_with(arr, sequence(0, size(arr) - 1),"
+            " (x, i) -> x * shiftleft(1L, i)), 0L, (a, b) -> a + b)"
+            " div (shiftleft(1L, size(arr)) - 1)"
+        ).alias("ewma_c"),
+    )
+
+
+def _windowed_median(value: str) -> F.Column:
+    """Exact per-store ceil-rank median of ``value`` as a WINDOW
+    expression: the ceil(n/2)-th smallest value, read back with an
+    unordered max over the partition. Stacking these over one
+    store_id partitioning keeps the whole median/MAD chain on a
+    single Exchange — the grouped-agg-then-join formulation of the
+    same order statistic costs one shuffle per median. (floor((n+1)/2)
+    is exact in double below 2^52 rows per store.)"""
+    w_rn = Window.partitionBy("store_id").orderBy(value)
+    w_all = Window.partitionBy("store_id")
+    rn = F.row_number().over(w_rn)
+    n = F.count(F.lit(1)).over(w_all)
+    at_median = F.when(rn == F.floor((n + 1) / 2), F.col(value))
+    return F.max(at_median).over(w_all)
+
+
+def robust_zscore_anomalies(
+    daily: DataFrame, threshold_bp: int = 35000
+) -> DataFrame:
+    """z1: store-days whose sales sit more than ``threshold_bp``/1e4
+    MADs from their store's median — the robust cousin of the
+    deviation-vs-trailing-mean test (A10): median/MAD shrug off the
+    very outliers a mean/stddev baseline absorbs, so a single huge day
+    cannot mask itself. ratio_bp = |dev| * 10000 div MAD (NULL for the
+    degenerate MAD = 0 store, which flags any nonzero deviation).
+
+    All integer (exact ceil-rank order statistics), so the oracle
+    restates it directly. Scale: both medians are window order
+    statistics over the SAME store_id partitioning — one Exchange,
+    stacked sorts — over the store-day grain, never the fact table.
+    """
+    d = daily.withColumn(
+        "med", _windowed_median("sales_c")
+    ).withColumn("dev_c", F.abs(F.col("sales_c") - F.col("med")))
+    j = d.withColumn("mad_c", _windowed_median("dev_c"))
+    flagged = j.filter(
+        (
+            (F.col("mad_c") > 0)
+            & (F.col("dev_c") * 10000 > F.lit(threshold_bp) * F.col("mad_c"))
+        )
+        | ((F.col("mad_c") == 0) & (F.col("dev_c") > 0))
+    )
+    return flagged.select(
+        "store_id",
+        "sale_date",
+        "sales_c",
+        F.col("med").alias("median_c"),
+        "mad_c",
+        "dev_c",
+        F.expr("dev_c * 10000 div nullif(mad_c, 0)").alias("ratio_bp"),
+    )
+
+
+def heavy_hitters(txns: DataFrame, min_share_bp: int = 50) -> DataFrame:
+    """hh1: per store, the SKUs holding >= ``min_share_bp``/1e4 of the
+    store's gross revenue — the concentration view behind A3's plain
+    top-5 (a store where five SKUs hold 80% and one where fifty hold
+    2% each both have a "top 5"; only the share threshold tells them
+    apart).
+
+    Scale: two hash aggregations that share the (store, sku) partial
+    — the store total is a re-aggregation of the per-SKU rollup, not a
+    second fact scan — then one join against the store-grain total
+    (broadcast-sized: |stores| rows). share_bp is integer basis
+    points; exact.
+    """
+    per_sku = txns.groupBy("store_id", "item_sku").agg(
+        F.sum("line_cents").alias("rev_c")
+    )
+    per_store = per_sku.groupBy("store_id").agg(
+        F.sum("rev_c").alias("store_tot_c")
+    )
+    j = per_sku.join(F.broadcast(per_store), "store_id")
+    return j.withColumn(
+        "share_bp", F.expr("rev_c * 10000 div store_tot_c")
+    ).filter(F.col("share_bp") >= min_share_bp).select(
+        "store_id", "item_sku", "rev_c", "store_tot_c", "share_bp"
+    )
+
+
+def payment_drift_tvd(txns: DataFrame) -> DataFrame:
+    """drift1: per store, the total-variation distance (in ppm)
+    between the payment-method mix of the store's first half of
+    trading days and its second half — the drift monitor a pipeline
+    runs before trusting a model trained on last quarter's mix.
+
+    TVD = 1/2 * sum_m |p1_m - p2_m| restated in exact integers as
+    sum_m |c1_m * t2 - c2_m * t1| * 1000000 div (2 * t1 * t2) — one
+    integer division AFTER the sum, so no per-method rounding
+    accumulates and addition order cannot drift the result. The cross
+    products stay under 2^63 through ~3e9 lines per store-half; past
+    that the same expression runs in decimal(38,0) (DuckDB computes it
+    in int128 already).
+
+    Scale: one (store, day, method) aggregation off the fact table,
+    then everything downstream — the day rank (dense_rank gives each
+    date its rank among the store's DISTINCT dates, so no separate
+    distinct+join), the half totals, and the final rollup — runs on
+    one store_id exchange: stacked windows re-sort but never
+    re-shuffle, and the (store, method) group-bys are satisfied by
+    the store partitioning. Two exchanges end-to-end.
+    """
+    per_day = txns.groupBy("store_id", "sale_date", "payment_method").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("store_id").orderBy("sale_date")
+    tagged = (
+        per_day.withColumn("rnk", F.dense_rank().over(w))
+        .withColumn(
+            "n_days",
+            F.max("rnk").over(Window.partitionBy("store_id")),
+        )
+        .withColumn(
+            "half",
+            F.when(
+                F.col("rnk") <= F.expr("n_days div 2"), F.lit("h1")
+            ).otherwise(F.lit("h2")),
+        )
+    )
+    per_method = tagged.groupBy("store_id", "payment_method").agg(
+        F.sum(F.when(F.col("half") == "h1", F.col("c")).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(F.when(F.col("half") == "h2", F.col("c")).otherwise(0)).alias(
+            "c2"
+        ),
+        F.max("n_days").alias("n_days"),
+    )
+    w_store = Window.partitionBy("store_id")
+    with_tot = per_method.withColumn(
+        "t1", F.sum("c1").over(w_store)
+    ).withColumn("t2", F.sum("c2").over(w_store))
+    return with_tot.groupBy("store_id").agg(
+        F.max("n_days").cast("long").alias("n_days"),
+        F.max("t1").alias("h1_lines"),
+        F.max("t2").alias("h2_lines"),
+        F.expr(
+            "sum(abs(c1 * t2 - c2 * t1)) * 1000000"
+            " div (2 * max(t1) * max(t2))"
+        ).alias("tvd_ppm"),
+    )

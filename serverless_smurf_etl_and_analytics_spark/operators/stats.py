@@ -24,6 +24,20 @@ U32 = 1 << 32
 KMV_K = 64
 KMV_SALT = "kmv|"
 
+# HyperLogLog (Flajolet et al. 2007) fixed-point constants: m = 256
+# registers (p = 8), hash = 60 bits of md5 (15 hex chars — stays
+# positive in a signed 64-bit long in every engine), so the rho field
+# is 52 bits wide and the harmonic sum is scaled by 2^53 to stay in
+# exact integers (max 256 * 2^53 = 2^61 < 2^63). The only float op is
+# the final single division by the exact-integer scaled sum, with the
+# bias constant alpha_m * m^2 * 2^53 precomputed once below — one
+# IEEE-754 divide + floor, bit-identical across engines.
+HLL_M = 256
+HLL_SALT = "hll|"
+HLL_RHO_FIELD = 52
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUMERATOR = _HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_RHO_FIELD + 1))
+
 
 def _hash32(col: F.Column) -> F.Column:
     """First 32 bits of md5 as an unsigned long — the KMV hash domain.
@@ -245,4 +259,87 @@ def kmv_merge_daily(daily: DataFrame, k: int = KMV_K) -> DataFrame:
     ).otherwise(F.col("n_hashes_kept"))
     return sketch.join(days, "store_id").select(
         "store_id", "n_days_merged", "kth_hash", est.alias("est_distinct")
+    )
+
+
+def hll_distinct(df: DataFrame, group: str, value: str) -> DataFrame:
+    """hll1: per-``group`` HyperLogLog distinct-count estimate over
+    ``value`` with fully deterministic fixed-point registers, plus the
+    exact count for auditability. Complements sk1's KMV sketch: KMV
+    keeps k sample hashes (good for set operations), HLL keeps m
+    1-byte registers (constant 256 bytes per group at ANY cardinality
+    — the cheapest mergeable distinct sketch known).
+
+    Register math (engine-neutral integers end-to-end):
+    h = 60-bit md5 prefix; bucket = h mod m; w = h div m (52 bits);
+    rho = 53 - bitlen(w) (position of w's leftmost 1-bit in the field,
+    53 when w = 0); register M_j = max(rho) per bucket. The harmonic
+    sum is scaled by 2^53: S = sum_j 2^(53 - M_j) with empty registers
+    contributing 2^53, all in exact longs; the estimate is
+    floor(alpha_m * m^2 * 2^53 / S) — a single IEEE divide of exact
+    integers, so the oracle reproduces it bit-for-bit. No small-range
+    linear-counting branch: it needs ln(), whose last-ulp behavior is
+    libm-specific — out of the oracle-checked path by design (callers
+    below ~2.5m distinct should use sk1's KMV, which is exact there).
+
+    Scale: map-side partial max per (group, bucket) means the shuffle
+    carries at most m rows per group per partition; the final agg sees
+    <= m rows per group. A trillion-row group ships 256 registers.
+    The exact-count audit column is the expensive side at 100 TB (a
+    true distinct shuffle) — production callers drop it; it is kept
+    here so the driver row proves the estimate against truth.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(HLL_SALT), F.col(value).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    g = F.col(group).cast("string").alias("g")
+    buckets = df.select(g, h.alias("h")).select(
+        "g",
+        F.expr(f"h % {HLL_M}").alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(HLL_RHO_FIELD + 1)).otherwise(
+        F.lit(HLL_RHO_FIELD + 1) - F.length(F.expr("bin(w)"))
+    )
+    regs = buckets.select("g", "bucket", rho.alias("rho")).groupBy(
+        "g", "bucket"
+    ).agg(F.max("rho").alias("m_j"))
+    per_group = regs.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.sum(
+            F.expr(f"shiftleft(1L, {HLL_RHO_FIELD + 1} - m_j)")
+        ).alias("s_present"),
+    )
+    s_total = F.col("s_present") + (
+        F.lit(HLL_M) - F.col("n_buckets_used")
+    ) * F.lit(1 << (HLL_RHO_FIELD + 1))
+    est = F.floor(F.lit(HLL_NUMERATOR) / s_total.cast("double")).cast(
+        "long"
+    )
+    exact = df.groupBy(F.col(group).cast("string").alias("g")).agg(
+        F.countDistinct(value).alias("n_exact")
+    )
+    gtype = df.schema[group].dataType
+    return (
+        per_group.join(exact, "g")
+        .select(
+            F.col("g").cast(gtype).alias(group),
+            "n_exact",
+            "n_buckets_used",
+            s_total.alias("s_scaled"),
+            est.alias("est_hll"),
+        )
+        .withColumn(
+            "err_bp",
+            F.expr(
+                "cast(round(abs(est_hll - n_exact) * 10000.0 / n_exact)"
+                " as bigint)"
+            ),
+        )
     )

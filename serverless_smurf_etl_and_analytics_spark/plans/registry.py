@@ -1314,3 +1314,4 @@ GROUP BY insight_type
 from . import registry_ml  # noqa: E402,F401
 from . import registry_export  # noqa: E402,F401
 from . import registry_stats  # noqa: E402,F401
+from . import registry_quality  # noqa: E402,F401

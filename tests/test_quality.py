@@ -1,0 +1,274 @@
+"""Laws for the data-quality family (operators/quality.py) and the
+HLL sketch (operators/stats.py): planted gaps are found exactly, a
+planted level shift localizes to the true boundary, EWMA matches a
+hand-rolled Python reference and its constant-series fixed point, the
+profiler's null accounting is exact, and HLL is partition-invariant
+with its analytic error bound holding on real data."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from serverless_smurf_etl_and_analytics_spark import tables
+from serverless_smurf_etl_and_analytics_spark.operators import (
+    history,
+    quality,
+    stats,
+)
+
+from conftest import SF_DIR
+
+
+def _daily(spark, rows):
+    return spark.createDataFrame(
+        rows, "store_id string, sale_date string, sales_c long"
+    )
+
+
+def test_date_gaps_planted_holes(spark):
+    rows = [
+        # store A: hole of 2 days (05..06 missing) and 1 day (09)
+        ("A", "2024-01-01", 100),
+        ("A", "2024-01-02", 100),
+        ("A", "2024-01-03", 100),
+        ("A", "2024-01-04", 100),
+        ("A", "2024-01-07", 100),
+        ("A", "2024-01-08", 100),
+        ("A", "2024-01-10", 100),
+        # store B: contiguous, no gaps
+        ("B", "2024-01-01", 100),
+        ("B", "2024-01-02", 100),
+    ]
+    got = sorted(
+        (r["store_id"], r["last_seen"], r["next_seen"], r["gap_days"])
+        for r in quality.date_gaps(_daily(spark, rows)).collect()
+    )
+    assert got == [
+        ("A", "2024-01-04", "2024-01-07", 2),
+        ("A", "2024-01-08", "2024-01-10", 1),
+    ]
+
+
+def test_cusum_localizes_planted_shift(spark):
+    # 10 days at 1000c then 10 days at 3000c: the |CUSUM| argmax is
+    # exactly the last pre-shift day, and the label reads the post-cp
+    # direction (level moved UP).
+    rows = [
+        ("A", f"2024-01-{d:02d}", 1000 if d <= 10 else 3000)
+        for d in range(1, 21)
+    ]
+    (r,) = quality.cusum_changepoints(_daily(spark, rows)).collect()
+    assert r["cp_date"] == "2024-01-10"
+    assert r["day_idx"] == 10 and r["n_days"] == 20
+    assert r["direction"] == "shift_up"
+    # mean = 2000, first 10 days contribute -1000 each
+    assert r["cusum_at_cp"] == -10_000
+    assert r["mad_c"] == 1000
+
+
+def test_ewma_constant_series_fixed_point(spark):
+    rows = [("A", f"2024-01-{d:02d}", 777) for d in range(1, 15)]
+    out = quality.ewma_sales(_daily(spark, rows)).collect()
+    assert all(r["ewma_c"] == 777 for r in out)
+    assert {r["n_in_window"] for r in out} == {1, 2, 3, 4, 5, 6, 7}
+
+
+def test_ewma_matches_python_reference(spark):
+    vals = [100, 200, 50, 400, 10, 900, 300, 250, 600]
+    rows = [
+        ("A", f"2024-01-{d + 1:02d}", v) for d, v in enumerate(vals)
+    ]
+    out = {
+        r["sale_date"]: r
+        for r in quality.ewma_sales(_daily(spark, rows)).collect()
+    }
+    for t in range(len(vals)):
+        window = vals[max(0, t - 6) : t + 1]
+        num = sum(x * (1 << i) for i, x in enumerate(window))
+        den = (1 << len(window)) - 1
+        r = out[f"2024-01-{t + 1:02d}"]
+        assert r["n_in_window"] == len(window)
+        assert r["ewma_c"] == num // den, f"day {t + 1}"
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    txns = tables.transactions(spark, SF_DIR)
+    # null out payment_method on a deterministic slice
+    poked = txns.withColumn(
+        "payment_method",
+        F.when(F.col("transaction_id") % 10 == 0, None).otherwise(
+            F.col("payment_method")
+        ),
+    )
+    expect_null = poked.filter(F.col("payment_method").isNull()).count()
+    n = poked.count()
+    prof = {
+        r["column_name"]: r
+        for r in quality.profile_columns(poked).collect()
+    }
+    assert set(prof) == set(
+        quality.PROFILE_NUM_COLS + quality.PROFILE_STR_COLS
+    )
+    pm = prof["payment_method"]
+    assert pm["n_rows"] == n
+    assert pm["n_null"] == expect_null
+    assert pm["n_distinct"] == 3  # A/N/R enum, nulls excluded
+    assert pm["min_s"] == "A" and pm["max_s"] == "R"
+    q = prof["quantity"]
+    assert q["n_null"] == 0
+    assert q["min_n"] >= 1
+
+
+def test_hll_partition_invariance_and_bound(spark):
+    txns = tables.transactions(spark, SF_DIR)
+    a = stats.hll_distinct(txns, "payment_method", "transaction_id")
+    b = stats.hll_distinct(
+        txns.repartition(17), "payment_method", "transaction_id"
+    )
+    key = lambda r: r["payment_method"]  # noqa: E731
+    ra, rb = sorted(a.collect(), key=key), sorted(b.collect(), key=key)
+    assert ra == rb
+    # m = 256 registers -> relative std error 1.04/sqrt(m) = 6.5%;
+    # assert within 4 sigma (26%) — generous but catches register math
+    # bugs, which produce order-of-magnitude misses
+    for r in ra:
+        assert r["err_bp"] < 2600, r
+
+
+def test_hll_registers_match_python_reference(spark):
+    txns = tables.transactions(spark, SF_DIR)
+    vals = [
+        r["transaction_id"]
+        for r in txns.select("transaction_id").distinct().collect()
+    ]
+    regs: dict[int, int] = {}
+    for v in vals:
+        h = int(
+            hashlib.md5(f"{stats.HLL_SALT}{v}".encode()).hexdigest()[:15],
+            16,
+        )
+        bucket, w = h % stats.HLL_M, h // stats.HLL_M
+        rho = (
+            stats.HLL_RHO_FIELD + 1
+            if w == 0
+            else stats.HLL_RHO_FIELD + 1 - w.bit_length()
+        )
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    s = sum(
+        1 << (stats.HLL_RHO_FIELD + 1 - m) for m in regs.values()
+    ) + (stats.HLL_M - len(regs)) * (1 << (stats.HLL_RHO_FIELD + 1))
+    # single global group: run the operator grouped by a constant
+    one = txns.withColumn("g", F.lit("all"))
+    (r,) = stats.hll_distinct(one, "g", "transaction_id").collect()
+    assert r["n_buckets_used"] == len(regs)
+    assert r["s_scaled"] == s
+    assert r["est_hll"] == int(stats.HLL_NUMERATOR / s)
+
+
+def test_quality_ops_use_store_day_grain(spark):
+    # the monitoring family consumes the shared store-day MV grain —
+    # row counts line up with the real daily table
+    txns = tables.transactions(spark, SF_DIR)
+    daily = history.store_daily_cents(txns)
+    n_days = daily.count()
+    assert quality.ewma_sales(daily).count() == n_days
+    assert quality.cusum_changepoints(daily).count() == (
+        daily.select("store_id").distinct().count()
+    )
+
+
+def _txns(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "store_id string, sale_date string, item_sku long,"
+        " line_cents long, payment_method string",
+    )
+
+
+def test_robust_zscore_flags_planted_spike(spark):
+    # constant series -> median = value, MAD = 0; the one spiked day
+    # trips the degenerate-MAD branch with a NULL ratio
+    rows = [("A", f"2024-01-{d:02d}", 500) for d in range(1, 15)]
+    rows[7] = ("A", "2024-01-08", 50_000)
+    out = quality.robust_zscore_anomalies(_daily(spark, rows)).collect()
+    assert [(r["sale_date"], r["ratio_bp"]) for r in out] == [
+        ("2024-01-08", None)
+    ]
+    assert out[0]["median_c"] == 500 and out[0]["mad_c"] == 0
+
+
+def test_robust_zscore_matches_python_reference(spark):
+    vals = [100, 120, 90, 110, 100, 130, 95, 105, 4000, 100, 115]
+    rows = [
+        ("A", f"2024-01-{d + 1:02d}", v) for d, v in enumerate(vals)
+    ]
+    sv = sorted(vals)
+    med = sv[(len(vals) + 1) // 2 - 1]
+    devs = sorted(abs(v - med) for v in vals)
+    mad = devs[(len(vals) + 1) // 2 - 1]
+    expect = [
+        (f"2024-01-{i + 1:02d}", abs(v - med) * 10000 // mad)
+        for i, v in enumerate(vals)
+        if abs(v - med) * 10000 > 35000 * mad
+    ]
+    got = [
+        (r["sale_date"], r["ratio_bp"])
+        for r in quality.robust_zscore_anomalies(
+            _daily(spark, rows)
+        ).collect()
+    ]
+    assert sorted(got) == sorted(expect) and expect  # non-vacuous
+
+
+def test_heavy_hitters_threshold_exact(spark):
+    # shares: sku 1 = 6000 bp, sku 2 = 3000 bp, sku 3 = 49 bp (just
+    # under), sku 4 = 951 bp
+    rows = [
+        ("A", "2024-01-01", 1, 60_000, "A"),
+        ("A", "2024-01-01", 2, 30_000, "A"),
+        ("A", "2024-01-01", 3, 490, "A"),
+        ("A", "2024-01-01", 4, 9_510, "A"),
+    ]
+    out = quality.heavy_hitters(_txns(spark, rows))
+    got = sorted(
+        (r["item_sku"], r["share_bp"]) for r in out.collect()
+    )
+    assert got == [(1, 6000), (2, 3000), (4, 951)]
+
+
+def test_payment_drift_bounds(spark):
+    # store A: disjoint mixes in the two halves -> TVD = 1.0 exactly;
+    # store B: identical mixes -> TVD = 0
+    rows = []
+    for d in (1, 2):
+        rows += [("A", f"2024-01-{d:02d}", 1, 100, "CASH")] * 3
+    for d in (3, 4):
+        rows += [("A", f"2024-01-{d:02d}", 1, 100, "CARD")] * 5
+    for d in (1, 2, 3, 4):
+        rows += [
+            ("B", f"2024-01-{d:02d}", 1, 100, "CASH"),
+            ("B", f"2024-01-{d:02d}", 1, 100, "CARD"),
+        ]
+    out = {
+        r["store_id"]: r
+        for r in quality.payment_drift_tvd(_txns(spark, rows)).collect()
+    }
+    assert out["A"]["tvd_ppm"] == 1_000_000
+    assert out["A"]["h1_lines"] == 6 and out["A"]["h2_lines"] == 10
+    assert out["B"]["tvd_ppm"] == 0
+
+
+def test_quality_family_partition_invariance(spark):
+    txns = tables.transactions(spark, SF_DIR)
+    daily = history.store_daily_cents(txns)
+    for fn, src in (
+        (quality.robust_zscore_anomalies, daily),
+        (quality.payment_drift_tvd, txns),
+        (quality.heavy_hitters, txns),
+        (quality.profile_columns, txns),
+    ):
+        a = sorted(map(tuple, fn(src).collect()))
+        b = sorted(map(tuple, fn(src.repartition(13)).collect()))
+        assert a == b, fn.__name__
