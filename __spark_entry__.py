@@ -44,6 +44,8 @@ _VERIFY_FIRST = [
     "cp1_cusum_changepoint", "ewma1_smoothed_sales",
     "hll1_distinct_transactions", "z1_robust_zscore",
     "hh1_heavy_hitters", "drift1_payment_tvd",
+    "scd1_latest_per_key", "mo1_zorder_codes",
+    "hist1_log2_histogram", "qr1_quality_report",
     # --- r4 new: temporal joins (as-of, interval-overlap),
     # distributive statistics (KMV sketch, exact grouped quantiles),
     # and quality-weighted sampling — plans/registry_stats.py
@@ -79,10 +81,11 @@ _VERIFY_FIRST = [
     "j5_wide_pivot_timeseries",
     # --- least-recently-verified: the ML layer, green in r01/r02 and
     # untouched since (the r3 token_rows code move kept expression
-    # trees identical; re-proving here retires that caveat).
-    # mm3_pairing_integrity sits at position 51 — just past the
-    # window after the quality family rotated in; r02-green, plan
-    # untouched since.
+    # trees identical; re-proving the first 11 here retires that
+    # caveat for them). After the 12-query quality family rotated in,
+    # the tail of this block — sim3, sim4, mm1, mm2, mm3 — sits at
+    # positions 51-55, just past the window; all r01/r02-green with
+    # plans untouched since.
     "t1_text_stats", "t2_lang_id", "t3_fingerprint",
     "t4_token_count_bpe", "t5_rolling_fingerprint",
     "d1_exact_dedup", "d2_minhash_signatures",
@@ -90,11 +93,9 @@ _VERIFY_FIRST = [
     "sim1_cosine_topk", "sim3_lsh_topk", "sim4_ivf_topk",
     "mm1_binary_fingerprint_dedup", "mm2_modality_stats",
     "mm3_pairing_integrity",
-    # --- r3-green, plans unchanged; the first two still fit in the
-    # 50-query window after the quality family rotated in (the other
-    # five of this block — a2_per_store_day, a3, a4_company,
-    # a6_exact, a6_top5_parity — moved just past it; all r3-green,
-    # plans untouched since)
+    # --- r3-green, plans unchanged; now entirely past the 50-query
+    # window (positions 56+) after the quality family rotated in —
+    # all r3-green with plans untouched since
     "a1_store_day_metrics", "a2_payment_breakdown",
     "a2_payment_per_store_day", "a3_top5_products_store_day",
     "a4_company_daily", "a6_product_daily_exact",

@@ -364,3 +364,195 @@ def payment_drift_tvd(txns: DataFrame) -> DataFrame:
             " div (2 * max(t1) * max(t2))"
         ).alias("tvd_ppm"),
     )
+
+
+def latest_per_key(events: DataFrame) -> DataFrame:
+    """scd1: the latest event per user — the batch "current snapshot"
+    view (SCD-type-1 semantics) of an append-only event log, the batch
+    twin of ``streaming/windows.dedup_events_stream``'s keep-first
+    rule run in reverse. Ties on ts break to the highest event_id so
+    the winner is a pure function of the data.
+
+    Scale: one window shuffle on user_id; rank-filter pushes the
+    TopK-per-key computation into a single pass (Spark evaluates
+    row_number + filter without materializing the sorted partitions).
+    The n_events audit column rides on the same partitioning — no
+    second shuffle.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    w_all = Window.partitionBy("user_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
+
+
+# Morton (Z-order) interleave: spread a 16-bit value's bits to the
+# even positions of a 32-bit lane via the classic 4-step magic-mask
+# cascade — plain bitwise arithmetic, identical syntax in Spark SQL
+# and DuckDB, fully inside whole-stage codegen.
+_SPREAD = (
+    "((({x} * 65537) & 4278190335)"  # x |= x << 16, mask 0xFF0000FF
+    " * 17 & 50393103)"              # x |= x << 4,  mask 0x0300F00F
+    " * 5 & 1426085409)"             # x |= x << 2,  mask 0x550C30C3... see note
+)
+
+
+def _spread_bits_sql(x: str) -> str:
+    """Bits of 16-bit ``x`` moved to even positions (0,2,..,30).
+    Stated as explicit shift-or-mask steps (clearer than the fused
+    multiply form and equally codegen-friendly)."""
+    s = f"cast({x} as bigint)"
+    s = f"(({s} | ({s} << 8)) & 16711935)"    # 0x00FF00FF
+    s = f"(({s} | ({s} << 4)) & 252645135)"   # 0x0F0F0F0F
+    s = f"(({s} | ({s} << 2)) & 858993459)"   # 0x33333333
+    s = f"(({s} | ({s} << 1)) & 1431655765)"  # 0x55555555
+    return s
+
+
+ZORDER_EPOCH = "1990-01-01"
+
+
+def zorder_codes(daily: DataFrame) -> DataFrame:
+    """mo1: Morton (Z-order) code per store-day — the space-filling
+    curve key that makes ONE physical sort serve BOTH access patterns
+    the reference indexes separately (by-store-over-time = DynamoDB
+    primary key, by-date-across-stores = GSI1;
+    ``infrastructure/dynamodb.tf:4-43``). Files written in zcode order
+    are range-prunable on store AND date simultaneously: a predicate
+    on either column touches O(sqrt(files)) instead of all of them.
+
+    zcode interleaves the 16-bit store number (even bit positions)
+    with the 16-bit day number since 1990-01-01 (odd positions) via
+    the shift-or-mask spread cascade — integer-exact, identical in
+    both engines. ``write_zordered`` below applies it as a layout
+    sort; this query exposes the codes for verification.
+    """
+    d = daily.select(
+        "store_id",
+        "sale_date",
+        F.col("store_id").cast("long").alias("s_num"),
+        F.datediff(
+            F.col("sale_date").cast("date"), F.lit(ZORDER_EPOCH).cast("date")
+        ).cast("long").alias("day_num"),
+    )
+    zx = _spread_bits_sql("s_num")
+    zy = _spread_bits_sql("day_num")
+    return d.select(
+        "store_id",
+        "sale_date",
+        "day_num",
+        F.expr(f"{zx} | ({zy} << 1)").alias("zcode"),
+    )
+
+
+def write_zordered(daily: DataFrame, path: str) -> None:
+    """Layout sink: globally sort the store-day table by its Morton
+    code before writing, so parquet row groups cover compact (store,
+    date) rectangles and min/max statistics prune on both columns.
+    The sort is a range-partitioned exchange (Spark samples zcode
+    bounds) — the standard one-shuffle cost of any clustered layout;
+    paid once at write time, saved on every subsequent scan."""
+    z = zorder_codes(daily)
+    (
+        daily.join(z.select("store_id", "sale_date", "zcode"),
+                   ["store_id", "sale_date"])
+        .orderBy("zcode")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def log2_histogram(txns: DataFrame) -> DataFrame:
+    """hist1: mergeable power-of-two histogram of line cents per
+    payment method, with each bin's exact bounds and the p50-carrying
+    bin flagged. The mergeable counterpart of q1's exact quantiles:
+    the histogram is a pure sum per (method, bin) — partial-aggregates
+    map-side, merges across days/partitions/clusters by addition, and
+    holds <= 64 bins per group at ANY row count, where exact quantiles
+    must see every distinct value. Quantile estimates from it carry a
+    guaranteed relative error <= 2x (one bin width); the exact q1 path
+    exists when that is not enough.
+
+    bin = bitlen(v) (floor(log2(v)) + 1, via the length-of-binary
+    trick — no floating log), so bin k covers [2^(k-1), 2^k).
+    """
+    binned = txns.select(
+        "payment_method",
+        F.expr("length(bin(line_cents))").cast("long").alias("bin"),
+        F.col("line_cents").alias("v"),
+    ).groupBy("payment_method", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("v").alias("bin_min_c"),
+        F.max("v").alias("bin_max_c"),
+    )
+    w_cum = (
+        Window.partitionBy("payment_method")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("payment_method")
+    h = binned.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    is_p50 = (F.col("cum") >= F.expr("(n + 1) div 2")) & (
+        F.col("cum") - F.col("cnt") < F.expr("(n + 1) div 2")
+    )
+    return h.select(
+        "payment_method",
+        "bin",
+        F.expr("shiftleft(1L, cast(bin as int) - 1)").alias("bin_lo_c"),
+        F.expr("shiftleft(1L, cast(bin as int)) - 1").alias("bin_hi_c"),
+        "cnt",
+        "bin_min_c",
+        "bin_max_c",
+        F.col("cum").cast("long").alias("cum"),
+        is_p50.cast("long").alias("is_p50_bin"),
+    )
+
+
+def quality_report(daily: DataFrame) -> DataFrame:
+    """qr1: the combined daily quality feed — every alarm the
+    monitoring family raises, one row per (store, date, alarm_type)
+    with a single integer severity metric, mirroring the i4 combined-
+    insights shape so the same serving/export path carries both
+    business insights and data-quality alarms.
+
+    alarm types: 'gap' (metric = missing days), 'robust_outlier'
+    (metric = ratio_bp, -1 for the degenerate MAD=0 case), and
+    'changepoint' (metric = |cusum| div MAD, the shift's size in MAD
+    units; -1 if MAD = 0). Each branch reuses the registered operator
+    verbatim, so this is a unionByName of already-verified plans over
+    the shared store-day MV — no new scan of anything.
+    """
+    gaps = date_gaps(daily).select(
+        "store_id",
+        F.col("next_seen").alias("alarm_date"),
+        F.lit("gap").alias("alarm_type"),
+        F.col("gap_days").alias("metric"),
+    )
+    outliers = robust_zscore_anomalies(daily).select(
+        "store_id",
+        F.col("sale_date").alias("alarm_date"),
+        F.lit("robust_outlier").alias("alarm_type"),
+        F.coalesce(F.col("ratio_bp"), F.lit(-1)).alias("metric"),
+    )
+    shifts = cusum_changepoints(daily).select(
+        "store_id",
+        F.col("cp_date").alias("alarm_date"),
+        F.lit("changepoint").alias("alarm_type"),
+        F.coalesce(
+            F.expr("abs(cusum_at_cp) div nullif(mad_c, 0)"), F.lit(-1)
+        ).alias("metric"),
+    )
+    return gaps.unionByName(outliers).unionByName(shifts)

@@ -347,3 +347,118 @@ SELECT store_id, max(n_days) AS n_days, max(t1) AS h1_lines,
 FROM wt GROUP BY 1
 """,
 )
+
+
+# scd1: latest event per user (SCD-type-1 current snapshot of the
+# append-only log); ties on ts break to the highest event_id.
+register(
+    "scd1_latest_per_key",
+    lambda spark, sf: quality.latest_per_key(
+        tables.load_events(spark, sf)
+    ),
+    """
+WITH latest AS (
+    SELECT event_id, user_id, event_type, ts,
+        row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn,
+        count(*) OVER (PARTITION BY user_id) AS n_events
+    FROM events
+)
+SELECT user_id, event_id,
+    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type,
+    cast(n_events AS bigint) AS n_events
+FROM latest WHERE rn = 1
+""",
+)
+
+
+def _spread_sql(x: str) -> str:
+    # the identical shift-or-mask cascade quality._spread_bits_sql
+    # emits for the Spark plan — both engines share &, |, << syntax
+    s = f"cast({x} AS bigint)"
+    s = f"(({s} | ({s} << 8)) & 16711935)"
+    s = f"(({s} | ({s} << 4)) & 252645135)"
+    s = f"(({s} | ({s} << 2)) & 858993459)"
+    s = f"(({s} | ({s} << 1)) & 1431655765)"
+    return s
+
+
+# mo1: Morton (Z-order) codes over the store-day grain — the layout
+# key behind quality.write_zordered.
+register(
+    "mo1_zorder_codes",
+    lambda spark, sf: quality.zorder_codes(_daily(spark, sf)),
+    f"""
+WITH {TXN}, {SQL_DAILY_CENTS},
+d AS (
+    SELECT store_id, sale_date,
+        cast(store_id AS bigint) AS s_num,
+        cast(date_diff('day', DATE '{quality.ZORDER_EPOCH}',
+                       cast(sale_date AS date)) AS bigint) AS day_num
+    FROM daily
+)
+SELECT store_id, sale_date, day_num,
+    ({_spread_sql('s_num')})
+        | (({_spread_sql('day_num')}) << 1) AS zcode
+FROM d
+""",
+)
+
+# hist1: mergeable power-of-two histogram of line cents per payment
+# method; bin = bitlen(v) via the length-of-binary trick (no float
+# logs), p50-carrying bin flagged with the ceil-rank rule.
+register(
+    "hist1_log2_histogram",
+    lambda spark, sf: quality.log2_histogram(
+        tables.transactions(spark, sf)
+    ),
+    f"""
+WITH {TXN},
+binned AS (
+    SELECT payment_method,
+        cast(length(bin(line_cents)) AS bigint) AS bin,
+        cast(count(*) AS bigint) AS cnt,
+        min(line_cents) AS bin_min_c,
+        max(line_cents) AS bin_max_c
+    FROM transactions GROUP BY 1, 2
+),
+h AS (
+    SELECT *,
+        cast(sum(cnt) OVER (PARTITION BY payment_method ORDER BY bin
+             ROWS UNBOUNDED PRECEDING) AS bigint) AS cum,
+        cast(sum(cnt) OVER (PARTITION BY payment_method) AS bigint) AS n
+    FROM binned
+)
+SELECT payment_method, bin,
+    (1::bigint << (bin - 1)) AS bin_lo_c,
+    (1::bigint << bin) - 1   AS bin_hi_c,
+    cnt, bin_min_c, bin_max_c, cum,
+    cast(cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2
+         AS bigint) AS is_p50_bin
+FROM h
+""",
+)
+
+# qr1: the combined alarm feed — each branch is the corresponding
+# registered oracle verbatim, wrapped as a subquery and projected to
+# the common (store, date, type, metric) shape.
+from .registry import ORACLES as _ORA  # noqa: E402
+
+register(
+    "qr1_quality_report",
+    lambda spark, sf: quality.quality_report(_daily(spark, sf)),
+    f"""
+SELECT store_id, next_seen AS alarm_date, 'gap' AS alarm_type,
+       gap_days AS metric
+FROM ({_ORA["gap1_missing_days"]})
+UNION ALL
+SELECT store_id, sale_date, 'robust_outlier',
+       coalesce(ratio_bp, -1)
+FROM ({_ORA["z1_robust_zscore"]})
+UNION ALL
+SELECT store_id, cp_date, 'changepoint',
+       coalesce(abs(cusum_at_cp) // nullif(mad_c, 0), -1)
+FROM ({_ORA["cp1_cusum_changepoint"]})
+""",
+)

@@ -272,3 +272,90 @@ def test_quality_family_partition_invariance(spark):
         a = sorted(map(tuple, fn(src).collect()))
         b = sorted(map(tuple, fn(src.repartition(13)).collect()))
         assert a == b, fn.__name__
+
+
+def test_latest_per_key_tiebreak(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "click"),
+            (2, "2024-01-01 10:00:00", 7, "purchase"),  # same ts, higher id
+            (3, "2024-01-01 09:00:00", 7, "view"),
+            (4, "2024-01-02 00:00:00", 8, "signup"),
+        ],
+        "event_id long, ts_raw string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts_raw").cast("timestamp"))
+    out = {r["user_id"]: r for r in quality.latest_per_key(ev).collect()}
+    assert out[7]["event_id"] == 2 and out[7]["n_events"] == 3
+    assert out[8]["event_id"] == 4 and out[8]["n_events"] == 1
+
+
+def test_zorder_matches_python_interleave(spark):
+    import datetime as dt
+
+    daily = _daily(
+        spark,
+        [
+            ("0003", "1992-05-11", 1),
+            ("0042", "1997-12-31", 1),
+            ("1000", "1990-01-01", 1),
+        ],
+    )
+    out = {r["store_id"]: r for r in quality.zorder_codes(daily).collect()}
+    epoch = dt.date(1990, 1, 1)
+    for sid, date_s in (
+        ("0003", "1992-05-11"),
+        ("0042", "1997-12-31"),
+        ("1000", "1990-01-01"),
+    ):
+        s = int(sid)
+        d = (dt.date.fromisoformat(date_s) - epoch).days
+        expect = 0
+        for k in range(16):
+            expect |= ((s >> k) & 1) << (2 * k)
+            expect |= ((d >> k) & 1) << (2 * k + 1)
+        r = out[sid]
+        assert r["zcode"] == expect and r["day_num"] == d
+
+
+def test_zorder_write_roundtrip(spark, tmp_path):
+    txns = tables.transactions(spark, SF_DIR)
+    daily = history.store_daily_cents(txns)
+    path = str(tmp_path / "zordered")
+    quality.write_zordered(daily, path)
+    back = spark.read.parquet(path)
+    assert back.count() == daily.count()
+    assert "zcode" in back.columns
+
+
+def test_histogram_laws(spark):
+    txns = tables.transactions(spark, SF_DIR)
+    hist = quality.log2_histogram(txns).collect()
+    n_lines = txns.count()
+    assert sum(r["cnt"] for r in hist) == n_lines
+    by_method: dict[str, list] = {}
+    for r in hist:
+        by_method.setdefault(r["payment_method"], []).append(r)
+        # exact per-bin bounds sit inside the analytic bin range
+        assert r["bin_lo_c"] <= r["bin_min_c"] <= r["bin_max_c"] <= r["bin_hi_c"]
+    p50 = {
+        r["payment_method"]: r["p50_c"]
+        for r in stats.group_quantiles(txns).collect()
+    }
+    for m, rows in by_method.items():
+        flagged = [r for r in rows if r["is_p50_bin"] == 1]
+        assert len(flagged) == 1, m
+        # the exact q1 median lands inside the flagged bin — the
+        # histogram's quantile estimate is at most one bin off
+        assert flagged[0]["bin_lo_c"] <= p50[m] <= flagged[0]["bin_hi_c"]
+
+
+def test_quality_report_composes_branches(spark):
+    txns = tables.transactions(spark, SF_DIR)
+    daily = history.store_daily_cents(txns)
+    n = quality.quality_report(daily).count()
+    expect = (
+        quality.date_gaps(daily).count()
+        + quality.robust_zscore_anomalies(daily).count()
+        + quality.cusum_changepoints(daily).count()
+    )
+    assert n == expect and n > 0
