@@ -187,3 +187,236 @@ def kmeans_train(
 
     assignments = vecs.mapInPandas(label, schema=_ASSIGN_SCHEMA)
     return assignments, cent.tolist(), costs
+
+
+_PQ_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("subspace", LongType()),
+        StructField("cluster_id", LongType()),
+        StructField("n", LongType()),
+        StructField("s", ArrayType(LongType())),
+    ]
+)
+
+_PQ_CODE_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("codes", ArrayType(LongType())),
+        StructField("qerr", LongType()),
+    ]
+)
+
+
+def pq_train_encode(
+    emb: DataFrame, m: int = 8, ksub: int = 16, n_iter: int = 3
+) -> tuple[DataFrame, list]:
+    """pq1: product quantization — split each embedding into ``m``
+    subvectors, train a ``ksub``-centroid codebook per subspace
+    (fixed-point Lloyd, same determinism contract as
+    :func:`kmeans_train`), and encode every vector as ``m`` one-byte
+    codes. Returns ``(codes_df, codebooks)`` where codes_df =
+    (vec_id, codes array, qerr = total squared quantization error).
+
+    PQ is the memory side of the ANN story the sim* family leaves
+    open: IVF (sim4) prunes WHICH vectors to score, PQ compresses WHAT
+    is scored — a 64-dim float32 vector becomes m=8 bytes (32x), so at
+    100 TB the candidate set fits executor memory and ADC scans
+    replace raw-vector reads (Jegou et al. 2011).
+
+    Scale design: all m codebooks train in ONE pass per iteration —
+    the Arrow-batched partial computes per-subspace nearest-centroid
+    assignments against the broadcast (m x ksub x dim/m) codebook
+    tensor and emits at most m * (ksub + 1) partial-sum rows per
+    batch, so the per-iteration shuffle is O(batches * m * ksub *
+    dim/m) = O(batches * ksub * dim) longs — corpus-size independent,
+    identical to one kmeans_train iteration. Training m codebooks
+    sequentially would cost m passes for the same arithmetic. The
+    final encode pass streams (never collects) the code table.
+
+    Determinism: int64 fixed point end-to-end; ties to the lowest
+    code (argmin first-occurrence); centroid updates round
+    half-away-from-zero; empty clusters keep their centroid. Seeds
+    follow the c1/IVF convention: the first ksub vec_ids, sliced per
+    subspace.
+    """
+    import numpy as np
+    import pandas as pd
+
+    to_fixed, nearest = _make_helpers(SCALE)
+    seed_rows = sorted(
+        emb.filter(F.col("vec_id") < ksub)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    seeds = to_fixed(pd.Series([r["embedding"] for r in seed_rows]))
+    dim = seeds.shape[1]
+    dsub = dim // m
+    # codebook tensor: cent[s] = (ksub, dsub)
+    cent = np.stack(
+        [seeds[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+    )
+    vecs = emb.select("vec_id", "embedding")
+
+    for _ in range(n_iter):
+
+        def partials(batches, c=cent, tf=to_fixed, nn=nearest,
+                     m=m, dsub=dsub):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                iv = tf(pdf["embedding"])
+                rows = {"subspace": [], "cluster_id": [], "n": [], "s": []}
+                for s in range(m):
+                    sub = iv[:, s * dsub : (s + 1) * dsub]
+                    a, _ = nn(sub, c[s])
+                    for cid in np.unique(a):
+                        sel = sub[a == cid]
+                        rows["subspace"].append(s)
+                        rows["cluster_id"].append(int(cid))
+                        rows["n"].append(int(sel.shape[0]))
+                        rows["s"].append(sel.sum(axis=0).tolist())
+                yield pd.DataFrame(rows)
+
+        part = (
+            vecs.mapInPandas(partials, schema=_PQ_PARTIAL_SCHEMA)
+            .groupBy("subspace", "cluster_id")
+            .agg(
+                F.sum("n").alias("n"),
+                F.array(
+                    *[
+                        F.sum(F.try_element_at("s", F.lit(i + 1)))
+                        for i in range(dsub)
+                    ]
+                ).alias("s"),
+            )
+            .collect()
+        )
+        new_cent = cent.copy()
+        for r in part:
+            s_arr = np.asarray(r["s"], dtype=np.int64)
+            q = s_arr.astype(np.float64) / r["n"]
+            new_cent[r["subspace"], r["cluster_id"]] = np.where(
+                q >= 0, np.floor(q + 0.5), np.ceil(q - 0.5)
+            ).astype(np.int64)
+        cent = new_cent
+
+    def encode(batches, c=cent, tf=to_fixed, nn=nearest, m=m, dsub=dsub):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            iv = tf(pdf["embedding"])
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            qerr = np.zeros(len(pdf), dtype=np.int64)
+            for s in range(m):
+                sub = iv[:, s * dsub : (s + 1) * dsub]
+                a, d2 = nn(sub, c[s])
+                codes[:, s] = a
+                qerr += d2.astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "codes": list(codes),
+                    "qerr": qerr,
+                }
+            )
+
+    codes_df = vecs.mapInPandas(encode, schema=_PQ_CODE_SCHEMA)
+    return codes_df, cent.tolist()
+
+
+def pq_adc_topk(
+    emb: DataFrame, k: int = 5, m: int = 8, ksub: int = 16,
+    n_iter: int = 3, n_queries: int = 8
+) -> DataFrame:
+    """pq2: asymmetric-distance (ADC) top-k — approximate nearest
+    neighbors where the DATABASE side is PQ codes and only the QUERY
+    stays full-precision. For each query q: build the m x ksub lookup
+    table d2(q_s, centroid[s][j]) once, then every candidate's
+    distance is m table lookups + adds — no raw vectors touched.
+
+    Here the lookup tables for the (bounded) query set ship broadcast
+    inside the closure and the scan is a single Arrow-batched pass
+    over the code table: per batch, distances = sum of table gathers,
+    a (n x m) integer gather + row-sum. At 100 TB the code table is
+    32x smaller than the raw vectors and the pass is embarrassingly
+    parallel; composing with the IVF list pruning (sim4) multiplies
+    the two savings. Recall vs the exact brute-force baseline is
+    law-tested in tests/test_clustering.py, mirroring the sim3/sim4
+    planted-pair methodology.
+
+    Determinism: the codes, tables and distance sums are all int64;
+    top-k ties break to the lowest neighbor vec_id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    codes_df, codebooks = pq_train_encode(emb, m, ksub, n_iter)
+    cent = np.asarray(codebooks, dtype=np.int64)  # (m, ksub, dsub)
+    dsub = cent.shape[2]
+    to_fixed, _ = _make_helpers(SCALE)
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qiv = to_fixed(pd.Series([r["embedding"] for r in q_rows]))
+    qids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
+    # tables[qi, s, j] = ||q_s - c_sj||^2
+    tables = np.empty((len(qids), cent.shape[0], ksub), dtype=np.int64)
+    for qi in range(len(qids)):
+        for s in range(cent.shape[0]):
+            diff = qiv[qi, s * dsub : (s + 1) * dsub][None, :] - cent[s]
+            tables[qi, s] = (diff * diff).sum(axis=1)
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("adc_d2", LongType()),
+        ]
+    )
+
+    def score(batches, tables=tables, qids=qids):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.vstack(pdf["codes"].map(np.asarray).values)
+            n, m_ = codes.shape
+            out = []
+            for qi, qid in enumerate(qids):
+                # gather: d[i] = sum_s tables[qi, s, codes[i, s]]
+                d = tables[qi][np.arange(m_)[None, :], codes].sum(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": pdf["vec_id"].values,
+                            "adc_d2": d,
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    scored = codes_df.mapInPandas(score, schema=schema).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_d2",
+                F.col("rn").cast("long").alias("rank"))
+    )

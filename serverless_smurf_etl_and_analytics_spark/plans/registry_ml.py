@@ -1175,3 +1175,127 @@ SELECT
 FROM agg
 """,
 )
+
+
+def _pq_lloyd_sql(
+    m: int = 8, ksub: int = 16, n_iter: int = 3, dim: int = 64
+) -> str:
+    """Restate clustering.pq_train_encode as unrolled SQL. The
+    subspace index is a DATA dimension (cross join range(m) + slice),
+    so ONE set of Lloyd CTEs trains all m codebooks keyed by
+    (subspace, cid) — the relational mirror of the Spark side's
+    all-subspaces-in-one-pass design, and m-times smaller SQL than
+    per-subspace unrolling. Same fixed-point contract as
+    _kmeans_lloyd_sql: int64 everywhere, ties to the lowest code,
+    round-half-away centroid updates, empty clusters carried over."""
+    dsub = dim // m
+
+    def dot(a_iv: str, b_iv: str) -> str:
+        return (
+            f"cast(list_sum(list_transform(range({dsub}), "
+            f"i -> {a_iv}[i+1] * {b_iv}[i+1])) AS bigint)"
+        )
+
+    parts = [
+        """
+fx AS (
+    SELECT
+        vec_id,
+        list_transform(embedding,
+            x -> cast(round(cast(x AS double) * 10000000) AS bigint))
+            AS iv
+    FROM embeddings
+)""",
+        f"""
+sub AS (
+    SELECT vec_id, r.s,
+        list_transform(range({dsub}),
+                       i -> iv[r.s * {dsub} + i + 1]) AS iv
+    FROM fx CROSS JOIN range({m}) r(s)
+)""",
+        f"""
+subn AS (
+    SELECT vec_id, s, iv,
+        cast(list_sum(list_transform(iv, x -> x * x)) AS bigint) AS n2
+    FROM sub
+)""",
+        f"""
+cent_0 AS (
+    SELECT s, vec_id AS cid, iv AS civ FROM sub WHERE vec_id < {ksub}
+)""",
+    ]
+    for t in range(n_iter + 1):
+        parts.append(
+            f"""
+centn_{t} AS (
+    SELECT s, cid, civ,
+        cast(list_sum(list_transform(civ, x -> x * x)) AS bigint) AS cn2
+    FROM cent_{t}
+)""",
+        )
+        parts.append(
+            f"""
+assign_{t} AS (
+    SELECT vec_id, s, cid, d2 FROM (
+        SELECT f.vec_id, f.s, c.cid,
+            f.n2 - 2 * {dot('f.iv', 'c.civ')} + c.cn2 AS d2,
+            row_number() OVER (
+                PARTITION BY f.vec_id, f.s
+                ORDER BY f.n2 - 2 * {dot('f.iv', 'c.civ')} + c.cn2,
+                         c.cid) AS rn
+        FROM subn f JOIN centn_{t} c ON c.s = f.s
+    ) WHERE rn = 1
+)""",
+        )
+        if t == n_iter:
+            break
+        parts.append(
+            f"""
+sums_{t} AS (
+    SELECT a.s, a.cid, r.i,
+        cast(sum(f.iv[r.i + 1]) AS bigint) AS sm,
+        cast(count(*) AS bigint) AS n
+    FROM assign_{t} a
+    JOIN subn f ON f.vec_id = a.vec_id AND f.s = a.s
+    CROSS JOIN range({dsub}) r(i)
+    GROUP BY a.s, a.cid, r.i
+)""",
+        )
+        parts.append(
+            f"""
+newc_{t} AS (
+    SELECT s, cid,
+        list(cast(round(cast(sm AS double) / n) AS bigint)
+             ORDER BY i) AS civ
+    FROM sums_{t} GROUP BY s, cid
+)""",
+        )
+        parts.append(
+            f"""
+cent_{t + 1} AS (
+    SELECT p.s, p.cid, coalesce(nw.civ, p.civ) AS civ
+    FROM cent_{t} p
+    LEFT JOIN newc_{t} nw ON nw.s = p.s AND nw.cid = p.cid
+)""",
+        )
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT vec_id,
+    list(cast(cid AS bigint) ORDER BY s) AS codes,
+    cast(sum(d2) AS bigint) AS qerr
+FROM assign_{n_iter}
+GROUP BY vec_id
+"""
+
+
+# pq1: product-quantization codes — the memory half of the ANN story
+# (IVF prunes candidates, PQ compresses them 32x). The oracle trains
+# the same m=8 x k=16 codebooks with subspace as a data dimension.
+register(
+    "pq1_pq_codes",
+    lambda spark, sf: clustering.pq_train_encode(
+        tables.load(spark, sf, "embeddings"), m=8, ksub=16, n_iter=3
+    )[0],
+    _pq_lloyd_sql(8, 16, 3),
+)

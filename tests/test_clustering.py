@@ -103,3 +103,98 @@ def test_kmeans_rows_sit_in_nearest_cluster(spark):
         d2 = ((iv[None, :] - c) ** 2).sum(axis=1)
         assert d2.min() == r.dist2
         assert d2.argmin() == r.cluster_id or d2[r.cluster_id] == d2.min()
+
+
+# ---- product quantization (pq1/pq2) --------------------------------------
+
+
+def test_pq_codes_partition_invariant(spark):
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    a, cb_a = clustering.pq_train_encode(emb)
+    b, cb_b = clustering.pq_train_encode(emb.repartition(13))
+    assert cb_a == cb_b  # identical trained codebooks
+    pa = a.toPandas().sort_values("vec_id").reset_index(drop=True)
+    pb = b.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert pa["qerr"].tolist() == pb["qerr"].tolist()
+    assert [list(c) for c in pa["codes"]] == [list(c) for c in pb["codes"]]
+
+
+def test_pq_training_reduces_quantization_error(spark):
+    # Lloyd monotonicity carried through the product structure:
+    # trained codebooks quantize no worse than the raw seeds
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    untrained, _ = clustering.pq_train_encode(emb, n_iter=0)
+    trained, _ = clustering.pq_train_encode(emb, n_iter=3)
+    e0 = untrained.agg({"qerr": "sum"}).collect()[0][0]
+    e3 = trained.agg({"qerr": "sum"}).collect()[0][0]
+    assert e3 <= e0
+    assert e3 > 0  # lossy by nature — a zero would mean a broken path
+
+
+def test_pq_codes_reconstruct_within_bin_bounds(spark):
+    # every vector's qerr equals the distance to its codes' centroids
+    # — spot-check against a numpy recomputation
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    codes_df, cb = clustering.pq_train_encode(emb)
+    cent = np.asarray(cb, dtype=np.int64)  # (m, ksub, dsub)
+    m, _, dsub = cent.shape
+    by_id = {
+        r["vec_id"]: np.asarray(r["embedding"])
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    pdf = codes_df.toPandas().sample(n=40, random_state=0)
+    for r in pdf.itertuples():
+        iv = _fixed(by_id[r.vec_id][None, :])[0]
+        expect = 0
+        for s in range(m):
+            sub = iv[s * dsub : (s + 1) * dsub]
+            diff = sub - cent[s][r.codes[s]]
+            expect += int((diff * diff).sum())
+        assert expect == r.qerr
+
+
+def test_pq_adc_finds_planted_duplicates(spark):
+    # a planted exact duplicate shares the query's codes, so its ADC
+    # distance is the global minimum (the query's own quantization
+    # error) — it must appear at rank 1
+    from pyspark.sql import functions as F
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    dups = (
+        emb.filter(F.col("vec_id") < 8)
+        .withColumn("vec_id", F.col("vec_id") + max_id + 1)
+    )
+    corpus = emb.unionByName(dups)
+    top = clustering.pq_adc_topk(corpus, k=5, n_queries=8).collect()
+    best = {}
+    for r in top:
+        if r["rank"] == 1:
+            best[r["query_id"]] = r
+    for q in range(8):
+        assert best[q]["neighbor_id"] == q + max_id + 1, best[q]
+        # ADC distance to the duplicate == the query's own qerr > 0
+        assert best[q]["adc_d2"] > 0
+
+
+def test_pq_adc_recall_beats_random(spark):
+    from serverless_smurf_etl_and_analytics_spark.operators import (
+        similarity,
+    )
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    adc: dict[int, set] = {}
+    for r in clustering.pq_adc_topk(emb, k=5, n_queries=8).collect():
+        adc.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    exact: dict[int, set] = {}
+    for r in similarity.cosine_topk(emb, 5, 64).collect():
+        if r["query_id"] < 8:
+            exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(adc[q] & exact[q]) / len(exact[q]) for q in sorted(exact)
+    ]
+    mean = sum(recalls) / len(recalls)
+    # 32-bit codes on 64-dim embeddings: measured ~0.2 vs the 0.025
+    # random baseline (5 of ~200). Guard at 4x random — a register or
+    # gather bug collapses this to the baseline.
+    assert mean >= 0.1, recalls
