@@ -70,9 +70,20 @@ def start_ingest_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files: int = 16,
+    alarms_dir: str | None = None,
 ) -> StreamingQuery:
     """The full §3.1 pipeline as one stream. Each micro-batch:
-    validate -> aggregate -> upsert store_daily -> completeness ledger.
+    validate -> aggregate -> upsert store_daily -> completeness ledger
+    [-> incremental quality alarms when ``alarms_dir`` is set].
+
+    Incremental alarm maintenance: the quality_report branches (gap /
+    robust-outlier / changepoint) are all PER-STORE functions of the
+    store's full daily history, so a batch only needs to recompute the
+    stores it touched — each store's alarm partition is overwritten
+    from its complete history-so-far, and once the store's last file
+    has streamed in, its partition equals the batch operator on the
+    full data exactly (the parity law `test_quality_stream` proves).
+    Cost per batch is O(touched stores' history), not O(table).
     """
     from ..functions.money import cents
     from ..operators.metrics import store_day_metrics
@@ -138,6 +149,52 @@ def start_ingest_stream(
             .partitionBy("date_key")
             .parquet(ledger_dir)
         )
+
+        if alarms_dir is not None:
+            from ..operators.quality import quality_report
+
+            touched_stores = [
+                r[0] for r in daily.select("store_id").distinct().collect()
+            ]
+            hist = (
+                spark_l.read.parquet(store_daily_dir)
+                .filter(F.col("store_id").isin(touched_stores))
+                .select(
+                    "store_id",
+                    "sale_date",
+                    # store_daily persists dollars; the alarms run on
+                    # exact cents (dollars() = cents/100, lossless)
+                    F.round(F.col("total_sales") * 100)
+                    .cast("long")
+                    .alias("sales_c"),
+                )
+            )
+            # one marker row per touched store: dynamic overwrite only
+            # rewrites partitions PRESENT in the new data, so a store
+            # whose alarms all cleared would otherwise keep its stale
+            # partition. The marker guarantees the rewrite and records
+            # how far the store has been evaluated; consumers filter
+            # alarm_type != 'evaluated_through'.
+            markers = hist.groupBy("store_id").agg(
+                F.max("sale_date").alias("alarm_date"),
+                F.count(F.lit(1)).alias("metric"),
+            ).select(
+                "store_id",
+                "alarm_date",
+                F.lit("evaluated_through").alias("alarm_type"),
+                F.col("metric").cast("long").alias("metric"),
+            )
+            alarms = (
+                quality_report(hist)
+                .unionByName(markers)
+                .withColumn("store_key", F.col("store_id"))
+            )
+            (
+                alarms.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("store_key")
+                .parquet(alarms_dir)
+            )
 
     stream = read_upload_stream(spark, upload_dir, max_files)
     writer = (

@@ -118,3 +118,28 @@ def test_quantiles_scan_prunes_columns(spark):
     for s in schemas:
         cols = {c.split(":")[0] for c in s.split(",") if c}
         assert cols <= {"l_returnflag", "l_extendedprice"}, cols
+
+
+def test_profile_plan_has_no_expand(spark):
+    # dq1's contract: distinct counts WITHOUT the Expand operator that
+    # replicates every fact row once per distinct-aggregate
+    plan = _plan(spark, "dq1_profile_columns")
+    assert "Expand" not in plan, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    ("name", "max_exchanges"),
+    [
+        # stacked same-partitioning windows: one real exchange over
+        # the store-day grain (readings of the cached MV included);
+        # a couple of tiny post-agg exchanges are tolerated, the
+        # guard is against reverting to one-shuffle-per-median chains
+        ("cp1_cusum_changepoint", 3),
+        ("z1_robust_zscore", 3),
+        ("ewma1_smoothed_sales", 3),
+    ],
+)
+def test_quality_windows_stay_on_few_exchanges(spark, name, max_exchanges):
+    plan = _plan(spark, name)
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= max_exchanges, f"{name}: {n} hash exchanges\n{plan[:1500]}"
