@@ -420,3 +420,129 @@ def pq_adc_topk(
         .select("query_id", "neighbor_id", "adc_d2",
                 F.col("rn").cast("long").alias("rank"))
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    coarse_k: int = 16,
+    coarse_iters: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    pq_iters: int = 3,
+    n_queries: int = 8,
+) -> DataFrame:
+    """ivfpq1: the production ANN pipeline — IVF coarse quantization
+    prunes WHICH vectors are scored (only the ``nprobe`` lists nearest
+    each query), PQ codes compress WHAT is scored (ADC table lookups,
+    no raw vectors). Composes :func:`kmeans_train` (the c1 trainer)
+    with :func:`pq_train_encode` (pq1); the non-residual variant
+    (codes computed on raw vectors, not list residuals) keeps one code
+    table valid across all lists, so the probe filter is a plain
+    column predicate — the residual variant would need per-list
+    re-encoding and is the documented next step, not a different plan
+    shape.
+
+    Scale: the database side is (vec_id, codes, list_id) — 8 bytes of
+    code + 1 of list per vector; scoring is one Arrow-batched pass
+    with the (queries x m x ksub) distance tables and per-query probe
+    sets broadcast in the closure. Each batch gathers only rows whose
+    list is probed — at nprobe/coarse_k = 1/4 that is ~75% of the ADC
+    work skipped before a single add, multiplying with PQ's 32x
+    memory saving. Determinism: probe lists order by (distance,
+    centroid id); top-k ties break to the lowest neighbor id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assignments, coarse_cent, _ = kmeans_train(emb, coarse_k, coarse_iters)
+    codes_df, codebooks = pq_train_encode(emb, m, ksub, pq_iters)
+    db = codes_df.join(
+        assignments.select("vec_id", F.col("cluster_id").alias("list_id")),
+        "vec_id",
+    )
+
+    cc = np.asarray(coarse_cent, dtype=np.int64)  # (coarse_k, dim)
+    cent = np.asarray(codebooks, dtype=np.int64)  # (m, ksub, dsub)
+    dsub = cent.shape[2]
+    to_fixed, _ = _make_helpers(SCALE)
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qiv = to_fixed(pd.Series([r["embedding"] for r in q_rows]))
+    qids = np.asarray([r["vec_id"] for r in q_rows], dtype=np.int64)
+
+    # probe sets: the nprobe coarse lists nearest each query, ties to
+    # the lower centroid id (lexsort is stable on the secondary key)
+    probes = {}
+    for qi in range(len(qids)):
+        d2 = ((qiv[qi][None, :] - cc) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(len(d2)), d2))
+        probes[int(qids[qi])] = set(order[:nprobe].tolist())
+
+    tables = np.empty((len(qids), m, ksub), dtype=np.int64)
+    for qi in range(len(qids)):
+        for s in range(m):
+            diff = qiv[qi, s * dsub : (s + 1) * dsub][None, :] - cent[s]
+            tables[qi, s] = (diff * diff).sum(axis=1)
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("list_id", LongType()),
+            StructField("adc_d2", LongType()),
+        ]
+    )
+
+    def score(batches, tables=tables, qids=qids, probes=probes, m=m):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.vstack(pdf["codes"].map(np.asarray).values)
+            lists = pdf["list_id"].values
+            vec_ids = pdf["vec_id"].values
+            out = []
+            for qi, qid in enumerate(qids):
+                mask = np.isin(lists, list(probes[int(qid)]))
+                if not mask.any():
+                    continue
+                cs = codes[mask]
+                d = tables[qi][np.arange(m)[None, :], cs].sum(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": vec_ids[mask],
+                            "list_id": lists[mask],
+                            "adc_d2": d,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    scored = db.mapInPandas(score, schema=schema).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "list_id",
+            "adc_d2",
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )

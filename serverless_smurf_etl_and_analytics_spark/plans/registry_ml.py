@@ -1299,3 +1299,243 @@ register(
     )[0],
     _pq_lloyd_sql(8, 16, 3),
 )
+
+
+def _ivfpq_sql(
+    coarse_k: int = 16,
+    coarse_iters: int = 3,
+    m: int = 8,
+    ksub: int = 16,
+    pq_iters: int = 3,
+    nprobe: int = 4,
+    k: int = 5,
+    nq: int = 8,
+    dim: int = 64,
+) -> str:
+    """Restate clustering.ivfpq_topk end-to-end: the c1 coarse Lloyd
+    chain (prefixed c_) trains the list quantizer, the pq1 chain
+    (prefixed p_) trains the codebooks and yields the per-subspace
+    code table, then probes = the nprobe nearest final coarse
+    centroids per query, ADC = the grouped code-table lookup sum, and
+    the top-k ranks with ties to the lowest neighbor id. One oracle
+    proves the whole composition, not just its parts."""
+    dsub = dim // m
+
+    def dot(a_iv: str, b_iv: str, d: int) -> str:
+        return (
+            f"cast(list_sum(list_transform(range({d}), "
+            f"i -> {a_iv}[i+1] * {b_iv}[i+1])) AS bigint)"
+        )
+
+    parts = [
+        """
+fx AS (
+    SELECT vec_id,
+        list_transform(embedding,
+            x -> cast(round(cast(x AS double) * 10000000) AS bigint))
+            AS iv
+    FROM embeddings
+)""",
+        """
+fxn AS (
+    SELECT vec_id, iv,
+        cast(list_sum(list_transform(iv, x -> x * x)) AS bigint) AS n2
+    FROM fx
+)""",
+        f"""
+c_cent_0 AS (
+    SELECT vec_id AS cid, iv AS civ FROM fx WHERE vec_id < {coarse_k}
+)""",
+    ]
+    # coarse Lloyd over the full dim (the c1 chain, prefixed)
+    for t in range(coarse_iters + 1):
+        parts.append(
+            f"""
+c_centn_{t} AS (
+    SELECT cid, civ,
+        cast(list_sum(list_transform(civ, x -> x * x)) AS bigint) AS cn2
+    FROM c_cent_{t}
+)""",
+        )
+        parts.append(
+            f"""
+c_assign_{t} AS (
+    SELECT vec_id, cid, d2 FROM (
+        SELECT f.vec_id, c.cid,
+            f.n2 - 2 * {dot('f.iv', 'c.civ', dim)} + c.cn2 AS d2,
+            row_number() OVER (
+                PARTITION BY f.vec_id
+                ORDER BY f.n2 - 2 * {dot('f.iv', 'c.civ', dim)} + c.cn2,
+                         c.cid) AS rn
+        FROM fxn f CROSS JOIN c_centn_{t} c
+    ) WHERE rn = 1
+)""",
+        )
+        if t == coarse_iters:
+            break
+        parts.append(
+            f"""
+c_sums_{t} AS (
+    SELECT a.cid, r.i, cast(sum(f.iv[r.i + 1]) AS bigint) AS sm,
+           cast(count(*) AS bigint) AS n
+    FROM c_assign_{t} a
+    JOIN fxn f USING (vec_id)
+    CROSS JOIN range({dim}) r(i)
+    GROUP BY a.cid, r.i
+)""",
+        )
+        parts.append(
+            f"""
+c_newc_{t} AS (
+    SELECT cid,
+        list(cast(round(cast(sm AS double) / n) AS bigint)
+             ORDER BY i) AS civ
+    FROM c_sums_{t} GROUP BY cid
+)""",
+        )
+        parts.append(
+            f"""
+c_cent_{t + 1} AS (
+    SELECT p.cid, coalesce(nw.civ, p.civ) AS civ
+    FROM c_cent_{t} p LEFT JOIN c_newc_{t} nw USING (cid)
+)""",
+        )
+    # PQ chain over subspaces (the pq1 chain, prefixed)
+    parts.append(
+        f"""
+p_sub AS (
+    SELECT vec_id, r.s,
+        list_transform(range({dsub}),
+                       i -> iv[r.s * {dsub} + i + 1]) AS iv
+    FROM fx CROSS JOIN range({m}) r(s)
+)""",
+    )
+    parts.append(
+        """
+p_subn AS (
+    SELECT vec_id, s, iv,
+        cast(list_sum(list_transform(iv, x -> x * x)) AS bigint) AS n2
+    FROM p_sub
+)""",
+    )
+    parts.append(
+        f"""
+p_cent_0 AS (
+    SELECT s, vec_id AS cid, iv AS civ FROM p_sub WHERE vec_id < {ksub}
+)""",
+    )
+    for t in range(pq_iters + 1):
+        parts.append(
+            f"""
+p_centn_{t} AS (
+    SELECT s, cid, civ,
+        cast(list_sum(list_transform(civ, x -> x * x)) AS bigint) AS cn2
+    FROM p_cent_{t}
+)""",
+        )
+        parts.append(
+            f"""
+p_assign_{t} AS (
+    SELECT vec_id, s, cid FROM (
+        SELECT f.vec_id, f.s, c.cid,
+            row_number() OVER (
+                PARTITION BY f.vec_id, f.s
+                ORDER BY f.n2 - 2 * {dot('f.iv', 'c.civ', dsub)} + c.cn2,
+                         c.cid) AS rn
+        FROM p_subn f JOIN p_centn_{t} c ON c.s = f.s
+    ) WHERE rn = 1
+)""",
+        )
+        if t == pq_iters:
+            break
+        parts.append(
+            f"""
+p_sums_{t} AS (
+    SELECT a.s, a.cid, r.i,
+        cast(sum(f.iv[r.i + 1]) AS bigint) AS sm,
+        cast(count(*) AS bigint) AS n
+    FROM p_assign_{t} a
+    JOIN p_subn f ON f.vec_id = a.vec_id AND f.s = a.s
+    CROSS JOIN range({dsub}) r(i)
+    GROUP BY a.s, a.cid, r.i
+)""",
+        )
+        parts.append(
+            f"""
+p_newc_{t} AS (
+    SELECT s, cid,
+        list(cast(round(cast(sm AS double) / n) AS bigint)
+             ORDER BY i) AS civ
+    FROM p_sums_{t} GROUP BY s, cid
+)""",
+        )
+        parts.append(
+            f"""
+p_cent_{t + 1} AS (
+    SELECT p.s, p.cid, coalesce(nw.civ, p.civ) AS civ
+    FROM p_cent_{t} p
+    LEFT JOIN p_newc_{t} nw ON nw.s = p.s AND nw.cid = p.cid
+)""",
+        )
+    # composition: probes -> ADC -> list filter -> top-k
+    parts.append(
+        f"""
+probes AS (
+    SELECT vec_id AS query_id, cid AS list_id FROM (
+        SELECT f.vec_id, c.cid,
+            row_number() OVER (
+                PARTITION BY f.vec_id
+                ORDER BY f.n2 - 2 * {dot('f.iv', 'c.civ', dim)} + c.cn2,
+                         c.cid) AS rn
+        FROM fxn f CROSS JOIN c_centn_{coarse_iters} c
+        WHERE f.vec_id < {nq}
+    ) WHERE rn <= {nprobe}
+)""",
+    )
+    parts.append(
+        f"""
+adc AS (
+    SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+        cast(sum(q.n2 - 2 * {dot('q.iv', 'c.civ', dsub)} + c.cn2)
+             AS bigint) AS adc_d2
+    FROM p_assign_{pq_iters} a
+    JOIN p_centn_{pq_iters} c ON c.s = a.s AND c.cid = a.cid
+    JOIN p_subn q ON q.s = a.s
+    WHERE q.vec_id < {nq}
+    GROUP BY 1, 2
+)""",
+    )
+    parts.append(
+        f"""
+ranked AS (
+    SELECT adc.query_id, adc.neighbor_id,
+        cast(l.cid AS bigint) AS list_id, adc.adc_d2,
+        row_number() OVER (
+            PARTITION BY adc.query_id
+            ORDER BY adc.adc_d2, adc.neighbor_id) AS rnk
+    FROM adc
+    JOIN c_assign_{coarse_iters} l ON l.vec_id = adc.neighbor_id
+    JOIN probes p ON p.query_id = adc.query_id AND p.list_id = l.cid
+    WHERE adc.neighbor_id != adc.query_id
+)""",
+    )
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT query_id, neighbor_id, list_id, adc_d2,
+       cast(rnk AS bigint) AS rank
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+# ivfpq1: the full production-ANN composition (IVF list pruning x PQ
+# ADC scoring) verified end-to-end by one oracle.
+register(
+    "ivfpq1_topk",
+    lambda spark, sf: clustering.ivfpq_topk(
+        tables.load(spark, sf, "embeddings"),
+        k=5, nprobe=4, coarse_k=16, coarse_iters=3,
+        m=8, ksub=16, pq_iters=3, n_queries=8,
+    ),
+    _ivfpq_sql(16, 3, 8, 16, 3, 4, 5, 8),
+)

@@ -198,3 +198,40 @@ def test_pq_adc_recall_beats_random(spark):
     # random baseline (5 of ~200). Guard at 4x random — a register or
     # gather bug collapses this to the baseline.
     assert mean >= 0.1, recalls
+
+
+def test_ivfpq_probe_all_equals_full_adc(spark):
+    # with every list probed, IVF pruning is a no-op: the composition
+    # must reproduce the plain ADC ranking exactly
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    full = clustering.ivfpq_topk(
+        emb, k=5, nprobe=16, coarse_k=16, n_queries=8
+    )
+    adc = clustering.pq_adc_topk(emb, k=5, n_queries=8)
+    a = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["adc_d2"])
+        for r in full.collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["adc_d2"])
+        for r in adc.collect()
+    )
+    assert a == b
+
+
+def test_ivfpq_finds_planted_duplicates(spark):
+    # an exact duplicate lands in the query's own nearest list (always
+    # probed first) with identical codes -> retrieved at rank 1
+    from pyspark.sql import functions as F
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    dups = (
+        emb.filter(F.col("vec_id") < 8)
+        .withColumn("vec_id", F.col("vec_id") + max_id + 1)
+    )
+    corpus = emb.unionByName(dups)
+    top = clustering.ivfpq_topk(corpus, k=5, nprobe=4, n_queries=8)
+    best = {r["query_id"]: r for r in top.collect() if r["rank"] == 1}
+    for q in range(8):
+        assert best[q]["neighbor_id"] == q + max_id + 1, best[q]
