@@ -653,3 +653,72 @@ SELECT p.store_id, p.dow, p.n_days,
 FROM per_dow p JOIN per_store s USING (store_id)
 """,
 )
+
+
+# cube1: CUBE grouping sets over (store, payment) — subtotal and
+# grand-total rows in one pass. The reference has no grouping-sets
+# surface (SURVEY §2.4 note); Spark plans CUBE as a single Expand +
+# hash aggregate, the scalable form of the four separate group-bys a
+# serving layer would otherwise run. grouping() flags disambiguate
+# genuine NULL keys from subtotal rows.
+from pyspark.sql import functions as _F
+
+
+def _cube_store_payment(spark, sf):
+    txns = tables.transactions(spark, sf)
+    # grouping() is only legal inside the cube's own aggregate list
+    return txns.cube("store_id", "payment_method").agg(
+        _F.grouping("store_id").cast("long").alias("g_store"),
+        _F.grouping("payment_method").cast("long").alias("g_pay"),
+        _F.sum("line_cents").alias("sales_c"),
+        _F.count(_F.lit(1)).alias("n_lines"),
+    )
+
+
+register(
+    "cube1_store_payment_cube",
+    _cube_store_payment,
+    f"""
+WITH {TXN}
+SELECT store_id, payment_method,
+    cast(grouping(store_id) AS bigint)       AS g_store,
+    cast(grouping(payment_method) AS bigint) AS g_pay,
+    cast(sum(line_cents) AS bigint)          AS sales_c,
+    cast(count(*) AS bigint)                 AS n_lines
+FROM transactions
+GROUP BY CUBE (store_id, payment_method)
+""",
+)
+
+
+# u2: INTERSECT / EXCEPT — the set-op surface beyond u1's unionByName.
+# Assortment overlap between the first two stores: SKUs both carry,
+# and each side's exclusives, tagged and unioned into one result.
+def _setops_assortment(spark, sf):
+    txns = tables.transactions(spark, sf)
+    a = txns.filter(_F.col("store_id") == "0001").select("item_sku").distinct()
+    b = txns.filter(_F.col("store_id") == "0002").select("item_sku").distinct()
+    tag = lambda df, t: df.select(  # noqa: E731
+        _F.lit(t).alias("op"), _F.col("item_sku")
+    )
+    return (
+        tag(a.intersect(b), "both")
+        .unionByName(tag(a.subtract(b), "only_0001"))
+        .unionByName(tag(b.subtract(a), "only_0002"))
+    )
+
+
+register(
+    "u2_setops_assortment",
+    _setops_assortment,
+    f"""
+WITH {TXN},
+a AS (SELECT DISTINCT item_sku FROM transactions WHERE store_id = '0001'),
+b AS (SELECT DISTINCT item_sku FROM transactions WHERE store_id = '0002')
+SELECT 'both' AS op, item_sku FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT 'only_0001', item_sku FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT 'only_0002', item_sku FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+""",
+)
