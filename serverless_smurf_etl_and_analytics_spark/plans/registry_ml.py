@@ -1539,3 +1539,28 @@ register(
     ),
     _ivfpq_sql(16, 3, 8, 16, 3, 4, 5, 8),
 )
+
+
+# d12: edit-distance verification of the LSH candidates — the
+# order-sensitive complement of d4's Jaccard verify (levenshtein is a
+# built-in with identical semantics in both engines; the corpus
+# separates cleanly: true near-dups at prefix distance 0, unrelated
+# pairs at >= 14, threshold 8 sits in the gap).
+register(
+    "d12_editdist_neardup",
+    lambda spark, sf: dedup.editdist_neardup(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+WITH {SQL_LSH_PAIRS},
+keys AS (
+    SELECT doc_id, substr(text, 1, 40) AS k FROM documents
+)
+SELECT p.doc_a, p.doc_b,
+    cast(levenshtein(a.k, b.k) AS bigint) AS edit_dist
+FROM pairs p
+JOIN keys a ON a.doc_id = p.doc_a
+JOIN keys b ON b.doc_id = p.doc_b
+WHERE levenshtein(a.k, b.k) <= 8
+""",
+)

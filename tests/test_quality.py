@@ -359,3 +359,45 @@ def test_quality_report_composes_branches(spark):
         + quality.cusum_changepoints(daily).count()
     )
     assert n == expect and n > 0
+
+
+def test_editdist_orthogonal_to_jaccard(spark):
+    # the law d12 exists for: same words REARRANGED — identical
+    # shingle-bag at 1-gram level / high Jaccard similarity family,
+    # but large edit distance. d12 must reject what an
+    # order-insensitive verifier would accept.
+    from serverless_smurf_etl_and_analytics_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rearranged = "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    near = base[:-5] + "kappo"  # small in-place edit
+    docs = spark.createDataFrame(
+        [(1, base), (2, rearranged), (3, near)],
+        "doc_id long, text string",
+    )
+    keys = docs.selectExpr("doc_id", "substring(text, 1, 40) AS k")
+    import itertools
+
+    got = {}
+    rows = keys.collect()
+    by_id = {r["doc_id"]: r["k"] for r in rows}
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(sorted(by_id), 2)],
+        "doc_a long, doc_b long",
+    )
+    j = (
+        pairs.join(
+            keys.selectExpr("doc_id AS doc_a", "k AS k_a"), "doc_a"
+        )
+        .join(keys.selectExpr("doc_id AS doc_b", "k AS k_b"), "doc_b")
+        .selectExpr("doc_a", "doc_b", "levenshtein(k_a, k_b) AS d")
+    )
+    for r in j.collect():
+        got[(r["doc_a"], r["doc_b"])] = r["d"]
+    assert got[(1, 3)] <= 8       # true near-dup: tiny edit distance
+    assert got[(1, 2)] > 8        # same words, different order: far
+    # and the full operator honors the threshold on a corpus where
+    # LSH blocks the pair (identical shingles -> same bands)
+    found = dedup.editdist_neardup(docs).collect()
+    found_pairs = {(r["doc_a"], r["doc_b"]) for r in found}
+    assert (1, 2) not in found_pairs
