@@ -58,8 +58,9 @@ _VERIFY_FIRST = [
     # reference lacks entirely (SURVEY §2.4/§2.7 notes)
     "cube1_store_payment_cube", "u2_setops_assortment",
     # --- r4 new (late-round): order-sensitive edit-distance verify
-    # over the LSH candidates (fuzzy-key entity resolution)
-    "d12_editdist_neardup",
+    # over the LSH candidates (fuzzy-key entity resolution), and the
+    # HLL daily-register range merge (the hll twin of sk2)
+    "d12_editdist_neardup", "hll2_range_merge",
     # --- r4 new: temporal joins (as-of, interval-overlap),
     # distributive statistics (KMV sketch, exact grouped quantiles),
     # and quality-weighted sampling — plans/registry_stats.py
@@ -96,11 +97,11 @@ _VERIFY_FIRST = [
     # --- least-recently-verified: the ML layer, green in r01/r02 and
     # untouched since (the r3 token_rows code move kept expression
     # trees identical; re-proving the first 11 here retires that
-    # caveat for them). After the 17 late-r4 queries (quality family,
-    # pq1, ivfpq1, cube1, u2, d12) rotated in, the tail of this block
-    # — d2, d3, d4, d5, sim1, sim3, sim4, mm1, mm2, mm3 — sits at
-    # positions 51-60, just past the window; all r01/r02-green with
-    # plans untouched since.
+    # caveat for them). After the 18 late-r4 queries (quality family,
+    # pq1, ivfpq1, cube1, u2, d12, hll2) rotated in, only t1-t5 of
+    # this block still fit the window; d1-d5, sim1, sim3, sim4, mm1,
+    # mm2, mm3 sit at positions 51-61, just past it; all r01/r02-
+    # green with plans untouched since.
     "t1_text_stats", "t2_lang_id", "t3_fingerprint",
     "t4_token_count_bpe", "t5_rolling_fingerprint",
     "d1_exact_dedup", "d2_minhash_signatures",

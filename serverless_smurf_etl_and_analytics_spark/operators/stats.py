@@ -343,3 +343,100 @@ def hll_distinct(df: DataFrame, group: str, value: str) -> DataFrame:
             ),
         )
     )
+
+
+def hll_daily_registers(txns: DataFrame) -> DataFrame:
+    """Per-(payment_method, sale_date) HLL register table — the
+    materializable form (the HLL twin of :func:`kmv_daily_sketches`):
+    the daily pipeline persists <= m register rows per group-day and
+    answers distinct-count questions over ANY date range later by
+    register-wise max-merge, never rescanning facts. Output:
+    (payment_method, sale_date, bucket, m_j)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(HLL_SALT),
+                    F.col("transaction_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    b = txns.select(
+        "payment_method",
+        "sale_date",
+        h.alias("h"),
+    ).select(
+        "payment_method",
+        "sale_date",
+        F.expr(f"h % {HLL_M}").alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(HLL_RHO_FIELD + 1)).otherwise(
+        F.lit(HLL_RHO_FIELD + 1) - F.length(F.expr("bin(w)"))
+    )
+    return b.select(
+        "payment_method", "sale_date", "bucket", rho.alias("rho")
+    ).groupBy("payment_method", "sale_date", "bucket").agg(
+        F.max("rho").alias("m_j")
+    )
+
+
+def hll_merge_range(txns: DataFrame, start: str, end: str) -> DataFrame:
+    """hll2: distinct-transaction estimate per payment method over
+    [start, end] by MERGING the per-day register tables — register-
+    wise max of HLL registers is the sketch of the union (max is
+    associative/commutative/idempotent, the defining property that
+    makes HLL mergeable; pytest proves merged == direct on the
+    filtered facts). Exact count rides along for auditability.
+
+    Scale: once the daily layer is materialized, a range query reads
+    |methods| x |days| x <= m register rows and never touches facts
+    (derived inline here because the bench runs standalone, exactly
+    like sk2). Output mirrors hll1 plus n_days_merged."""
+    in_range = txns.filter(F.col("sale_date").between(start, end))
+    daily = hll_daily_registers(in_range)
+    merged = daily.groupBy("payment_method", "bucket").agg(
+        F.max("m_j").alias("m_j")
+    )
+    per_group = merged.groupBy("payment_method").agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.sum(
+            F.expr(f"shiftleft(1L, {HLL_RHO_FIELD + 1} - m_j)")
+        ).alias("s_present"),
+    )
+    days = daily.groupBy("payment_method").agg(
+        F.countDistinct("sale_date").alias("n_days_merged")
+    )
+    s_total = F.col("s_present") + (
+        F.lit(HLL_M) - F.col("n_buckets_used")
+    ) * F.lit(1 << (HLL_RHO_FIELD + 1))
+    est = F.floor(F.lit(HLL_NUMERATOR) / s_total.cast("double")).cast(
+        "long"
+    )
+    exact = in_range.groupBy("payment_method").agg(
+        F.countDistinct("transaction_id").alias("n_exact")
+    )
+    return (
+        per_group.join(days, "payment_method")
+        .join(exact, "payment_method")
+        .select(
+            "payment_method",
+            F.col("n_days_merged").cast("long").alias("n_days_merged"),
+            "n_exact",
+            "n_buckets_used",
+            s_total.alias("s_scaled"),
+            est.alias("est_hll"),
+        )
+        .withColumn(
+            "err_bp",
+            F.expr(
+                "cast(round(abs(est_hll - n_exact) * 10000.0 / n_exact)"
+                " as bigint)"
+            ),
+        )
+    )

@@ -462,3 +462,77 @@ SELECT store_id, cp_date, 'changepoint',
 FROM ({_ORA["cp1_cusum_changepoint"]})
 """,
 )
+
+
+# hll2: per-day HLL register materialization merged over a date range
+# (the HLL twin of sk2's KMV merge; register-wise max IS union).
+HLL_RANGE = ("1995-01-01", "2001-12-31")
+
+register(
+    "hll2_range_merge",
+    lambda spark, sf: stats.hll_merge_range(
+        tables.transactions(spark, sf), *HLL_RANGE
+    ),
+    f"""
+WITH {TXN},
+in_range AS (
+    SELECT * FROM transactions
+    WHERE sale_date BETWEEN '{HLL_RANGE[0]}' AND '{HLL_RANGE[1]}'
+),
+h AS (
+    SELECT payment_method, sale_date,
+        ('0x' || substr(md5('{stats.HLL_SALT}'
+             || cast(transaction_id AS varchar)), 1, 15))::bigint AS h
+    FROM in_range
+),
+b AS (
+    SELECT payment_method, sale_date,
+           h % {stats.HLL_M} AS bucket, h // {stats.HLL_M} AS w
+    FROM h
+),
+daily AS (
+    SELECT payment_method, sale_date, bucket,
+        max(CASE WHEN w = 0 THEN {stats.HLL_RHO_FIELD + 1}
+            ELSE {stats.HLL_RHO_FIELD + 1} - length(bin(w)) END) AS m_j
+    FROM b GROUP BY 1, 2, 3
+),
+merged AS (
+    SELECT payment_method, bucket, max(m_j) AS m_j
+    FROM daily GROUP BY 1, 2
+),
+pg AS (
+    SELECT payment_method,
+        cast(count(*) AS bigint) AS n_buckets_used,
+        cast(sum(1::bigint << ({stats.HLL_RHO_FIELD + 1} - m_j))
+             AS bigint) AS s_present
+    FROM merged GROUP BY 1
+),
+days AS (
+    SELECT payment_method,
+        cast(count(DISTINCT sale_date) AS bigint) AS n_days_merged
+    FROM daily GROUP BY 1
+),
+ex AS (
+    SELECT payment_method,
+        cast(count(DISTINCT transaction_id) AS bigint) AS n_exact
+    FROM in_range GROUP BY 1
+),
+j AS (
+    SELECT pg.payment_method, d.n_days_merged, ex.n_exact,
+        pg.n_buckets_used,
+        pg.s_present + ({stats.HLL_M} - pg.n_buckets_used)
+            * (1::bigint << {stats.HLL_RHO_FIELD + 1}) AS s_scaled
+    FROM pg
+    JOIN days d USING (payment_method)
+    JOIN ex USING (payment_method)
+)
+SELECT payment_method, n_days_merged, n_exact, n_buckets_used,
+    s_scaled,
+    cast(floor({stats.HLL_NUMERATOR!r} / s_scaled) AS bigint)
+        AS est_hll,
+    cast(round(abs(cast(floor({stats.HLL_NUMERATOR!r} / s_scaled)
+                        AS bigint) - n_exact) * 10000.0 / n_exact)
+         AS bigint) AS err_bp
+FROM j
+""",
+)

@@ -401,3 +401,27 @@ def test_editdist_orthogonal_to_jaccard(spark):
     found = dedup.editdist_neardup(docs).collect()
     found_pairs = {(r["doc_a"], r["doc_b"]) for r in found}
     assert (1, 2) not in found_pairs
+
+
+def test_hll_merge_law(spark):
+    # register-wise max of per-day registers == registers of the
+    # union: the merged range sketch must equal hll_distinct run
+    # directly on the same filtered rows
+    txns = tables.transactions(spark, SF_DIR).filter(
+        F.col("sale_date").between("1995-01-01", "2001-12-31")
+    )
+    direct = {
+        r["payment_method"]: (r["s_scaled"], r["est_hll"])
+        for r in stats.hll_distinct(
+            txns, "payment_method", "transaction_id"
+        ).collect()
+    }
+    merged = {
+        r["payment_method"]: (r["s_scaled"], r["est_hll"])
+        for r in stats.hll_merge_range(
+            tables.transactions(spark, SF_DIR),
+            "1995-01-01",
+            "2001-12-31",
+        ).collect()
+    }
+    assert direct == merged
