@@ -440,3 +440,36 @@ def hll_merge_range(txns: DataFrame, start: str, end: str) -> DataFrame:
             ),
         )
     )
+
+
+def hll_merge_daily(daily: DataFrame) -> DataFrame:
+    """Merge a per-(payment_method, sale_date) HLL register table over
+    whatever rows it holds — the half of hll2 the PIPELINE uses: once
+    ``hll_daily_registers`` is materialized, any range query filters
+    the bounded register table and max-merges, never touching facts
+    (no exact column here; auditing against facts is the registered
+    hll2 query's job, mirroring kmv_merge_daily)."""
+    merged = daily.groupBy("payment_method", "bucket").agg(
+        F.max("m_j").alias("m_j")
+    )
+    per_group = merged.groupBy("payment_method").agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.sum(
+            F.expr(f"shiftleft(1L, {HLL_RHO_FIELD + 1} - m_j)")
+        ).alias("s_present"),
+    )
+    days = daily.groupBy("payment_method").agg(
+        F.countDistinct("sale_date").alias("n_days_merged")
+    )
+    s_total = F.col("s_present") + (
+        F.lit(HLL_M) - F.col("n_buckets_used")
+    ) * F.lit(1 << (HLL_RHO_FIELD + 1))
+    est = F.floor(F.lit(HLL_NUMERATOR) / s_total.cast("double")).cast(
+        "long"
+    )
+    return per_group.join(days, "payment_method").select(
+        "payment_method",
+        F.col("n_days_merged").cast("long").alias("n_days_merged"),
+        s_total.alias("s_scaled"),
+        est.alias("est_hll"),
+    )

@@ -39,7 +39,12 @@ from pyspark.storagelevel import StorageLevel
 from . import tables
 from .functions.money import cents
 from .operators import export, metrics, report
-from .operators.stats import kmv_daily_sketches, kmv_merge_daily
+from .operators.stats import (
+    hll_daily_registers,
+    hll_merge_daily,
+    kmv_daily_sketches,
+    kmv_merge_daily,
+)
 from .operators.insights import (
     classify_anomalies_from_daily,
     recommendations_from,
@@ -214,6 +219,20 @@ def run_daily_pipeline(
     )
     stats["sku_sketch_rows"] = spark.read.parquet(sk_path).count()
 
+    # 3c. hll_registers — the per-(payment_method, day) HLL register
+    #     layer (<= 256 bounded rows per method-day), same incremental
+    #     contract as 3b; range distinct-transaction questions merge
+    #     registers via ``distinct_transactions_for_range`` below.
+    hr_path = os.path.join(out_dir, "hll_registers")
+    (
+        hll_daily_registers(mv_input)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("sale_date")
+        .parquet(hr_path)
+    )
+    stats["hll_register_rows"] = spark.read.parquet(hr_path).count()
+
     # 4. insights — ONE persisted daily-cents + ONE persisted anomaly
     #    set feed all three classifiers (no duplicate window chains).
     #    daily-cents is DERIVED FROM THE MATERIALIZED MV, not the fact
@@ -302,6 +321,22 @@ def distinct_skus_for_range(
         os.path.join(out_dir, "sku_sketches")
     ).withColumn("sale_date", F.col("sale_date").cast("string"))
     return kmv_merge_daily(
+        daily.filter(F.col("sale_date").between(start, end))
+    )
+
+
+def distinct_transactions_for_range(
+    spark: SparkSession, out_dir: str, start: str, end: str
+) -> DataFrame:
+    """Range distinct-transaction estimate per payment method from the
+    MATERIALIZED HLL register layer: filter the bounded hll_registers
+    table to [start, end] and register-wise max-merge
+    (operators.stats.hll_merge_daily). Facts are never read; the
+    partitioning prunes the read to the range."""
+    daily = spark.read.parquet(
+        os.path.join(out_dir, "hll_registers")
+    ).withColumn("sale_date", F.col("sale_date").cast("string"))
+    return hll_merge_daily(
         daily.filter(F.col("sale_date").between(start, end))
     )
 

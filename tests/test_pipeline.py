@@ -118,3 +118,35 @@ def test_sketch_layer_answers_range_distinct_without_facts(spark, out_dir):
         assert (
             from_mv[store]["n_days_merged"] == direct[store]["n_days_merged"]
         )
+
+
+def test_hll_register_layer_answers_range_distinct(spark, out_dir):
+    """The materialized hll_registers layer must produce exactly the
+    merged sketch the direct hll2 computation gets from raw facts
+    (register max-merge law, through the pipeline's persisted form)."""
+    from serverless_smurf_etl_and_analytics_spark.operators import stats
+
+    d, run_stats = out_dir
+    assert run_stats["hll_register_rows"] > 0
+    assert os.path.isdir(os.path.join(d, "hll_registers"))
+    start, end = "1995-01-01", "2001-12-31"
+    from_mv = {
+        r["payment_method"]: r
+        for r in pipeline.distinct_transactions_for_range(
+            spark, d, start, end
+        ).collect()
+    }
+    direct = {
+        r["payment_method"]: r
+        for r in stats.hll_merge_range(
+            tables.transactions(spark, SF_DIR), start, end
+        ).collect()
+    }
+    assert set(from_mv) == set(direct)
+    for method in direct:
+        assert from_mv[method]["s_scaled"] == direct[method]["s_scaled"]
+        assert from_mv[method]["est_hll"] == direct[method]["est_hll"]
+        assert (
+            from_mv[method]["n_days_merged"]
+            == direct[method]["n_days_merged"]
+        )
