@@ -63,3 +63,41 @@ def colocated_join(
     return spark.table(left_table).join(
         spark.table(right_table), list(keys)
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    spread_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resilient equi-join: salt the LARGE side's hot keys apart
+    and replicate the small side across the salt space, so one
+    pathological key spreads over ``n_salts`` tasks instead of pinning
+    a single straggler. The classic manual remedy for the skews AQE's
+    skew-join split cannot fix — a skewed BROADCAST probe side, or a
+    shuffle join whose hot partition exceeds what post-shuffle
+    splitting can rebalance.
+
+    ``spread_col`` names any column on the left whose values vary
+    within a key (a row id, event id, line number); the salt is
+    ``xxhash64(spread_col) pmod n_salts`` — deterministic per row, so
+    the join result is a pure function of the data (law-tested equal
+    to the unsalted join, including null-key rows). Cost: the right
+    side is replicated n_salts times — size it like a broadcast
+    (bounded dimension), which is exactly the case where skew hurts
+    most.
+    """
+    from pyspark.sql import functions as F
+
+    salted_l = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(spread_col), F.lit(n_salts))
+    )
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(n_salts - 1))
+    ).alias("_salt")
+    salted_r = right.select("*", salts).withColumn(
+        "_salt", F.col("_salt").cast("long")
+    )
+    return salted_l.join(salted_r, [key, "_salt"]).drop("_salt")

@@ -170,3 +170,31 @@ def test_sim2_band_join_survives_duplicate_clique(spark, skew_emb):
     }
     for pair, cos in by_pair.items():
         assert brute[pair] == cos
+
+
+def test_salted_join_equals_plain_join_under_skew(spark):
+    """layout.salted_join law: identical result to the plain join on a
+    corpus where 90% of the big side hits ONE key, and the salt
+    spreads that key across the full salt space."""
+    from serverless_smurf_etl_and_analytics_spark.operators import layout
+
+    rows = [(i, "hot" if i % 10 != 0 else f"k{i % 7}") for i in range(5000)]
+    big = spark.createDataFrame(rows, "row_id long, k string")
+    dim = spark.createDataFrame(
+        [("hot", 1), ("k0", 2), ("k3", 3)], "k string, v long"
+    )
+    plain = big.join(dim, "k")
+    salted = layout.salted_join(big, dim, "k", "row_id", n_salts=8)
+    a = sorted(map(tuple, plain.select("k", "row_id", "v").collect()))
+    b = sorted(map(tuple, salted.select("k", "row_id", "v").collect()))
+    assert a == b and len(a) > 4000
+    # the hot key really is spread: its rows occupy every salt value
+    from pyspark.sql import functions as F
+
+    n_salts = (
+        big.filter(F.col("k") == "hot")
+        .select(F.pmod(F.xxhash64("row_id"), F.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8
