@@ -556,3 +556,84 @@ def quality_report(daily: DataFrame) -> DataFrame:
         ).alias("metric"),
     )
     return gaps.unionByName(outliers).unionByName(shifts)
+
+
+def window_function_sampler(daily: DataFrame) -> DataFrame:
+    """w2: the window-function surface in one query — ranking
+    (row_number / rank / dense_rank / ntile / percent_rank /
+    cume_dist), navigation (lag / lead / nth_value), and frame
+    boundaries (first / last over the running frame) per store over
+    the daily series. Complements the f1 scalar sampler: every
+    function here is evaluated against DuckDB's implementation of the
+    same SQL-standard definition, so a Spark upgrade that shifts any
+    window semantics fails the oracle, not production.
+
+    percent_rank = (rank-1)/(n-1) and cume_dist = peers<=current / n
+    are single IEEE divisions of exact integers — deterministic
+    cross-engine. The order key (store, date) is unique, so ranks are
+    tie-free and the whole output is a pure function of the data.
+    One exchange: all windows share the store_id partitioning.
+    """
+    w = Window.partitionBy("store_id").orderBy("sale_date")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "store_id",
+        "sale_date",
+        "sales_c",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lag("sales_c", 1).over(w).alias("prev_c"),
+        F.lead("sales_c", 2).over(w).alias("next2_c"),
+        F.nth_value("sales_c", 3).over(w_run).alias("third_c"),
+        F.first("sales_c").over(w_run).alias("first_c"),
+        F.max("sales_c").over(w_run).alias("run_max_c"),
+    )
+
+
+def array_function_sampler(docs: DataFrame) -> DataFrame:
+    """f2: the array / higher-order-function surface in one query —
+    split, size, slice, sort_array, array_distinct, array_contains,
+    element_at, and the lambda forms (transform, filter, aggregate,
+    zip_with, exists) over each document's token array, each restated
+    against DuckDB's list functions. All outputs integer/string so
+    the hash compare is exact.
+
+    Scale: pure per-row projection — no shuffle at all; every
+    higher-order function is CodegenFallback but stays a constant
+    cost per row (token arrays are document-bounded). Tokenization is
+    textops.tokens_col — the same column expression every text oracle
+    pairs with SQL_TOKS, so the two engines split identically.
+    """
+    from .textops import tokens_col
+
+    t = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.array_join(F.slice("toks", 1, 3), "_").alias("first3"),
+        F.element_at(F.sort_array("toks"), 1).alias("min_tok"),
+        F.element_at(F.sort_array("toks", asc=False), 1).alias(
+            "max_tok"
+        ),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_uniq"),
+        F.array_contains("toks", "data").cast("long").alias("has_data"),
+        F.expr(
+            "aggregate(transform(toks, t -> length(t)),"
+            " 0L, (a, b) -> a + b)"
+        ).alias("char_sum"),
+        F.expr("size(filter(toks, t -> length(t) > 4))")
+        .cast("long")
+        .alias("n_long_toks"),
+        F.expr(
+            "aggregate(zip_with(toks, sequence(1, size(toks)),"
+            " (t, i) -> length(t) * cast(i as long)),"
+            " 0L, (a, b) -> a + b)"
+        ).alias("pos_weighted"),
+        F.expr("cast(exists(toks, t -> t = 'spark') as long)").alias(
+            "mentions_spark"
+        ),
+    )

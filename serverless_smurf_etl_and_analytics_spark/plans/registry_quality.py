@@ -536,3 +536,61 @@ SELECT payment_method, n_days_merged, n_exact, n_buckets_used,
 FROM j
 """,
 )
+
+
+# w2 / f2: surface samplers extending f1 — the window-function family
+# and the array/higher-order-function family, each checked against
+# DuckDB's implementation of the same SQL-standard definitions.
+from .sql_text import SQL_TOKS  # noqa: E402
+
+register(
+    "w2_window_sampler",
+    lambda spark, sf: quality.window_function_sampler(_daily(spark, sf)),
+    f"""
+WITH {TXN}, {SQL_DAILY_CENTS},
+d AS (
+    SELECT store_id, sale_date, cast(sales_c AS bigint) AS sales_c
+    FROM daily
+)
+SELECT store_id, sale_date, sales_c,
+    cast(row_number() OVER w AS bigint)   AS rn,
+    cast(ntile(4) OVER w AS bigint)       AS quartile,
+    percent_rank() OVER w                 AS pct_rank,
+    cume_dist() OVER w                    AS cume,
+    lag(sales_c, 1) OVER w                AS prev_c,
+    lead(sales_c, 2) OVER w               AS next2_c,
+    nth_value(sales_c, 3) OVER wr         AS third_c,
+    first_value(sales_c) OVER wr          AS first_c,
+    max(sales_c) OVER wr                  AS run_max_c
+FROM d
+WINDOW
+    w AS (PARTITION BY store_id ORDER BY sale_date),
+    wr AS (PARTITION BY store_id ORDER BY sale_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+
+register(
+    "f2_array_sampler",
+    lambda spark, sf: quality.array_function_sampler(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+WITH {SQL_TOKS}
+SELECT doc_id,
+    cast(len(toks) AS bigint) AS n_toks,
+    array_to_string(list_slice(toks, 1, 3), '_') AS first3,
+    list_sort(toks)[1] AS min_tok,
+    list_reverse_sort(toks)[1] AS max_tok,
+    cast(len(list_distinct(toks)) AS bigint) AS n_uniq,
+    cast(list_contains(toks, 'data') AS bigint) AS has_data,
+    cast(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+         AS bigint) AS char_sum,
+    cast(len(list_filter(toks, t -> length(t) > 4)) AS bigint)
+        AS n_long_toks,
+    cast(coalesce(list_sum(list_transform(toks,
+         (t, i) -> length(t) * i)), 0) AS bigint) AS pos_weighted,
+    cast(list_contains(toks, 'spark') AS bigint) AS mentions_spark
+FROM toks_t
+""",
+)
