@@ -1,0 +1,135 @@
+"""Laws for the versioned-table layer (sources/tablelog.py): atomic
+publish, time travel / snapshot isolation, MERGE upsert semantics vs
+a direct reconstruction, commit-race loser retry, vacuum's GC
+candidate set, and content-preserving compaction."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from serverless_smurf_etl_and_analytics_spark import tables
+from serverless_smurf_etl_and_analytics_spark.sources import tablelog
+
+from conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _daily(spark):
+    txns = tables.transactions(spark, SF_DIR)
+    return (
+        txns.groupBy("store_id", "sale_date")
+        .agg(F.sum("line_cents").alias("sales_c"))
+        .limit(200)
+    )
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    d = _daily(spark)
+    first = d.filter(F.col("store_id") == "0001")
+    rest = d.filter(F.col("store_id") != "0001")
+
+    v0 = tablelog.commit_version(spark, t, first, mode="overwrite")
+    v1 = tablelog.commit_version(spark, t, rest, mode="append")
+    assert (v0, v1) == (0, 1)
+    assert tablelog.latest_version(t) == 1
+    # append stacked the content
+    assert _rows(tablelog.read_version(spark, t)) == _rows(d)
+    # snapshot isolation: v0 still reads exactly the first slice
+    assert _rows(tablelog.read_version(spark, t, 0)) == _rows(first)
+
+    # overwrite replaces logical content; old versions intact
+    v2 = tablelog.commit_version(spark, t, first, mode="overwrite")
+    assert v2 == 2
+    assert _rows(tablelog.read_version(spark, t)) == _rows(first)
+    assert _rows(tablelog.read_version(spark, t, 1)) == _rows(d)
+    assert [m["version"] for m in tablelog.history(t)] == [0, 1, 2]
+
+
+def test_merge_upsert_matches_reconstruction(spark, tmp_path):
+    t = str(tmp_path / "t")
+    d = _daily(spark).withColumn(
+        "k", F.concat_ws("|", "store_id", "sale_date")
+    )
+    tablelog.commit_version(spark, t, d, mode="overwrite")
+    # updates: change half the existing keys, insert two new ones
+    updates = (
+        d.limit(50)
+        .withColumn("sales_c", F.col("sales_c") + 7)
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    ("9999", "2099-01-01", 1, "9999|2099-01-01"),
+                    ("9998", "2099-01-02", 2, "9998|2099-01-02"),
+                ],
+                "store_id string, sale_date string, sales_c long,"
+                " k string",
+            )
+        )
+    )
+    tablelog.merge_upsert(spark, t, updates, "k")
+    got = tablelog.read_version(spark, t)
+    want = d.join(updates.select("k"), "k", "left_anti").unionByName(
+        updates
+    )
+    assert _rows(got.select("k", "sales_c")) == _rows(
+        want.select("k", "sales_c")
+    )
+    # exactly one row per key survived
+    assert got.groupBy("k").count().filter("count > 1").count() == 0
+
+
+def test_commit_race_loser_retries(spark, tmp_path):
+    t = str(tmp_path / "t")
+    d = _daily(spark)
+    tablelog.commit_version(spark, t, d, mode="overwrite")
+    # simulate a racer that claims version 1 out from under us
+    os.makedirs(os.path.dirname(tablelog._manifest_path(t, 1)),
+                exist_ok=True)
+    with open(tablelog._manifest_path(t, 1), "w") as f:
+        f.write(
+            '{"version": 1, "op": "racer", "mode": "overwrite",'
+            ' "data_dirs": [], "n_rows_written": 0}'
+        )
+    v = tablelog.commit_version(spark, t, d.limit(10), mode="append")
+    assert v == 2  # the loser re-read the head and took the next slot
+    # and its append stacked on the RACER's (empty) content, not the
+    # stale pre-race head — the retry re-derived lineage
+    m = tablelog.history(t)[2]
+    assert len(m["data_dirs"]) == 1  # racer had no files
+
+
+def test_vacuum_lists_only_unreferenced(spark, tmp_path):
+    t = str(tmp_path / "t")
+    d = _daily(spark)
+    tablelog.commit_version(spark, t, d, mode="overwrite")
+    tablelog.commit_version(
+        spark, t, d.limit(5), mode="overwrite"
+    )
+    candidates = tablelog.vacuum(t, keep_versions=1)
+    # exactly version 0's data dir is GC-able
+    assert candidates == tablelog.history(t)[0]["data_dirs"]
+    # keeping both versions yields nothing to GC
+    assert tablelog.vacuum(t, keep_versions=2) == []
+
+
+def test_compact_preserves_content(spark, tmp_path):
+    t = str(tmp_path / "t")
+    d = _daily(spark)
+    tablelog.commit_version(
+        spark, t, d.repartition(8), mode="overwrite"
+    )
+    tablelog.compact(spark, t, n_files=1)
+    assert _rows(tablelog.read_version(spark, t)) == _rows(d)
+    newest = tablelog.history(t)[-1]
+    files = [
+        f
+        for f in os.listdir(newest["data_dirs"][0])
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
