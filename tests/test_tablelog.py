@@ -133,3 +133,40 @@ def test_compact_preserves_content(spark, tmp_path):
         if f.endswith(".parquet")
     ]
     assert len(files) == 1
+
+
+def test_change_feed_tags_insert_update_delete(spark, tmp_path):
+    t = str(tmp_path / "t")
+    d = _daily(spark).withColumn(
+        "k", F.concat_ws("|", "store_id", "sale_date")
+    )
+    tablelog.commit_version(spark, t, d, mode="overwrite")
+    # next version: drop 10 keys, bump 20, insert 1
+    dropped = d.limit(10)
+    bumped = (
+        d.join(dropped.select("k"), "k", "left_anti")
+        .limit(20)
+        .withColumn("sales_c", F.col("sales_c") + 1)
+    )
+    kept = d.join(dropped.select("k"), "k", "left_anti").join(
+        bumped.select("k"), "k", "left_anti"
+    )
+    new_row = spark.createDataFrame(
+        [("9999", "2099-01-01", 5, "9999|2099-01-01")],
+        "store_id string, sale_date string, sales_c long, k string",
+    )
+    v2 = kept.unionByName(bumped).unionByName(new_row)
+    tablelog.commit_version(spark, t, v2, mode="overwrite")
+
+    feed = tablelog.changes_between(spark, t, "k", 0, 1)
+    by_type = {}
+    for r in feed.collect():
+        by_type.setdefault(r["change_type"], set()).add(r["k"])
+    assert by_type["insert"] == {"9999|2099-01-01"}
+    assert by_type["delete"] == {r["k"] for r in dropped.collect()}
+    assert by_type["update"] == {r["k"] for r in bumped.collect()}
+    # updated rows carry the NEW content
+    upd = {r["k"]: r["sales_c"] for r in feed.collect()
+           if r["change_type"] == "update"}
+    want = {r["k"]: r["sales_c"] for r in bumped.collect()}
+    assert upd == want
