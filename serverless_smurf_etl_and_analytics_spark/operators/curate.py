@@ -158,3 +158,58 @@ def weighted_sample(docs: DataFrame, salt: str = "wsample") -> DataFrame:
         .filter(u * 10000 < F.col("weight_bp") * F.lit(U32))
         .select("doc_id", "lang", "source", "weight_bp")
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_tokens: int = 30,
+    min_uniq_pct: int = 30,
+    neardup_threshold: float = 0.5,
+) -> DataFrame:
+    """cur1: the end-to-end curation pipeline as ONE query — the
+    composition every training-data run actually executes, built
+    entirely from the registered stages so their individually-proven
+    semantics compose:
+
+    1. quality gates (t1's stats): n_tokens >= ``min_tokens`` and a
+       unique-token ratio >= ``min_uniq_pct``% — drops fragments and
+       degenerate repetition;
+    2. near-dup removal (d4's MinHash+LSH pairs): for every verified
+       pair, the higher doc_id is removed — the keep-lowest-id rule
+       d7 documents;
+    3. stratified sampling (t6's md5 rule): per-language rates,
+       decision a pure function of doc_id.
+
+    Output: the surviving corpus with its quality stats. Scale: gate
+    1 and step 3 are narrow filters on a single scan; step 2 is the
+    LSH-bucketed pair search (never all-pairs) feeding a broadcast-
+    sized removal set (bounded by the duplicate count) into an
+    anti-join.
+    """
+    from .dedup import minhash_neardup_pairs
+    from .textops import tokens_col
+
+    stats = docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens_col(F.col("text"))))
+        .cast("long")
+        .alias("n_unique"),
+    )
+    removals = (
+        minhash_neardup_pairs(docs, neardup_threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    gated = (
+        docs.join(stats, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_unique") * 100 >= F.col("n_tokens") * min_uniq_pct)
+        )
+        .join(removals, "doc_id", "left_anti")
+    )
+    sampled = stratified_sample(gated)
+    return sampled.join(
+        stats.select("doc_id", "n_tokens", "n_unique"), "doc_id"
+    ).select("doc_id", "lang", "source", "n_chars", "n_tokens", "n_unique")

@@ -1564,3 +1564,43 @@ JOIN keys b ON b.doc_id = p.doc_b
 WHERE levenshtein(a.k, b.k) <= 8
 """,
 )
+
+
+# cur1: the end-to-end curation pipeline (quality gates -> near-dup
+# removal -> stratified sampling) as one oracle — proves the
+# registered stages COMPOSE, not just pass individually. Every
+# predicate below is textually the same rule its stage's own oracle
+# uses (t1 stats over toks_t, d4's integer-scale jaccard threshold,
+# t6's md5 sampling rule).
+register(
+    "cur1_curated_corpus",
+    lambda spark, sf: curate.curate_corpus(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+WITH {SQL_JACCARD},
+stats AS (
+    SELECT doc_id,
+        cast(len(toks) AS bigint) AS n_tokens,
+        cast(len(list_distinct(toks)) AS bigint) AS n_unique
+    FROM toks_t
+),
+vp AS (
+    SELECT doc_a, doc_b FROM jac
+    WHERE CASE WHEN shingles_union > 0 THEN
+            cast(cast(round(shingles_common * 1000.0 / shingles_union)
+                      AS bigint) / 1000.0 AS double)
+          END >= 0.5
+),
+removals AS (SELECT DISTINCT doc_b AS doc_id FROM vp)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, s.n_tokens, s.n_unique
+FROM documents d
+JOIN stats s USING (doc_id)
+WHERE s.n_tokens >= 30
+  AND s.n_unique * 100 >= s.n_tokens * 30
+  AND d.doc_id NOT IN (SELECT doc_id FROM removals)
+  AND ('0x' || substr(md5('sample|' || cast(d.doc_id AS varchar)), 1, 8))
+          ::bigint * 100
+      < ({_RATE_CASE}) * 4294967296
+""",
+)
