@@ -213,3 +213,69 @@ def curate_corpus(
     return sampled.join(
         stats.select("doc_id", "n_tokens", "n_unique"), "doc_id"
     ).select("doc_id", "lang", "source", "n_chars", "n_tokens", "n_unique")
+
+
+def corpus_datasheet(
+    docs: DataFrame, neardup_threshold: float = 0.5
+) -> DataFrame:
+    """src1: the per-(source, lang) corpus datasheet — the summary a
+    dataset release ships: document and token counts, near-duplicate
+    rate, quality-gate pass rate, and the post-curation survivor
+    count (cur1's exact rules re-aggregated). One row per stratum,
+    all integer counts plus basis-point rates (single integer division
+    per rate, no float accumulation).
+
+    Scale: the stats scan and the LSH pair search are the same
+    bounded plans cur1 uses (shared subtrees cache-substitute when
+    both run in one session); the final rollup is a tiny group-by on
+    the (source, lang) grain.
+    """
+    from .dedup import minhash_neardup_pairs
+    from .textops import tokens_col
+
+    stats = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens_col(F.col("text"))))
+        .cast("long")
+        .alias("n_unique"),
+    )
+    removals = (
+        minhash_neardup_pairs(docs, neardup_threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    survivors = curate_corpus(docs).select("doc_id").withColumn(
+        "kept", F.lit(1)
+    )
+    j = stats.join(removals, "doc_id", "left").join(
+        survivors, "doc_id", "left"
+    )
+    g = j.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_neardup"),
+        F.sum(
+            F.when(
+                (F.col("n_tokens") >= 30)
+                & (F.col("n_unique") * 100 >= F.col("n_tokens") * 30),
+                1,
+            ).otherwise(0)
+        ).alias("n_quality_pass"),
+        F.sum(F.coalesce(F.col("kept"), F.lit(0))).alias("n_curated"),
+    )
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "n_neardup",
+        "n_quality_pass",
+        "n_curated",
+        F.expr("n_neardup * 10000 div n_docs").alias("dup_bp"),
+        F.expr("n_quality_pass * 10000 div n_docs").alias("quality_bp"),
+        F.expr("n_curated * 10000 div n_docs").alias("curated_bp"),
+    )

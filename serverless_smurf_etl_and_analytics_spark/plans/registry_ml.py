@@ -1604,3 +1604,56 @@ WHERE s.n_tokens >= 30
       < ({_RATE_CASE}) * 4294967296
 """,
 )
+
+
+# src1: the per-(source, lang) corpus datasheet — cur1's rules
+# re-aggregated into release-notes form (counts + bp rates).
+register(
+    "src1_corpus_datasheet",
+    lambda spark, sf: curate.corpus_datasheet(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+WITH {SQL_JACCARD},
+stats AS (
+    SELECT t.doc_id, d.source, t.lang,
+        cast(len(t.toks) AS bigint) AS n_tokens,
+        cast(len(list_distinct(t.toks)) AS bigint) AS n_unique
+    FROM toks_t t JOIN documents d USING (doc_id)
+),
+vp AS (
+    SELECT doc_a, doc_b FROM jac
+    WHERE CASE WHEN shingles_union > 0 THEN
+            cast(cast(round(shingles_common * 1000.0 / shingles_union)
+                      AS bigint) / 1000.0 AS double)
+          END >= 0.5
+),
+removals AS (SELECT DISTINCT doc_b AS doc_id FROM vp),
+flagged AS (
+    SELECT s.*,
+        CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+        CASE WHEN s.n_tokens >= 30
+              AND s.n_unique * 100 >= s.n_tokens * 30 THEN 1
+             ELSE 0 END AS q_pass,
+        CASE WHEN s.n_tokens >= 30
+              AND s.n_unique * 100 >= s.n_tokens * 30
+              AND r.doc_id IS NULL
+              AND ('0x' || substr(md5('sample|'
+                       || cast(s.doc_id AS varchar)), 1, 8))::bigint
+                  * 100 < ({_RATE_CASE}) * 4294967296
+             THEN 1 ELSE 0 END AS kept
+    FROM stats s LEFT JOIN removals r USING (doc_id)
+)
+SELECT source, lang,
+    cast(count(*) AS bigint)        AS n_docs,
+    cast(sum(n_tokens) AS bigint)   AS total_tokens,
+    cast(sum(is_dup) AS bigint)     AS n_neardup,
+    cast(sum(q_pass) AS bigint)     AS n_quality_pass,
+    cast(sum(kept) AS bigint)       AS n_curated,
+    cast(sum(is_dup) AS bigint) * 10000 // count(*)   AS dup_bp,
+    cast(sum(q_pass) AS bigint) * 10000 // count(*)   AS quality_bp,
+    cast(sum(kept) AS bigint) * 10000 // count(*)     AS curated_bp
+FROM flagged
+GROUP BY source, lang
+""",
+)
