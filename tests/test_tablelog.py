@@ -221,3 +221,59 @@ def test_stream_sink_end_to_end_exactly_once(spark, tmp_path):
     assert n == 15
     run("ckpt2")  # fresh checkpoint: every batch redelivered
     assert tablelog.read_version(spark, t).count() == n
+
+
+# ---- model-based law: random command sequences vs an in-memory model
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_POOL = {
+    0: [(1, 10), (2, 20)],
+    1: [(2, 21), (3, 30)],
+    2: [(4, 40)],
+    3: [(1, 11), (4, 41), (5, 50)],
+}
+
+_cmd = st.tuples(
+    st.sampled_from(["overwrite", "append", "merge"]),
+    st.sampled_from(sorted(_POOL)),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cmds=st.lists(_cmd, min_size=1, max_size=5))
+def test_tablelog_matches_model(spark, tmp_path_factory, cmds):
+    t = str(tmp_path_factory.mktemp("tlog"))
+    model: list[list[tuple]] = []
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    for op, pid in cmds:
+        rows = _POOL[pid]
+        if op == "overwrite":
+            tablelog.commit_version(spark, t, df_of(rows), mode="overwrite")
+            model.append(sorted(rows))
+        elif op == "append":
+            tablelog.commit_version(spark, t, df_of(rows), mode="append")
+            prev = model[-1] if model else []
+            model.append(sorted(prev + rows))
+        else:  # merge on k
+            tablelog.merge_upsert(spark, t, df_of(rows), "k")
+            prev = dict(model[-1]) if model else {}
+            prev.update(dict(rows))
+            model.append(sorted(prev.items()))
+
+    assert tablelog.latest_version(t) == len(model) - 1
+    for v, want in enumerate(model):
+        got = sorted(
+            (r["k"], r["v"])
+            for r in tablelog.read_version(spark, t, v).collect()
+        )
+        assert got == want, f"version {v}: {got} != {want}"
