@@ -69,6 +69,9 @@ _VERIFY_FIRST = [
     # (quality gates -> near-dup removal -> stratified sampling) as
     # one oracle — the registered stages proven to COMPOSE
     "cur1_curated_corpus", "src1_corpus_datasheet",
+    # --- r4 new (late-round): triangle census of the top-3
+    # co-purchase graph (CF-neighborhood coherence diagnostic)
+    "tri1_copurchase_triangles",
     # --- r4 new: temporal joins (as-of, interval-overlap),
     # distributive statistics (KMV sketch, exact grouped quantiles),
     # and quality-weighted sampling — plans/registry_stats.py
@@ -105,11 +108,11 @@ _VERIFY_FIRST = [
     # --- least-recently-verified: the ML layer, green in r01/r02 and
     # untouched since (the r3 token_rows code move kept expression
     # trees identical; re-proving the first 11 here retires that
-    # caveat for them). After the 22 late-r4 queries (quality family,
-    # pq1, ivfpq1, cube1, u2, d12, hll2, w2, f2, cur1, src1) rotated
-    # in, only t1 of this block still fits the window; t2-t5, d1-d5,
-    # sim1, sim3, sim4, mm1, mm2, mm3 sit at positions 51-65, just
-    # past it; all r01/r02-green with plans untouched since.
+    # caveat for them). After the 23 late-r4 queries (quality family,
+    # pq1, ivfpq1, cube1, u2, d12, hll2, w2, f2, cur1, src1, tri1)
+    # rotated in, this whole block sits just past the window
+    # (t1-t5, d1-d5, sim1, sim3, sim4, mm1-mm3 at positions 51-66);
+    # all r01/r02-green with plans untouched since.
     "t1_text_stats", "t2_lang_id", "t3_fingerprint",
     "t4_token_count_bpe", "t5_rolling_fingerprint",
     "d1_exact_dedup", "d2_minhash_signatures",

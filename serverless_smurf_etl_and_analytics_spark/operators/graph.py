@@ -131,3 +131,55 @@ def pagerank(
         "rank_fp",
         "n_customers",
     )
+
+
+def copurchase_triangles(txns) -> "DataFrame":
+    """tri1: triangle census of the top-3 co-purchase graph — the
+    standard coherence diagnostic for an item-item CF
+    neighborhood (a SKU whose recommended partners also recommend
+    each other sits in a dense basket cluster; triangle-free
+    neighborhoods are co-occurrence noise). Output: one row per
+    closed triangle (a < b < c) with the minimum co-purchase support
+    along its edges.
+
+    Scale design: the input graph is co1's top-k neighbor lists —
+    <= k (=3) directed edges per SKU by construction, so the
+    undirected edge set is <= 3n rows and the wedge join is bounded
+    at 9 wedges per apex REGARDLESS of basket skew (an unbounded
+    co-occurrence graph would hit the classic |E|^1.5 triangle cost;
+    bounding by top-k first is how recommender diagnostics run at
+    catalog scale). Two self-equi-joins on SKU keys — no cartesian
+    anywhere; orientation a < b < c counts each triangle exactly
+    once.
+    """
+    from pyspark.sql import functions as F
+
+    from .joins import sku_copurchase_topk
+
+    topk = sku_copurchase_topk(txns)
+    und = (
+        topk.select(
+            F.least("item_sku", "partner_sku").alias("a"),
+            F.greatest("item_sku", "partner_sku").alias("b"),
+            F.col("co_count"),
+        )
+        .groupBy("a", "b")
+        .agg(F.max("co_count").alias("w"))
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.b") < F.col("e2.b")),
+    )
+    tri = wedges.join(
+        e3,
+        (F.col("e3.a") == F.col("e1.b")) & (F.col("e3.b") == F.col("e2.b")),
+    )
+    return tri.select(
+        F.col("e1.a").alias("sku_a"),
+        F.col("e1.b").alias("sku_b"),
+        F.col("e2.b").alias("sku_c"),
+        F.least("e1.w", F.least("e2.w", "e3.w")).alias("min_support"),
+    )

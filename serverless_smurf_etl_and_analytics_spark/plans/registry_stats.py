@@ -722,3 +722,44 @@ UNION ALL
 SELECT 'only_0002', item_sku FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
 """,
 )
+
+
+# tri1: triangle census of the top-3 co-purchase graph (the co1
+# neighborhood's coherence diagnostic; bounded <= 3n edges so the
+# wedge join never hits the |E|^1.5 open-graph triangle cost).
+from ..operators import graph as graph_ops  # noqa: E402
+
+register(
+    "tri1_copurchase_triangles",
+    lambda spark, sf: graph_ops.copurchase_triangles(
+        tables.transactions(spark, sf)
+    ),
+    f"""
+WITH {TXN},
+ts AS (SELECT DISTINCT transaction_id, item_sku FROM transactions),
+pairs AS (
+    SELECT a.item_sku AS s1, b.item_sku AS s2
+    FROM ts a JOIN ts b
+      ON a.transaction_id = b.transaction_id
+     AND a.item_sku != b.item_sku
+),
+co AS (SELECT s1, s2, cast(count(*) AS bigint) AS c
+       FROM pairs GROUP BY 1, 2),
+r AS (
+    SELECT s1, s2, c,
+        row_number() OVER (PARTITION BY s1 ORDER BY c DESC, s2) AS rk
+    FROM co
+),
+topk AS (SELECT s1, s2, c FROM r WHERE rk <= 3),
+und AS (
+    SELECT least(s1, s2) AS a, greatest(s1, s2) AS b,
+           cast(max(c) AS bigint) AS w
+    FROM topk GROUP BY 1, 2
+)
+SELECT e1.a AS sku_a, e1.b AS sku_b, e2.b AS sku_c,
+       least(e1.w, least(e2.w, e3.w)) AS min_support
+FROM und e1
+JOIN und e2 ON e2.a = e1.a AND e1.b < e2.b
+JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+""",
+)
