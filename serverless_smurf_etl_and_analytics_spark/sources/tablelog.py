@@ -88,17 +88,32 @@ def commit_version(
     staged = os.path.join(table_dir, _DATA, f"staged-{token}")
     df.write.mode("overwrite").parquet(staged)
     n_rows = spark.read.parquet(staged).count()
+    schema = sorted(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )
 
     while True:
         head = latest_version(table_dir)
         version = 0 if head is None else head + 1
         dirs = [staged]
         if mode == "append" and head is not None:
-            dirs = _read_manifest(table_dir, head)["data_dirs"] + dirs
+            prev = _read_manifest(table_dir, head)
+            # an append with a drifted schema would poison every later
+            # multi-directory read — refuse it at commit time (an
+            # intentional schema change commits as overwrite)
+            prev_schema = [tuple(c) for c in prev.get("schema", schema)]
+            if prev_schema != schema:
+                raise ValueError(
+                    f"append schema {schema} != table schema"
+                    f" {prev_schema}; commit schema changes with"
+                    " mode='overwrite'"
+                )
+            dirs = prev["data_dirs"] + dirs
         manifest = {
             "version": version,
             "op": op,
             "mode": mode,
+            "schema": schema,
             "data_dirs": dirs,
             "n_rows_written": n_rows,
         }
@@ -329,3 +344,35 @@ def commit_stream_batch(
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f, indent=1)
         return version
+
+
+def restore(
+    spark: SparkSession, table_dir: str, version: int
+) -> int:
+    """Roll the table back by committing ``version``'s exact file
+    listing as the new head — O(1) (no data is copied or rewritten),
+    non-destructive (the rolled-back versions stay in the log and
+    remain time-travelable), and auditable (the manifest records
+    which version it restored)."""
+    src = _read_manifest(table_dir, version)
+    while True:
+        head = latest_version(table_dir)
+        new_version = 0 if head is None else head + 1
+        manifest = {
+            "version": new_version,
+            "op": f"restore_v{version}",
+            "mode": "overwrite",
+            "schema": src.get("schema"),
+            "data_dirs": src["data_dirs"],
+            "n_rows_written": 0,
+        }
+        try:
+            fd = os.open(
+                _manifest_path(table_dir, new_version),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1)
+        return new_version

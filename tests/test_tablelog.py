@@ -264,11 +264,17 @@ def test_tablelog_matches_model(spark, tmp_path_factory, cmds):
             tablelog.commit_version(spark, t, df_of(rows), mode="append")
             prev = model[-1] if model else []
             model.append(sorted(prev + rows))
-        else:  # merge on k
+        else:  # merge on k — replaces MATCHED keys, keeps everything
+            # else as-is (unmatched duplicate keys from prior appends
+            # survive: MERGE only promises uniqueness for keys it
+            # touched; collapsing the whole table would silently drop
+            # rows the command never addressed)
             tablelog.merge_upsert(spark, t, df_of(rows), "k")
-            prev = dict(model[-1]) if model else {}
-            prev.update(dict(rows))
-            model.append(sorted(prev.items()))
+            upd = dict(rows)
+            prev = model[-1] if model else []
+            model.append(
+                sorted([r for r in prev if r[0] not in upd] + rows)
+            )
 
     assert tablelog.latest_version(t) == len(model) - 1
     for v, want in enumerate(model):
@@ -277,3 +283,31 @@ def test_tablelog_matches_model(spark, tmp_path_factory, cmds):
             for r in tablelog.read_version(spark, t, v).collect()
         )
         assert got == want, f"version {v}: {got} != {want}"
+
+
+def test_append_refuses_schema_drift(spark, tmp_path):
+    import pytest as _pytest
+
+    t = str(tmp_path / "t")
+    tablelog.commit_version(
+        spark, t, _daily(spark), mode="overwrite"
+    )
+    drifted = _daily(spark).withColumn("extra", F.lit(1))
+    with _pytest.raises(ValueError, match="schema"):
+        tablelog.commit_version(spark, t, drifted, mode="append")
+    # an intentional schema change commits as overwrite
+    v = tablelog.commit_version(spark, t, drifted, mode="overwrite")
+    assert "extra" in tablelog.read_version(spark, t, v).columns
+
+
+def test_restore_rolls_back_o1(spark, tmp_path):
+    t = str(tmp_path / "t")
+    d = _daily(spark)
+    tablelog.commit_version(spark, t, d, mode="overwrite")
+    tablelog.commit_version(spark, t, d.limit(3), mode="overwrite")
+    v = tablelog.restore(spark, t, 0)
+    assert v == 2
+    assert _rows(tablelog.read_version(spark, t)) == _rows(d)
+    # rolled-back state still time-travelable
+    assert tablelog.read_version(spark, t, 1).count() == 3
+    assert tablelog.history(t)[2]["op"] == "restore_v0"
