@@ -198,3 +198,33 @@ def test_salted_join_equals_plain_join_under_skew(spark):
         .count()
     )
     assert n_salts == 8
+
+
+def test_pq_training_survives_duplicate_heavy_corpus(spark):
+    """PQ under mass duplication: 300 copies of one vector on top of
+    the real corpus. Most subspace clusters go empty (the dup mass
+    pins a few centroids); the empty-cluster carry-over must keep
+    training deterministic, codes partition-invariant, and the
+    duplicated vectors must all land on identical codes."""
+    from serverless_smurf_etl_and_analytics_spark.operators import (
+        clustering,
+    )
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    base = emb.limit(1).collect()[0]
+    dups = spark.createDataFrame(
+        [(10_000 + i, base["embedding"], base["label"]) for i in range(300)],
+        emb.schema,
+    )
+    corpus = emb.unionByName(dups)
+    a, cb_a = clustering.pq_train_encode(corpus)
+    b, cb_b = clustering.pq_train_encode(corpus.repartition(13))
+    assert cb_a == cb_b
+    pa = a.toPandas().sort_values("vec_id").reset_index(drop=True)
+    pb = b.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert pa["qerr"].tolist() == pb["qerr"].tolist()
+    dup_codes = {
+        tuple(r.codes)
+        for r in pa[pa.vec_id >= 10_000].itertuples()
+    }
+    assert len(dup_codes) == 1  # identical vectors -> identical codes
