@@ -546,3 +546,64 @@ def ivfpq_topk(
             F.col("rn").cast("long").alias("rank"),
         )
     )
+
+
+def pq_train_encode_residual(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 3,
+    coarse_k: int = 16,
+    coarse_iters: int = 3,
+) -> tuple[DataFrame, list]:
+    """pq3: residual product quantization — the by_residual=true
+    variant ivfpq1's docstring names as the next step: quantize
+    x - c(x) (each vector minus its coarse centroid) instead of x, so
+    the PQ codebooks spend their 2^(8m) cells on the small residual
+    ball around each list's centroid rather than the whole embedding
+    space. The law test shows the aggregate quantization error drops
+    vs the non-residual pq1 on the same budget; the cost is that ADC
+    tables become per-(query, list) — the plumbing trade documented
+    in ivfpq1.
+
+    Residuals are computed per row (float64 subtract of the broadcast
+    centroid, no accumulation) and re-enter the same fixed-point
+    training path as pq1, so determinism and partition invariance
+    carry over unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assignments, coarse_cent, _ = kmeans_train(emb, coarse_k, coarse_iters)
+    cc = np.asarray(coarse_cent, dtype=np.int64)
+    joined = emb.select("vec_id", "embedding").join(
+        assignments.select("vec_id", "cluster_id"), "vec_id"
+    )
+
+    from pyspark.sql.types import DoubleType
+
+    res_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+
+    def residuals(batches, c=cc, scale=SCALE):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(
+                pdf["embedding"].map(np.asarray).values
+            ).astype(np.float64)
+            cent_f = c[pdf["cluster_id"].values].astype(np.float64) / scale
+            r = x - cent_f
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "embedding": list(r)}
+            )
+
+    res_df = joined.mapInPandas(residuals, schema=res_schema)
+    return pq_train_encode(res_df, m, ksub, n_iter)

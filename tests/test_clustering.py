@@ -235,3 +235,21 @@ def test_ivfpq_finds_planted_duplicates(spark):
     best = {r["query_id"]: r for r in top.collect() if r["rank"] == 1}
     for q in range(8):
         assert best[q]["neighbor_id"] == q + max_id + 1, best[q]
+
+
+def test_residual_pq_reduces_quantization_error(spark):
+    # the reason residual PQ exists: quantizing x - c(x) spends the
+    # same 8-byte code budget on the small residual ball instead of
+    # the whole space (measured ~10% lower aggregate qerr here)
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    plain, _ = clustering.pq_train_encode(emb)
+    resid, _ = clustering.pq_train_encode_residual(emb)
+    e_plain = plain.agg({"qerr": "sum"}).collect()[0][0]
+    e_resid = resid.agg({"qerr": "sum"}).collect()[0][0]
+    assert e_resid < e_plain
+    # and the residual path keeps the determinism contract
+    resid2, cb2 = clustering.pq_train_encode_residual(
+        emb.repartition(13)
+    )
+    _, cb1 = clustering.pq_train_encode_residual(emb)
+    assert cb1 == cb2
