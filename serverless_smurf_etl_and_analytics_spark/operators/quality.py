@@ -283,20 +283,22 @@ def heavy_hitters(txns: DataFrame, min_share_bp: int = 50) -> DataFrame:
     2% each both have a "top 5"; only the share threshold tells them
     apart).
 
-    Scale: two hash aggregations that share the (store, sku) partial
-    — the store total is a re-aggregation of the per-SKU rollup, not a
-    second fact scan — then one join against the store-grain total
-    (broadcast-sized: |stores| rows). share_bp is integer basis
-    points; exact.
+    Scale: ONE fact scan, one map-side-combined (store, sku) shuffle,
+    then the store total is a window sum over the per-SKU partial —
+    a second tiny exchange on |stores|x|skus| rows, never a second
+    fact scan. (The r4 shape — re-agg + broadcast join back — LOOKED
+    shared but Catalyst planned the per_sku aggregation twice: two
+    `Scan parquet`, zero `ReusedExchange`, and a measured 1.48x bench
+    regression. A window over the partial is the plan the join was
+    pretending to be.) share_bp is integer basis points; exact.
     """
     per_sku = txns.groupBy("store_id", "item_sku").agg(
         F.sum("line_cents").alias("rev_c")
     )
-    per_store = per_sku.groupBy("store_id").agg(
-        F.sum("rev_c").alias("store_tot_c")
-    )
-    j = per_sku.join(F.broadcast(per_store), "store_id")
-    return j.withColumn(
+    w = Window.partitionBy("store_id")
+    return per_sku.withColumn(
+        "store_tot_c", F.sum("rev_c").over(w)
+    ).withColumn(
         "share_bp", F.expr("rev_c * 10000 div store_tot_c")
     ).filter(F.col("share_bp") >= min_share_bp).select(
         "store_id", "item_sku", "rev_c", "store_tot_c", "share_bp"

@@ -9,6 +9,8 @@ fully oracle-checkable, not rows-only.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from .. import tables
 from ..operators import (
     clustering,
@@ -1282,7 +1284,8 @@ cent_{t + 1} AS (
     return f"""
 WITH {body}
 SELECT vec_id,
-    list(cast(cid AS bigint) ORDER BY s) AS codes,
+    array_to_string(list(cast(cid AS varchar) ORDER BY s), '-')
+        AS codes,
     cast(sum(d2) AS bigint) AS qerr
 FROM assign_{n_iter}
 GROUP BY vec_id
@@ -1292,11 +1295,21 @@ GROUP BY vec_id
 # pq1: product-quantization codes — the memory half of the ANN story
 # (IVF prunes candidates, PQ compresses them 32x). The oracle trains
 # the same m=8 x k=16 codebooks with subspace as a data dimension.
+# The codes column is serialized '-'-joined (the j5_wide_serialized
+# precedent, operators/joins.py): the driver's canonicalizer sorts
+# with pandas, which cannot factorize ndarray cells, so array columns
+# must cross the verification boundary as strings.
 register(
     "pq1_pq_codes",
     lambda spark, sf: clustering.pq_train_encode(
         tables.load(spark, sf, "embeddings"), m=8, ksub=16, n_iter=3
-    )[0],
+    )[0].select(
+        "vec_id",
+        F.concat_ws(
+            "-", F.transform("codes", lambda x: x.cast("string"))
+        ).alias("codes"),
+        "qerr",
+    ),
     _pq_lloyd_sql(8, 16, 3),
 )
 
