@@ -423,18 +423,162 @@ def semantic_dedup(
     ).select("doc_id", "lang", "dup_of", "n_neardups", "max_cosine")
 
 
+def _ckpt_fresh(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint + rebuild from the checkpointed RDD so the
+    resulting leaf drops BOTH lineage and the origin plan's
+    carried-over statistics (see :func:`connected_components_labelprop`
+    docstring — ``Dataset.localCheckpoint`` keeps the origin plan's
+    size-in-bytes stats, and Catalyst join estimation SQUARES them per
+    iteration until BigInteger overflow; rebuilding from the
+    checkpointed RDD resets the leaf to default stats. The JVM-side
+    ``javaRDD`` round trip never touches Python serialization). On a
+    real cluster prefer a reliable ``checkpoint`` dir (localCheckpoint
+    is lost with an executor); semantics are identical."""
+    from pyspark.sql import DataFrame as _DF
+
+    spark = df.sparkSession
+    ck = df.localCheckpoint(eager=True)
+    jdf = spark._jsparkSession.createDataFrame(
+        ck._jdf.javaRDD(), ck._jdf.schema()
+    )
+    return _DF(jdf, spark)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "vec_a",
     dst: str = "vec_b",
     max_iter: int = 50,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Distributed connected components: returns (v, component) where
     ``component`` is the smallest vertex id reachable from ``v``.
-    Iterative (Spark jobs in a driver loop), so it lives OUTSIDE the
-    oracle-checkable path by design — the driver contract has no SQL
-    analogue for a fixed-point loop (the d9 oracle restates it as a
-    DuckDB recursive CTE instead).
+
+    Dispatcher: ``algorithm="star"`` (default) runs the alternating
+    large-star/small-star contraction of
+    :func:`connected_components_star` — the scale path; per-round cost
+    SHRINKS as the graph contracts toward stars, where label
+    propagation re-joins the full adjacency every round.
+    ``algorithm="labelprop"`` keeps the r4 pointer-jump label
+    propagation as the reference implementation; equality of the two
+    is law-tested on synthetic graphs and the driver corpus
+    (tests/test_graph_dedup.py)."""
+    if algorithm == "star":
+        return connected_components_star(edges, src, dst, max_iter)
+    return connected_components_labelprop(edges, src, dst, max_iter)
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "vec_a",
+    dst: str = "vec_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Alternating-star connected components (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond" — the two-phase
+    star-contraction algorithm). Each round rewrites the edge set:
+
+    - **large-star**: every vertex connects its strictly LARGER
+      neighbors to the minimum of its closed neighborhood
+      ``m = min(N(u) ∪ {u})`` — emit (v, m) for v ∈ N(u), v > u.
+    - **small-star**: on edges directed large→small, every vertex
+      connects its smaller neighbors AND itself to the minimum of its
+      smaller neighborhood — emit (v, m) for v ∈ N⁻(u) ∪ {u}, v ≠ m.
+
+    Both steps preserve connectivity and never merge components; the
+    fixed point is a union of STARS, each rooted at its component's
+    minimum id — so the final edge set IS the label map. Convergence
+    is O(log² n) rounds worst-case but ~3-5 in practice, and — the
+    reason this replaces label propagation as the d9 scale path — the
+    edge set CONTRACTS monotonically toward one edge per non-root
+    vertex, so late rounds get cheaper, where the r4 pointer-jump loop
+    re-joined the full adjacency every round at constant cost (its
+    sf1 wall: 35 s ≈ 10-15× on 10× data, the suite's one super-linear
+    scale wall; the reference implementation survives as
+    :func:`connected_components_labelprop`).
+
+    Same per-round lineage/stats hygiene as the labelprop loop
+    (:func:`_ckpt_fresh`); state is the contracted edge list — one row
+    per non-root vertex at the fixed point, never the corpus."""
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("s"),
+            F.least(F.col(src), F.col(dst)).alias("d"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e.count()  # one materialization of the expensive pair search
+    cur = _ckpt_fresh(e)
+    e.unpersist()
+    for _ in range(max_iter):
+        # large-star: closed-neighborhood minimum per vertex over the
+        # undirected adjacency; larger neighbors re-point to it.
+        adj = cur.union(
+            cur.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+        mins = (
+            adj.groupBy("s")
+            .agg(F.min("d").alias("mn"))
+            .select("s", F.least("mn", "s").alias("m"))
+        )
+        large = (
+            adj.filter(F.col("d") > F.col("s"))
+            .join(mins, "s")
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+        )
+        # small-star: direct large→small, point every smaller neighbor
+        # and the vertex itself at the smallest smaller-neighbor.
+        ecan = (
+            large.select(
+                F.greatest("s", "d").alias("u"),
+                F.least("s", "d").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        smins = ecan.groupBy("u").agg(F.min("v").alias("m"))
+        small = _ckpt_fresh(
+            ecan.join(smins, "u")
+            .select(F.col("v").alias("s"), F.col("m").alias("d"))
+            .union(
+                smins.select(F.col("u").alias("s"), F.col("m").alias("d"))
+            )
+            .filter(F.col("s") != F.col("d"))
+            .distinct()
+        )
+        changed = (
+            small.exceptAll(cur).count() + cur.exceptAll(small).count()
+        )
+        cur = small
+        if changed == 0:
+            break
+    # fixed point = union of stars rooted at component minima: the
+    # edge set is the label map for non-roots; roots label themselves.
+    return cur.select(
+        F.col("s").alias("v"), F.col("d").alias("component")
+    ).union(
+        cur.select("d")
+        .distinct()
+        .select(F.col("d").alias("v"), F.col("d").alias("component"))
+    )
+
+
+def connected_components_labelprop(
+    edges: DataFrame,
+    src: str = "vec_a",
+    dst: str = "vec_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Reference implementation: pointer-jump min-label propagation.
+    Returns (v, component) where ``component`` is the smallest vertex
+    id reachable from ``v``. Iterative (Spark jobs in a driver loop),
+    so it lives OUTSIDE the oracle-checkable path by design — the
+    driver contract has no SQL analogue for a fixed-point loop (the d9
+    oracle restates it as a DuckDB recursive CTE instead).
 
     Each round does min-label PROPAGATION (join labels onto the
     undirected adjacency, min over neighbors, least() with own label)
@@ -469,24 +613,9 @@ def connected_components(
 
     Label state is one row per DISTINCT vertex of the edge set —
     near-dup vertices only, never the corpus — so the loop's state is
-    tiny at any scale; the alternating-star variant (Kiveris et al.,
-    "Connected Components in MapReduce") remains the documented
-    upgrade if edge lists themselves stop fitting the shuffle."""
-    from pyspark.sql import DataFrame as _DF
-
-    spark = edges.sparkSession
-
-    def _ckpt_fresh(df: DataFrame) -> DataFrame:
-        """Eager localCheckpoint + rebuild from the checkpointed RDD so
-        the resulting leaf drops BOTH lineage and the origin plan's
-        carried-over statistics (see docstring; the JVM-side
-        ``javaRDD`` round trip never touches Python serialization)."""
-        ck = df.localCheckpoint(eager=True)
-        jdf = spark._jsparkSession.createDataFrame(
-            ck._jdf.javaRDD(), ck._jdf.schema()
-        )
-        return _DF(jdf, spark)
-
+    tiny at any scale. Per-round cost is constant but does NOT shrink;
+    :func:`connected_components_star` (now the default) contracts the
+    edge set each round and replaced this as the scale path."""
     e = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d")
     ).persist(StorageLevel.MEMORY_AND_DISK)

@@ -79,6 +79,45 @@ def test_corpus_greedy_equals_cc_and_minima_kept(spark):
         assert r["dup_of"] not in cc
 
 
+def test_star_equals_labelprop_on_synthetic_graphs(spark):
+    """Law: the alternating-star contraction (the d9 scale path) and
+    the pointer-jump label propagation (reference implementation)
+    compute identical (v, component) maps — chains, stars, disjoint
+    components, out-of-order ids, and a long chain that exercises
+    multiple contraction rounds."""
+    cases = [
+        [(1, 2), (2, 3), (3, 4)],
+        [(1, 3), (2, 3)],
+        [(1, 2), (5, 7), (7, 9)],
+        [(10, 2), (9, 10), (4, 9), (20, 4)],
+        [(i, i + 1) for i in range(1, 40)] + [(100, 101), (101, 103)],
+        [(7, 3)],  # single reversed edge
+    ]
+    for edges in cases:
+        star = _labels(
+            dedup.connected_components_star(_edges(spark, edges))
+        )
+        ref = _labels(
+            dedup.connected_components_labelprop(_edges(spark, edges))
+        )
+        assert star == ref, f"divergence on {edges}"
+
+
+def test_star_equals_labelprop_on_corpus(spark):
+    """Law on real data: both algorithms agree on the sim2 near-dup
+    graph of the driver corpus (the exact edge set d9 consumes)."""
+    from serverless_smurf_etl_and_analytics_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    pairs = cosine_neardup_pairs(emb, 0.4)
+    star = _labels(dedup.connected_components_star(pairs))
+    ref = _labels(dedup.connected_components_labelprop(pairs))
+    assert star == ref
+    assert star, "empty near-dup graph at sf0.001"
+
+
 def test_pagerank_partition_invariance_and_laws(spark):
     """Fixed-point PageRank: identical output under repartitioning
     (integer arithmetic leaves no room for float drift), ranks
