@@ -216,7 +216,10 @@ def curate_corpus(
 
 
 def corpus_datasheet(
-    docs: DataFrame, neardup_threshold: float = 0.5
+    docs: DataFrame,
+    neardup_threshold: float = 0.5,
+    min_tokens: int = 30,
+    min_uniq_pct: int = 30,
 ) -> DataFrame:
     """src1: the per-(source, lang) corpus datasheet — the summary a
     dataset release ships: document and token counts, near-duplicate
@@ -248,9 +251,16 @@ def corpus_datasheet(
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )
-    survivors = curate_corpus(docs).select("doc_id").withColumn(
-        "kept", F.lit(1)
-    )
+    # forward EVERY knob to curate_corpus so n_curated/curated_bp are
+    # computed under the same thresholds as dup_bp/quality_bp — with a
+    # non-default threshold the datasheet would otherwise be
+    # internally inconsistent (curate at defaults, rates at caller's)
+    survivors = curate_corpus(
+        docs,
+        min_tokens=min_tokens,
+        min_uniq_pct=min_uniq_pct,
+        neardup_threshold=neardup_threshold,
+    ).select("doc_id").withColumn("kept", F.lit(1))
     j = stats.join(removals, "doc_id", "left").join(
         survivors, "doc_id", "left"
     )
@@ -260,8 +270,11 @@ def corpus_datasheet(
         F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_neardup"),
         F.sum(
             F.when(
-                (F.col("n_tokens") >= 30)
-                & (F.col("n_unique") * 100 >= F.col("n_tokens") * 30),
+                (F.col("n_tokens") >= min_tokens)
+                & (
+                    F.col("n_unique") * 100
+                    >= F.col("n_tokens") * min_uniq_pct
+                ),
                 1,
             ).otherwise(0)
         ).alias("n_quality_pass"),

@@ -24,90 +24,17 @@ from .registry import register
 
 # the tokenization/stopword fragments live in the leaf module
 # sql_text.py so registry_stats can share them cycle-free
-from .sql_text import SQL_TOKS, STOP_SQL  # noqa: F401
-
-SQL_SHINGLES = (
-    SQL_TOKS
-    + r""",
-sh_t AS (
-    SELECT
-        doc_id,
-        list_distinct(
-            list_transform(range(len(toks) - 1),
-                           i -> concat(toks[i+1], ' ', toks[i+2]))
-        ) AS sh
-    FROM toks_t
-)
-"""
-)
-
-
-def _mh(i: int) -> str:
-    return (
-        "list_aggregate(list_transform(sh, x -> md5(concat('"
-        + str(i)
-        + "|', x))), 'min')"
-    )
-
-
-SQL_SIG = (
-    SQL_SHINGLES
-    + f""",
-sig AS (
-    SELECT
-        doc_id,
-        {', '.join(f'{_mh(i)} AS mh_{i}' for i in range(8))}
-    FROM sh_t
-),
-sigb AS (
-    SELECT
-        doc_id,
-        {', '.join(f'mh_{i}' for i in range(8))},
-        CASE WHEN mh_0 IS NULL THEN NULL
-             ELSE md5(concat_ws('', mh_0, mh_1, mh_2, mh_3)) END AS band_0,
-        CASE WHEN mh_4 IS NULL THEN NULL
-             ELSE md5(concat_ws('', mh_4, mh_5, mh_6, mh_7)) END AS band_1
-    FROM sig
-)
-"""
-)
-
-SQL_LSH_PAIRS = (
-    SQL_SIG
-    + """,
-eb AS (
-    SELECT doc_id, band_0 AS band_val, 0 AS band_idx FROM sigb
-    UNION ALL
-    SELECT doc_id, band_1 AS band_val, 1 AS band_idx FROM sigb
-),
-pairs AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM eb a
-    JOIN eb b
-      ON a.band_val = b.band_val
-     AND a.band_idx = b.band_idx
-     AND a.doc_id < b.doc_id
-)
-"""
-)
-
-SQL_JACCARD = (
-    SQL_LSH_PAIRS
-    + """,
-jac AS (
-    SELECT
-        p.doc_a,
-        p.doc_b,
-        cast(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
-             AS bigint) AS shingles_common,
-        cast(len(a.sh) + len(b.sh)
-             - len(list_filter(a.sh, x -> list_contains(b.sh, x)))
-             AS bigint) AS shingles_union
-    FROM pairs p
-    JOIN sh_t a ON a.doc_id = p.doc_a
-    JOIN sh_t b ON b.doc_id = p.doc_b
-)
-"""
+# All shared fragments live in the leaf module sql_text.py (no
+# registry imports) so every registry_* module — and tests — can pull
+# them without a cycle, whichever module Python loads first. The
+# re-exports keep existing import sites working.
+from .sql_text import (  # noqa: F401
+    SQL_JACCARD,
+    SQL_LSH_PAIRS,
+    SQL_SHINGLES,
+    SQL_SIG,
+    SQL_TOKS,
+    STOP_SQL,
 )
 
 # ---- text analysis -------------------------------------------------------
@@ -1551,6 +1478,282 @@ register(
         m=8, ksub=16, pq_iters=3, n_queries=8,
     ),
     _ivfpq_sql(16, 3, 8, 16, 3, 4, 5, 8),
+)
+
+
+def _pq_chain(m: int, ksub: int, n_iter: int, dim: int, src: str) -> str:
+    """The subspace-sliced Lloyd chain as reusable CTE text (prefix
+    ``p_``), reading fixed-point vectors (vec_id, iv) from CTE
+    ``src`` — the common core of the pq2 and pq3 oracles (pq1's and
+    ivfpq1's own builders predate this helper and stay as committed,
+    since their generated SQL is driver-proven)."""
+    dsub = dim // m
+
+    def dot(a_iv: str, b_iv: str) -> str:
+        return (
+            f"cast(list_sum(list_transform(range({dsub}), "
+            f"i -> {a_iv}[i+1] * {b_iv}[i+1])) AS bigint)"
+        )
+
+    parts = [
+        f"""
+p_sub AS (
+    SELECT vec_id, r.s,
+        list_transform(range({dsub}),
+                       i -> iv[r.s * {dsub} + i + 1]) AS iv
+    FROM {src} CROSS JOIN range({m}) r(s)
+)""",
+        """
+p_subn AS (
+    SELECT vec_id, s, iv,
+        cast(list_sum(list_transform(iv, x -> x * x)) AS bigint) AS n2
+    FROM p_sub
+)""",
+        f"""
+p_cent_0 AS (
+    SELECT s, vec_id AS cid, iv AS civ FROM p_sub WHERE vec_id < {ksub}
+)""",
+    ]
+    for t in range(n_iter + 1):
+        parts.append(
+            f"""
+p_centn_{t} AS (
+    SELECT s, cid, civ,
+        cast(list_sum(list_transform(civ, x -> x * x)) AS bigint) AS cn2
+    FROM p_cent_{t}
+)""",
+        )
+        parts.append(
+            f"""
+p_assign_{t} AS (
+    SELECT vec_id, s, cid, d2 FROM (
+        SELECT f.vec_id, f.s, c.cid,
+            f.n2 - 2 * {dot('f.iv', 'c.civ')} + c.cn2 AS d2,
+            row_number() OVER (
+                PARTITION BY f.vec_id, f.s
+                ORDER BY f.n2 - 2 * {dot('f.iv', 'c.civ')} + c.cn2,
+                         c.cid) AS rn
+        FROM p_subn f JOIN p_centn_{t} c ON c.s = f.s
+    ) WHERE rn = 1
+)""",
+        )
+        if t == n_iter:
+            break
+        parts.append(
+            f"""
+p_sums_{t} AS (
+    SELECT a.s, a.cid, r.i,
+        cast(sum(f.iv[r.i + 1]) AS bigint) AS sm,
+        cast(count(*) AS bigint) AS n
+    FROM p_assign_{t} a
+    JOIN p_subn f ON f.vec_id = a.vec_id AND f.s = a.s
+    CROSS JOIN range({dsub}) r(i)
+    GROUP BY a.s, a.cid, r.i
+)""",
+        )
+        parts.append(
+            f"""
+p_newc_{t} AS (
+    SELECT s, cid,
+        list(cast(round(cast(sm AS double) / n) AS bigint)
+             ORDER BY i) AS civ
+    FROM p_sums_{t} GROUP BY s, cid
+)""",
+        )
+        parts.append(
+            f"""
+p_cent_{t + 1} AS (
+    SELECT p.s, p.cid, coalesce(nw.civ, p.civ) AS civ
+    FROM p_cent_{t} p
+    LEFT JOIN p_newc_{t} nw ON nw.s = p.s AND nw.cid = p.cid
+)""",
+        )
+    return ",".join(parts)
+
+
+_FX_CTE = """
+fx AS (
+    SELECT
+        vec_id,
+        list_transform(embedding,
+            x -> cast(round(cast(x AS double) * 10000000) AS bigint))
+            AS iv
+    FROM embeddings
+)"""
+
+
+def _pq_adc_sql(
+    m: int = 8, ksub: int = 16, n_iter: int = 3, k: int = 5,
+    nq: int = 8, dim: int = 64,
+) -> str:
+    """Restate clustering.pq_adc_topk: the pq1 codebook chain, then
+    asymmetric distance = per-subspace lookup of the query sub-vector
+    against the ASSIGNED centroid (q.n2 - 2 q·c + c.n2 summed over
+    subspaces == the Spark side's int64 table gather), ranked per
+    query with ties to the lowest neighbor id."""
+    dsub = dim // m
+    dot = (
+        f"cast(list_sum(list_transform(range({dsub}), "
+        f"i -> q.iv[i+1] * c.civ[i+1])) AS bigint)"
+    )
+    return f"""
+WITH {_FX_CTE},{_pq_chain(m, ksub, n_iter, dim, 'fx')},
+adc AS (
+    SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+        cast(sum(q.n2 - 2 * {dot} + c.cn2) AS bigint) AS adc_d2
+    FROM p_assign_{n_iter} a
+    JOIN p_centn_{n_iter} c ON c.s = a.s AND c.cid = a.cid
+    JOIN p_subn q ON q.s = a.s
+    WHERE q.vec_id < {nq}
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, neighbor_id, adc_d2,
+        row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY adc_d2, neighbor_id) AS rnk
+    FROM adc WHERE neighbor_id != query_id
+)
+SELECT query_id, neighbor_id, adc_d2, cast(rnk AS bigint) AS rank
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+def _pq_residual_sql(
+    m: int = 8, ksub: int = 16, n_iter: int = 3,
+    coarse_k: int = 16, coarse_iters: int = 3, dim: int = 64,
+) -> str:
+    """Restate clustering.pq_train_encode_residual: the c1 coarse
+    Lloyd chain (c_ prefix, identical to ivfpq1's), then the residual
+    x - c(x) recomputed EXACTLY as the Spark side does it — float64
+    ``(x - civ/1e7) * 1e7`` then half-away round, the same IEEE op
+    sequence as numpy's ``x - cent/scale`` + ``to_fixed`` — feeding
+    the shared PQ chain; output is pq1-shaped (serialized codes)."""
+
+    def dot(a_iv: str, b_iv: str) -> str:
+        return (
+            f"cast(list_sum(list_transform(range({dim}), "
+            f"i -> {a_iv}[i+1] * {b_iv}[i+1])) AS bigint)"
+        )
+
+    parts = [
+        _FX_CTE,
+        """
+fxn AS (
+    SELECT vec_id, iv,
+        cast(list_sum(list_transform(iv, x -> x * x)) AS bigint) AS n2
+    FROM fx
+)""",
+        f"""
+c_cent_0 AS (
+    SELECT vec_id AS cid, iv AS civ FROM fx WHERE vec_id < {coarse_k}
+)""",
+    ]
+    for t in range(coarse_iters + 1):
+        parts.append(
+            f"""
+c_centn_{t} AS (
+    SELECT cid, civ,
+        cast(list_sum(list_transform(civ, x -> x * x)) AS bigint) AS cn2
+    FROM c_cent_{t}
+)""",
+        )
+        parts.append(
+            f"""
+c_assign_{t} AS (
+    SELECT vec_id, cid FROM (
+        SELECT f.vec_id, c.cid,
+            row_number() OVER (
+                PARTITION BY f.vec_id
+                ORDER BY f.n2 - 2 * {dot('f.iv', 'c.civ')} + c.cn2,
+                         c.cid) AS rn
+        FROM fxn f CROSS JOIN c_centn_{t} c
+    ) WHERE rn = 1
+)""",
+        )
+        if t == coarse_iters:
+            break
+        parts.append(
+            f"""
+c_sums_{t} AS (
+    SELECT a.cid, r.i, cast(sum(f.iv[r.i + 1]) AS bigint) AS sm,
+           cast(count(*) AS bigint) AS n
+    FROM c_assign_{t} a
+    JOIN fxn f USING (vec_id)
+    CROSS JOIN range({dim}) r(i)
+    GROUP BY a.cid, r.i
+)""",
+        )
+        parts.append(
+            f"""
+c_newc_{t} AS (
+    SELECT cid,
+        list(cast(round(cast(sm AS double) / n) AS bigint)
+             ORDER BY i) AS civ
+    FROM c_sums_{t} GROUP BY cid
+)""",
+        )
+        parts.append(
+            f"""
+c_cent_{t + 1} AS (
+    SELECT p.cid, coalesce(nw.civ, p.civ) AS civ
+    FROM c_cent_{t} p LEFT JOIN c_newc_{t} nw USING (cid)
+)""",
+        )
+    parts.append(
+        f"""
+rf AS (
+    SELECT e.vec_id,
+        list_transform(range({dim}), i ->
+            cast(round((cast(e.embedding[i+1] AS double)
+                        - cast(c.civ[i+1] AS double) / 10000000)
+                       * 10000000) AS bigint)) AS iv
+    FROM embeddings e
+    JOIN c_assign_{coarse_iters} a ON a.vec_id = e.vec_id
+    JOIN c_cent_{coarse_iters} c ON c.cid = a.cid
+)""",
+    )
+    body = ",".join(parts)
+    return f"""
+WITH {body},{_pq_chain(m, ksub, n_iter, dim, 'rf')}
+SELECT vec_id,
+    array_to_string(list(cast(cid AS varchar) ORDER BY s), '-')
+        AS codes,
+    cast(sum(d2) AS bigint) AS qerr
+FROM p_assign_{n_iter}
+GROUP BY vec_id
+"""
+
+
+# pq2: ADC top-k on its own — the asymmetric-distance ranking
+# isolated from ivfpq1's list pruning, so a probe-filter bug cannot
+# mask a scoring bug (and vice versa).
+register(
+    "pq2_adc_topk",
+    lambda spark, sf: clustering.pq_adc_topk(
+        tables.load(spark, sf, "embeddings"),
+        k=5, m=8, ksub=16, n_iter=3, n_queries=8,
+    ),
+    _pq_adc_sql(8, 16, 3, 5, 8),
+)
+
+
+# pq3: residual product quantization — codebooks trained on
+# x - c(x) rather than x (the by_residual=true trade); codes
+# serialized per the pq1 canonicalizer contract.
+register(
+    "pq3_residual_codes",
+    lambda spark, sf: clustering.pq_train_encode_residual(
+        tables.load(spark, sf, "embeddings"),
+        m=8, ksub=16, n_iter=3, coarse_k=16, coarse_iters=3,
+    )[0].select(
+        "vec_id",
+        F.concat_ws(
+            "-", F.transform("codes", lambda x: x.cast("string"))
+        ).alias("codes"),
+        "qerr",
+    ),
+    _pq_residual_sql(8, 16, 3, 16, 3),
 )
 
 

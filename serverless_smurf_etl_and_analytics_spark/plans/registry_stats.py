@@ -545,7 +545,7 @@ FROM orders o ASOF LEFT JOIN ev e
 # d11: containment scoring (near-subset detection) over the MinHash
 # candidate pairs — per-mille integer scores, float-free threshold.
 from ..operators import dedup as dedup_ops  # noqa: E402
-from .registry_ml import SQL_LSH_PAIRS  # noqa: E402
+from .sql_text import SQL_LSH_PAIRS  # noqa: E402
 
 register(
     "d11_containment",

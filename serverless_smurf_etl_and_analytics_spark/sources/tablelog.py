@@ -11,13 +11,20 @@ otherwise lack, with the same mechanics (at toy scale) as the table
 formats a production deployment would use:
 
 - **Atomic publish**: data files land under an unreferenced
-  ``data/v<N>-<token>/`` directory first; the version only becomes
-  visible when its manifest (the full file listing) is linked into
-  ``_log/<N>.json`` via ``os.open(O_CREAT | O_EXCL)`` — readers
-  either see the complete version or nothing.
-- **Optimistic concurrency**: the O_EXCL create IS the commit race —
+  ``data/staged-<token>/`` directory first; the version only becomes
+  visible when its manifest (the full file listing) is published into
+  ``_log/<N>.json`` — written complete to a temp file (fsync'd), then
+  ``os.link``ed to the final name. The link is both atomic and
+  exclusive, so readers either see the complete manifest or nothing
+  (an ``O_CREAT|O_EXCL`` open would make the name visible BEFORE the
+  json body lands — a concurrent reader could crash on an empty file,
+  and a writer crash between open and write would brick the table).
+- **Optimistic concurrency**: the exclusive link IS the commit race —
   exactly one writer can create ``_log/<N>.json``; the loser re-reads
-  the head and retries against the new state. No locks.
+  the head and retries against the new state. Content-dependent
+  commits (MERGE) additionally pin the head they reconciled against
+  (``expect_head``) so a lost race re-runs the whole reconcile
+  instead of committing a stale merge (lost update). No locks.
 - **Snapshot isolation / time travel**: a manifest is immutable and
   lists every file composing its version, so ``read_version(n)``
   returns version n byte-for-byte forever, regardless of later
@@ -71,18 +78,62 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+class CommitConflict(Exception):
+    """Raised when a commit pinned to ``expect_head`` finds the head
+    has moved — the caller must re-run its reconcile against the new
+    state, not retry the same content."""
+
+
+# sentinel: "commit against whatever head is current" (plain appends /
+# overwrites, whose content does not depend on the head they land on)
+_ANY_HEAD = object()
+
+
+def _try_publish(table_dir: str, version: int, manifest: dict) -> bool:
+    """Atomically publish a COMPLETE manifest as ``_log/<N>.json``;
+    False if that version was already claimed (commit race). The body
+    is written to a temp file first (flushed + fsync'd), then
+    ``os.link``ed to the final name: link is atomic AND exclusive, so
+    a reader can never observe a partial manifest, and a crash before
+    the link leaves only an invisible ``*.tmp`` (ignored by
+    :func:`latest_version`'s ``.json`` filter, GC'd by vacuum)."""
+    tmp = os.path.join(
+        _log_dir(table_dir),
+        f"{version:012d}.{uuid.uuid4().hex[:8]}.tmp",
+    )
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_path(table_dir, version))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
 def commit_version(
     spark: SparkSession,
     table_dir: str,
     df: DataFrame,
     mode: str = "append",
     op: str = "write",
+    expect_head=_ANY_HEAD,
 ) -> int:
     """Write ``df`` as a new table version and atomically publish it.
     ``mode='append'`` stacks onto the previous version's files;
     ``mode='overwrite'`` replaces the logical content (old files stay
     on disk — prior versions still read them). Returns the committed
-    version number; retries the version claim on a commit race."""
+    version number; retries the version claim on a commit race.
+
+    ``expect_head``: pass the head version the content was computed
+    FROM (None for "table must be empty") and the commit aborts with
+    :class:`CommitConflict` if any other writer moved the head — the
+    guard that makes read-modify-write ops (MERGE) actually
+    optimistic-concurrency safe instead of silently committing a
+    stale reconcile over a concurrent commit."""
     token = uuid.uuid4().hex[:12]
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     staged = os.path.join(table_dir, _DATA, f"staged-{token}")
@@ -94,20 +145,30 @@ def commit_version(
 
     while True:
         head = latest_version(table_dir)
+        if expect_head is not _ANY_HEAD and head != expect_head:
+            raise CommitConflict(
+                f"head moved: reconciled against {expect_head},"
+                f" found {head}"
+            )
         version = 0 if head is None else head + 1
         dirs = [staged]
         if mode == "append" and head is not None:
             prev = _read_manifest(table_dir, head)
             # an append with a drifted schema would poison every later
             # multi-directory read — refuse it at commit time (an
-            # intentional schema change commits as overwrite)
-            prev_schema = [tuple(c) for c in prev.get("schema", schema)]
-            if prev_schema != schema:
-                raise ValueError(
-                    f"append schema {schema} != table schema"
-                    f" {prev_schema}; commit schema changes with"
-                    " mode='overwrite'"
-                )
+            # intentional schema change commits as overwrite). A head
+            # whose manifest predates schema recording (or a restore
+            # of one) has nothing to validate against — skip, don't
+            # crash on None.
+            prev_schema_raw = prev.get("schema")
+            if prev_schema_raw is not None:
+                prev_schema = [tuple(c) for c in prev_schema_raw]
+                if prev_schema != schema:
+                    raise ValueError(
+                        f"append schema {schema} != table schema"
+                        f" {prev_schema}; commit schema changes with"
+                        " mode='overwrite'"
+                    )
             dirs = prev["data_dirs"] + dirs
         manifest = {
             "version": version,
@@ -117,16 +178,9 @@ def commit_version(
             "data_dirs": dirs,
             "n_rows_written": n_rows,
         }
-        try:
-            fd = os.open(
-                _manifest_path(table_dir, version),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
-            continue  # lost the race: re-read head, retry
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f, indent=1)
-        return version
+        if _try_publish(table_dir, version, manifest):
+            return version
+        # lost the race: re-read head, retry (or conflict next loop)
 
 
 def read_version(
@@ -165,41 +219,80 @@ def merge_upsert(
     versions remain time-travelable).
 
     The reconcile is one left-anti join (current minus matched keys)
-    plus a unionByName — both distribute; nothing is collected."""
-    head = latest_version(table_dir)
-    if head is None:
-        return commit_version(
-            spark, table_dir, updates, mode="overwrite", op="merge"
-        )
-    current = read_version(spark, table_dir, head)
-    keys = updates.select(key).distinct()
-    kept = current.join(keys, key, "left_anti")
-    merged = kept.unionByName(updates)
-    return commit_version(
-        spark, table_dir, merged, mode="overwrite", op="merge"
-    )
+    plus a unionByName — both distribute; nothing is collected.
+
+    Concurrency: the commit is pinned to the head the reconcile READ
+    (``expect_head``) — if a concurrent writer lands a version between
+    the read and the claim, :class:`CommitConflict` aborts the stale
+    merge and the whole reconcile re-runs against the new head
+    (re-read, re-join, re-stage). Without the pin, the loser's retry
+    would re-claim the next version number but commit content that
+    silently drops the concurrent commit (lost update)."""
+    while True:
+        head = latest_version(table_dir)
+        if head is None:
+            content = updates
+        else:
+            current = read_version(spark, table_dir, head)
+            keys = updates.select(key).distinct()
+            kept = current.join(keys, key, "left_anti")
+            content = kept.unionByName(updates)
+        try:
+            return commit_version(
+                spark, table_dir, content,
+                mode="overwrite", op="merge", expect_head=head,
+            )
+        except CommitConflict:
+            continue  # head moved: re-run the reconcile against it
 
 
-def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    table_dir: str,
+    keep_versions: int = 1,
+    grace_seconds: float = 3600.0,
+) -> list[str]:
     """List (NOT delete) data directories unreferenced by the newest
     ``keep_versions`` manifests — the GC candidate set. Deletion is
     left to the caller so a reader pinned to an old version cannot be
-    yanked mid-query by this library."""
+    yanked mid-query by this library.
+
+    ``grace_seconds``: a staged directory referenced by NO manifest at
+    all and younger than this is NOT a candidate — it may be an
+    in-flight commit whose manifest hasn't landed yet (deleting it
+    would destroy that commit's data files out from under it). Dirs
+    referenced by an OLD manifest are committed history, candidates
+    regardless of age. Pass 0 only with writers quiesced."""
+    import time
+
     head = latest_version(table_dir)
     if head is None:
         return []
     keep = set()
-    for v in range(max(0, head - keep_versions + 1), head + 1):
-        keep.update(_read_manifest(table_dir, v)["data_dirs"])
+    ever_referenced = set()
+    for v in range(head + 1):
+        dirs = _read_manifest(table_dir, v)["data_dirs"]
+        ever_referenced.update(dirs)
+        if v >= head - keep_versions + 1:
+            keep.update(dirs)
     data_root = os.path.join(table_dir, _DATA)
     if not os.path.isdir(data_root):
         return []
     all_dirs = {
         os.path.join(data_root, d) for d in os.listdir(data_root)
     }
-    return sorted(
-        d for d in all_dirs if d not in keep and os.path.isdir(d)
-    )
+    now = time.time()
+
+    def _gc_ok(d: str) -> bool:
+        if d in keep or not os.path.isdir(d):
+            return False
+        if d in ever_referenced:
+            return True  # committed history, safe at any age
+        try:
+            return now - os.path.getmtime(d) >= grace_seconds
+        except OSError:
+            return False  # vanished mid-scan: someone else's problem
+
+    return sorted(d for d in all_dirs if _gc_ok(d))
 
 
 def compact(
@@ -316,6 +409,9 @@ def commit_stream_batch(
     staged = os.path.join(table_dir, _DATA, f"staged-{token}")
     df.write.mode("overwrite").parquet(staged)
     n_rows = spark.read.parquet(staged).count()
+    schema = sorted(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )
     while True:
         head = latest_version(table_dir)
         # the race loser re-checks the batch ledger too: the winner
@@ -331,19 +427,14 @@ def commit_stream_batch(
             "op": "stream_batch",
             "mode": mode,
             "batch_id": batch_id,
+            # recorded so the drift guard stays effective for batch
+            # commits too (a later append validates against this head)
+            "schema": schema,
             "data_dirs": dirs,
             "n_rows_written": n_rows,
         }
-        try:
-            fd = os.open(
-                _manifest_path(table_dir, version),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
-            continue
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f, indent=1)
-        return version
+        if _try_publish(table_dir, version, manifest):
+            return version
 
 
 def restore(
@@ -362,17 +453,12 @@ def restore(
             "version": new_version,
             "op": f"restore_v{version}",
             "mode": "overwrite",
+            # None when the restored manifest predates schema
+            # recording — commit_version's drift guard skips None
+            # rather than crash on the next append
             "schema": src.get("schema"),
             "data_dirs": src["data_dirs"],
             "n_rows_written": 0,
         }
-        try:
-            fd = os.open(
-                _manifest_path(table_dir, new_version),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
-            continue
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f, indent=1)
-        return new_version
+        if _try_publish(table_dir, new_version, manifest):
+            return new_version

@@ -68,20 +68,20 @@ def test_registry_consistency():
     assert set(registry.ORACLES) <= set(registry.QUERIES)
 
 
-# Queries staged for the next verify-window rotation get the same
-# oracle-parity gate locally before they ever reach the driver.
-from serverless_smurf_etl_and_analytics_spark.plans import registry_pending
+def test_registry_results_are_driver_canonicalizable(spark):
+    """The r4 pq1 lesson as a standing gate: no registered query may
+    return an array-typed column — the driver canonicalizer sorts with
+    pandas, which cannot factorize ndarray cells (serialize arrays,
+    j5_wide_serialized-style). Schema-only, so checking every query is
+    cheap."""
+    from pyspark.sql.types import ArrayType, MapType
 
-
-@pytest.mark.parametrize("name", sorted(registry_pending.PENDING_ORACLES))
-def test_pending_oracle_parity(spark, duck, name):
-    sdf = registry_pending.PENDING_QUERIES[name](spark, SF_DIR).toPandas()
-    ddf = duck.execute(registry_pending.PENDING_ORACLES[name]).df()
-    scols, srows = canon(sdf)
-    dcols, drows = canon(ddf)
-    assert scols == dcols, f"{name}: columns {scols} != {dcols}"
-    assert len(srows) == len(drows), (
-        f"{name}: rowcount {len(srows)} != {len(drows)}"
-    )
-    mismatches = [(a, b) for a, b in zip(srows, drows) if a != b][:3]
-    assert not mismatches, f"{name}: first mismatches {mismatches}"
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        if name not in registry.ORACLES:
+            continue  # rows-only queries never reach the hash compare
+        df = fn(spark, SF_DIR)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType)):
+                offenders.append((name, f.name, str(f.dataType)))
+    assert not offenders, f"driver-unsafe columns: {offenders}"

@@ -311,3 +311,106 @@ def test_restore_rolls_back_o1(spark, tmp_path):
     # rolled-back state still time-travelable
     assert tablelog.read_version(spark, t, 1).count() == 3
     assert tablelog.history(t)[2]["op"] == "restore_v0"
+
+
+def test_manifest_publish_is_atomic_no_partial_visible(spark, tmp_path):
+    """The _log dir must never contain a visible-but-incomplete
+    manifest: every *.json parses, temps are invisible to
+    latest_version (ADVICE r4: O_CREAT|O_EXCL made the name visible
+    before the body landed)."""
+    import json as _json
+
+    t = str(tmp_path / "t")
+    d = _daily(spark)
+    for i in range(3):
+        tablelog.commit_version(
+            spark, t, d.limit(10 + i), mode="overwrite"
+        )
+    log = tablelog._log_dir(t)
+    for f in os.listdir(log):
+        assert f.endswith(".json"), f"leftover temp {f}"
+        with open(os.path.join(log, f)) as fh:
+            _json.load(fh)  # every visible manifest is complete
+    # a stranded temp from a crashed writer is ignored by readers
+    with open(os.path.join(log, "000000000099.deadbeef.tmp"), "w") as fh:
+        fh.write("{partial")
+    assert tablelog.latest_version(t) == 2
+
+
+def test_merge_pinned_to_head_raises_conflict(spark, tmp_path):
+    """commit_version(expect_head=...) aborts with CommitConflict when
+    the head moved — the lost-update guard merge_upsert relies on
+    (ADVICE r4: the loser used to re-claim the next version but commit
+    its stale reconcile, silently dropping the concurrent commit)."""
+    import pytest as _pytest
+
+    t = str(tmp_path / "t")
+    d = _daily(spark)
+    tablelog.commit_version(spark, t, d, mode="overwrite")  # head = 0
+    with _pytest.raises(tablelog.CommitConflict, match="head moved"):
+        tablelog.commit_version(
+            spark, t, d.limit(5),
+            mode="overwrite", op="merge", expect_head=None,
+        )
+    # pinning the CURRENT head commits normally
+    v = tablelog.commit_version(
+        spark, t, d.limit(5),
+        mode="overwrite", op="merge", expect_head=0,
+    )
+    assert v == 1
+
+
+def test_append_after_restore_of_schemaless_version(spark, tmp_path):
+    """A restore of a version whose manifest predates schema recording
+    writes schema=null; the next append must skip validation, not
+    crash (ADVICE r4: TypeError on iterating None)."""
+    import json as _json
+
+    t = str(tmp_path / "t")
+    d = _daily(spark)
+    tablelog.commit_version(spark, t, d, mode="overwrite")
+    # simulate a legacy manifest: strip the recorded schema from v0
+    p = tablelog._manifest_path(t, 0)
+    with open(p) as fh:
+        m = _json.load(fh)
+    del m["schema"]
+    os.unlink(p)
+    with open(p, "w") as fh:
+        _json.dump(m, fh)
+    tablelog.restore(spark, t, 0)  # head manifest now has schema=None
+    v = tablelog.commit_version(spark, t, d.limit(5), mode="append")
+    assert v == 2
+    assert tablelog.read_version(spark, t).count() == d.count() + 5
+
+
+def test_stream_batch_records_schema_for_drift_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    t = str(tmp_path / "t")
+    d = _daily(spark)
+    tablelog.commit_stream_batch(spark, t, d.limit(5), batch_id=0)
+    assert tablelog.history(t)[0]["schema"] is not None
+    drifted = d.withColumn("extra", F.lit(1))
+    with _pytest.raises(ValueError, match="schema"):
+        tablelog.commit_version(spark, t, drifted, mode="append")
+
+
+def test_vacuum_grace_protects_inflight_staging(spark, tmp_path):
+    """An unreferenced staged dir younger than the grace period is NOT
+    a GC candidate (it may be an in-flight commit whose manifest
+    hasn't landed); committed-but-superseded dirs are candidates at
+    any age (ADVICE r4)."""
+    t = str(tmp_path / "t")
+    d = _daily(spark)
+    tablelog.commit_version(spark, t, d, mode="overwrite")
+    tablelog.commit_version(spark, t, d.limit(5), mode="overwrite")
+    # an in-flight writer's fresh staging dir, no manifest yet
+    inflight = os.path.join(t, "data", "staged-inflight00000")
+    os.makedirs(inflight)
+    cands = tablelog.vacuum(t, keep_versions=1)
+    assert inflight not in cands
+    # v0's dir IS a candidate despite being just as fresh
+    assert cands == tablelog.history(t)[0]["data_dirs"]
+    # with writers quiesced (grace 0) the orphan becomes collectable
+    assert inflight in tablelog.vacuum(t, keep_versions=1,
+                                       grace_seconds=0)
