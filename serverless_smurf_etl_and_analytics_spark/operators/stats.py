@@ -262,6 +262,58 @@ def kmv_merge_daily(daily: DataFrame, k: int = KMV_K) -> DataFrame:
     )
 
 
+def kmv_cardinality_drift(
+    txns: DataFrame,
+    start_a: str,
+    end_a: str,
+    start_b: str,
+    end_b: str,
+    k: int = KMV_K,
+    alarm_bp: int = 1000,
+) -> DataFrame:
+    """qr2: assortment-cardinality drift alarms from MERGED sketches —
+    the composite that proves the sketch layers compose the way cur1
+    proves the curation stages do: per store, the distinct-SKU
+    estimate of window A vs window B, both answered from the
+    materialized per-day KMV layer (:func:`kmv_daily_sketches` +
+    :func:`kmv_merge_daily` twice — the monitoring query a pipeline
+    actually schedules: no fact rescans, no exact distincts).
+
+    drift_bp = |est_b - est_a| * 10000 div max(est_a, 1); stores
+    absent from a window coalesce to 0 (a collapse/appearance IS the
+    alarm). is_alarm fires at ``alarm_bp``.
+
+    Scale: each side touches |stores| x |days| bounded sketch
+    rows; the join is store-grain. At 100 TB the daily sketch table is
+    the only thing read."""
+
+    def est(start: str, end: str, sfx: str) -> DataFrame:
+        d = kmv_daily_sketches(
+            txns.filter(F.col("sale_date").between(start, end)), k
+        )
+        return kmv_merge_daily(d, k).select(
+            "store_id",
+            F.col("n_days_merged").alias(f"days_{sfx}"),
+            F.col("est_distinct").alias(f"est_{sfx}"),
+        )
+
+    a = est(start_a, end_a, "a")
+    b = est(start_b, end_b, "b")
+    j = a.join(b, "store_id", "full").select(
+        "store_id",
+        F.coalesce("days_a", F.lit(0)).alias("days_a"),
+        F.coalesce("days_b", F.lit(0)).alias("days_b"),
+        F.coalesce("est_a", F.lit(0)).alias("est_a"),
+        F.coalesce("est_b", F.lit(0)).alias("est_b"),
+    )
+    drift = F.expr(
+        "abs(est_b - est_a) * 10000 div greatest(est_a, 1)"
+    )
+    return j.withColumn("drift_bp", drift).withColumn(
+        "is_alarm", (F.col("drift_bp") >= alarm_bp).cast("long")
+    )
+
+
 def hll_distinct(df: DataFrame, group: str, value: str) -> DataFrame:
     """hll1: per-``group`` HyperLogLog distinct-count estimate over
     ``value`` with fully deterministic fixed-point registers, plus the

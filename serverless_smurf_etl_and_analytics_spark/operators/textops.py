@@ -338,6 +338,50 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def with_synthetic_pii(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Deterministically inject synthetic PII derived from doc_id —
+    the plumbing that promotes t9 from pytest-only to a full driver
+    oracle: the driver corpus is PII-free, so the scrub over raw
+    documents is a trivially-all-zero query; this derives a
+    PII-bearing text column as a pure function of (doc_id, text) that
+    the DuckDB oracle restates verbatim, so counts, redaction and the
+    audit md5 are all hash-checked on REAL matches. doc_id % 4 picks
+    the class (email / ipv4 / phone / none); appending after a letter
+    boundary cannot extend or create a match inside the original text
+    (the corpus's zero-match property is pytest-proven)."""
+    t = F.col(text_col)
+    did = F.col("doc_id")
+    injected = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                t, F.lit(" contact user"), did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                t, F.lit(" from 10."), (did % 200).cast("string"),
+                F.lit(".0."), (did % 250).cast("string"),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(
+                t, F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(t)
+    )
+    return docs.withColumn(text_col, injected)
+
+
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """t9: PII detection + redaction — per-document match counts for
     each pattern class and the text with every match replaced by its

@@ -842,6 +842,65 @@ LIMIT 100
 )
 
 
+def _t9_sql() -> str:
+    """Restate with_synthetic_pii + pii_scrub: the injection CASE is
+    the verbatim SQL mirror of the Spark expression, then counts via
+    regexp_extract_all and redaction via chained global
+    regexp_replace — the pattern strings are written in the Java∩RE2
+    regex intersection (textops.PII_PATTERNS), so the SAME strings
+    interpolate into both engines (parity mechanics proven in
+    tests/test_pii.py)."""
+    from ..operators.textops import PII_PATTERNS
+
+    counts = ", ".join(
+        f"cast(len(regexp_extract_all(text, '{pat}')) AS bigint)"
+        f" AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    red = "text"
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '[{name.upper()}]', 'g')"
+    total = " + ".join(f"n_{name}" for name in PII_PATTERNS)
+    return f"""
+WITH pii_src AS (
+    SELECT doc_id,
+        CASE doc_id % 4
+            WHEN 0 THEN text || ' contact user'
+                || cast(doc_id AS varchar) || '@example.com'
+            WHEN 1 THEN text || ' from 10.'
+                || cast(doc_id % 200 AS varchar) || '.0.'
+                || cast(doc_id % 250 AS varchar)
+            WHEN 2 THEN text || ' call 555-'
+                || lpad(cast(doc_id % 1000 AS varchar), 3, '0') || '-'
+                || lpad(cast(doc_id % 10000 AS varchar), 4, '0')
+            ELSE text
+        END AS text
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, {counts}, {red} AS redacted
+    FROM pii_src
+)
+SELECT doc_id, n_email, n_ipv4, n_phone, n_ssn,
+       cast({total} AS bigint) AS n_pii,
+       redacted, md5(redacted) AS redacted_md5
+FROM scored
+"""
+
+
+# t9: PII detection + redaction, driver-verified on REAL matches —
+# the corpus is PII-free, so a deterministic doc_id-derived injection
+# (mirrored verbatim in the oracle) supplies them; counts, redacted
+# text and the audit md5 all hash-check.
+register(
+    "t9_pii_scrub",
+    lambda spark, sf: textops.pii_scrub(
+        textops.with_synthetic_pii(tables.load(spark, sf, "documents"))
+    ),
+    _t9_sql(),
+)
+
+
 # pack1: token-budget sequence packing (window cumsum restated as the
 # oracle's running SUM OVER).
 register(

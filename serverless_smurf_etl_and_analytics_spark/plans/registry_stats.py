@@ -304,6 +304,85 @@ FROM j
 )
 
 
+# qr2: assortment-cardinality drift alarms from MERGED KMV sketches —
+# the composite proving the sketch layers compose (the monitoring
+# query a pipeline schedules: two window estimates off the per-day
+# sketch layer, no fact rescans, no exact distincts). Window A is the
+# week before the registry's standard serving window B.
+QR2_START_A, QR2_END_A = "2001-06-16", "2001-06-22"
+
+
+def _kmv_window_chain(prefix: str, start: str, end: str) -> str:
+    """The sk2 per-day-min-k + re-rank merge chain for one date
+    window, CTEs prefixed so two windows coexist in one query."""
+    return f"""
+{prefix}hashed AS (
+    SELECT DISTINCT store_id, sale_date,
+        ('0x' || substr(md5('kmv|' || cast(item_sku AS varchar)), 1, 8))
+            ::bigint AS h
+    FROM transactions
+    WHERE sale_date BETWEEN '{start}' AND '{end}'
+),
+{prefix}per_day AS (
+    SELECT store_id, sale_date, h,
+        row_number() OVER (
+            PARTITION BY store_id, sale_date ORDER BY h
+        ) AS rn
+    FROM {prefix}hashed
+),
+{prefix}merged AS (
+    SELECT DISTINCT store_id, h FROM {prefix}per_day WHERE rn <= 64
+),
+{prefix}reranked AS (
+    SELECT store_id, h,
+        row_number() OVER (PARTITION BY store_id ORDER BY h) AS rn
+    FROM {prefix}merged
+),
+{prefix}sketch AS (
+    SELECT store_id, cast(count(*) AS bigint) AS n_hashes_kept,
+        max(CASE WHEN rn = 64 THEN h END) AS kth_hash
+    FROM {prefix}reranked WHERE rn <= 64 GROUP BY store_id
+),
+{prefix}days AS (
+    SELECT store_id, cast(count(DISTINCT sale_date) AS bigint) AS n_days
+    FROM {prefix}hashed GROUP BY store_id
+),
+{prefix}est AS (
+    SELECT s.store_id, d.n_days,
+        CASE WHEN s.kth_hash IS NOT NULL
+             THEN (63 * 4294967296) // s.kth_hash
+             ELSE s.n_hashes_kept END AS est_distinct
+    FROM {prefix}sketch s JOIN {prefix}days d USING (store_id)
+)"""
+
+
+register(
+    "qr2_cardinality_drift",
+    lambda spark, sf: stats.kmv_cardinality_drift(
+        tables.transactions(spark, sf),
+        QR2_START_A, QR2_END_A, W_START, W_END,
+    ),
+    f"""
+WITH {TXN},
+{_kmv_window_chain('a_', QR2_START_A, QR2_END_A)},
+{_kmv_window_chain('b_', W_START, W_END)},
+j AS (
+    SELECT coalesce(a.store_id, b.store_id) AS store_id,
+        cast(coalesce(a.n_days, 0) AS bigint) AS days_a,
+        cast(coalesce(b.n_days, 0) AS bigint) AS days_b,
+        cast(coalesce(a.est_distinct, 0) AS bigint) AS est_a,
+        cast(coalesce(b.est_distinct, 0) AS bigint) AS est_b
+    FROM a_est a FULL JOIN b_est b ON a.store_id = b.store_id
+)
+SELECT store_id, days_a, days_b, est_a, est_b,
+    abs(est_b - est_a) * 10000 // greatest(est_a, 1) AS drift_bp,
+    cast(abs(est_b - est_a) * 10000 // greatest(est_a, 1) >= 1000
+         AS bigint) AS is_alarm
+FROM j
+""",
+)
+
+
 # t10: corpus-familiarity score — frequency-weighted average token
 # commonness (docs-per-million), the logarithm-free perplexity-filter
 # stand-in; rarest-token df rides along as the tail indicator.
