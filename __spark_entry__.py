@@ -37,82 +37,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # every registered query has a driver-verified green row in at least
 # one round and nothing outside the window has a changed plan.
 _VERIFY_FIRST = [
-    # --- r4 new (late-round): data-quality/monitoring family
-    # (plans/registry_quality.py) — column profiler, date-gap
-    # detection, CUSUM change-point, EWMA smoothing, HyperLogLog
-    "dq1_profile_columns", "gap1_missing_days",
-    "cp1_cusum_changepoint", "ewma1_smoothed_sales",
-    "hll1_distinct_transactions", "z1_robust_zscore",
-    "hh1_heavy_hitters", "drift1_payment_tvd",
-    "scd1_latest_per_key", "mo1_zorder_codes",
-    "hist1_log2_histogram", "qr1_quality_report",
-    # --- r4 new (late-round): product quantization — trained m=8 x
-    # k=16 fixed-point codebooks + per-vector codes, oracle = the
-    # same Lloyd unrolled with subspace as a data dimension — and the
-    # full IVF x PQ ANN composition (probe -> ADC -> top-k), one
-    # oracle proving coarse training, PQ training, list pruning and
-    # the asymmetric-distance ranking together
-    "pq1_pq_codes", "ivfpq1_topk",
-    # --- r4 new (late-round): grouping-sets (CUBE with grouping()
-    # flags) and INTERSECT/EXCEPT set ops — relational surface the
-    # reference lacks entirely (SURVEY §2.4/§2.7 notes)
-    "cube1_store_payment_cube", "u2_setops_assortment",
-    # --- r4 new (late-round): order-sensitive edit-distance verify
-    # over the LSH candidates (fuzzy-key entity resolution), and the
-    # HLL daily-register range merge (the hll twin of sk2)
-    "d12_editdist_neardup", "hll2_range_merge",
-    # --- r4 new (late-round): surface samplers — the window-function
-    # family (w2) and the array/higher-order-function family (f2),
-    # each vs DuckDB's implementation of the same standard semantics
-    "w2_window_sampler", "f2_array_sampler",
-    # --- r4 new (late-round): the end-to-end curation pipeline
-    # (quality gates -> near-dup removal -> stratified sampling) as
-    # one oracle — the registered stages proven to COMPOSE
-    "cur1_curated_corpus", "src1_corpus_datasheet",
-    # --- r4 new (late-round): triangle census of the top-3
-    # co-purchase graph (CF-neighborhood coherence diagnostic)
-    "tri1_copurchase_triangles",
-    # --- r4 new: temporal joins (as-of, interval-overlap),
-    # distributive statistics (KMV sketch, exact grouped quantiles),
-    # and quality-weighted sampling — plans/registry_stats.py
-    "aj1_event_order_asof", "rj1_busy_window_events",
-    "sk1_kmv_distinct_skus", "q1_payment_quantiles",
-    "w1_weighted_sample", "tf1_tfidf_keywords",
-    "sk2_kmv_range_merge", "t10_familiarity", "fun1_event_funnel",
-    "coh1_cohort_retention", "pr1_pagerank_stores",
-    "aj2_order_next_event", "d11_containment", "co1_sku_copurchase",
-    "a19_dow_seasonality",
-    # --- r4 new: promoted from plans/registry_pending (staged in r3
-    # with full oracles + local parity; first driver verification now)
-    "t7_repetition_filter", "t8_doc_frequency",
-    "pack1_sequence_packing",
-    # --- r4 new: the k-means trainer behind sim4's IVF quantizer,
-    # registered with an unrolled fixed-point Lloyd oracle
-    "c1_kmeans_clusters",
-    # --- r4 new: connected-components semantic dedup (transitive
-    # chains) and MinHash dup-group assignment, oracles via DuckDB
-    # recursive-CTE closure; embedding dimension profiler
+    # ================= r5 window (first 50) =================
+    # --- r5 changed plans: pq1's codes column serialized for the
+    # driver canonicalizer (the r4 FAIL — pandas sort_values cannot
+    # factorize ndarray cells); hh1 rewritten to a single fact scan
+    # (window over the per-SKU partial, the r4 bench flag); d9/d10's
+    # connected components switched to alternating-star contraction
+    # (the r4 sf1 scale wall, 35s -> 13s)
+    "pq1_pq_codes", "hh1_heavy_hitters",
     "d9_semantic_dedup_cc", "d10_minhash_dup_groups",
-    "e1_embedding_dim_profile",
-    # --- r4 plan change: tables.load_events grew the timestamp_ntz ->
-    # timestamp normalization (value-preserving under the UTC session,
-    # but a new cast node in every events-consuming plan) — all four
-    # consumers re-verify in-window
-    "ev_tumbling_hourly", "ev_sliding_2h_hourly",
-    "ev_session_windows", "a18_event_type_summary",
-    # --- r4 recheck (ADVICE r3): the one rows-only query; its plan
-    # changed in r3 via the shared store-day MV but sat outside that
-    # round's window. Values stay hash-proven by the
-    # j5_wide_serialized twin; this refreshes the rows-only row.
-    "j5_wide_pivot_timeseries",
-    # --- least-recently-verified: the ML layer, green in r01/r02 and
-    # untouched since (the r3 token_rows code move kept expression
-    # trees identical; re-proving the first 11 here retires that
-    # caveat for them). After the 23 late-r4 queries (quality family,
-    # pq1, ivfpq1, cube1, u2, d12, hll2, w2, f2, cur1, src1, tri1)
-    # rotated in, this whole block sits just past the window
-    # (t1-t5, d1-d5, sim1, sim3, sim4, mm1-mm3 at positions 51-66);
-    # all r01/r02-green with plans untouched since.
+    # --- r5 new: ADC top-k isolated from ivfpq1's pruning (pq2),
+    # residual product quantization (pq3), the PII scrub promoted to
+    # a full oracle via deterministic doc_id-derived injection (t9),
+    # and the merged-sketch cardinality-drift monitor (qr2) — the
+    # sketch-layer composition proof
+    "pq2_adc_topk", "pq3_residual_codes",
+    "t9_pii_scrub", "qr2_cardinality_drift",
+    # --- r5 recheck: src1 re-verifies because corpus_datasheet grew
+    # threshold forwarding (identical plan at registry defaults, but
+    # the code path changed — ADVICE r4 item 4)
+    "src1_corpus_datasheet",
+    # --- stale r01/r02 block (VERDICT r4 item 2): last driver-green
+    # 2-3 rounds ago, plans unchanged since (local parity green every
+    # round) — rotated back through the window so no registry entry's
+    # last green driver row is older than 2 rounds
     "t1_text_stats", "t2_lang_id", "t3_fingerprint",
     "t4_token_count_bpe", "t5_rolling_fingerprint",
     "d1_exact_dedup", "d2_minhash_signatures",
@@ -120,28 +68,10 @@ _VERIFY_FIRST = [
     "sim1_cosine_topk", "sim3_lsh_topk", "sim4_ivf_topk",
     "mm1_binary_fingerprint_dedup", "mm2_modality_stats",
     "mm3_pairing_integrity",
-    # --- r3-green, plans unchanged; now entirely past the 50-query
-    # window (positions 56+) after the quality family rotated in —
-    # all r3-green with plans untouched since
-    "a1_store_day_metrics", "a2_payment_breakdown",
-    "a2_payment_per_store_day", "a3_top5_products_store_day",
-    "a4_company_daily", "a6_product_daily_exact",
-    "a6_product_daily_top5_parity",
-    # --- tail (beyond the 50-window), last-green ledger: every entry
-    # below is r3-green (CORRECTNESS_r03.json) with a plan untouched
-    # this round — a7_trailing_7day, a8_company_trailing,
-    # a9_product_trailing, a10_deviation_vs_trailing,
-    # a11_trend_recent_vs_earlier,
-    # a12_trend_half_vs_half, a13_trend_first_vs_last,
-    # a14_kpi_for_range, a15_top_products_reagg,
-    # a16_product_range_stats, a17_distinct_dates,
-    # j1_missing_stores_anti, j3_brand_revenue,
-    # j5_dense_date_store_grid, j6_top_customers
-    # (displaced when the ten registry_stats queries rotated in),
-    # j7_store_region_rollup, p1/p2/p3/p4/p6/u1/f1, x1-x6, r1, i1-i5,
-    # sd_nested_store_daily, a4_payment_map_rollup, j5_wide_serialized,
-    # d6_simhash_neardup, d7_semantic_dedup, d8_decontaminate,
-    # sim2_cosine_neardup, t6_stratified_sample.
+    # --- least-recently-verified r3 block: last green in
+    # CORRECTNESS_r03, plans untouched since (the r5 commits touch
+    # quality.py/dedup.py/stats.py/textops.py functions these plans
+    # never call)
     "a7_trailing_7day",
     "a8_company_trailing", "a9_product_trailing",
     "a10_deviation_vs_trailing", "a11_trend_recent_vs_earlier",
@@ -150,6 +80,48 @@ _VERIFY_FIRST = [
     "a16_product_range_stats", "a17_distinct_dates",
     "j1_missing_stores_anti", "j3_brand_revenue",
     "j5_dense_date_store_grid", "j6_top_customers",
+    "j7_store_region_rollup",
+    "x1_export_store_summaries", "x2_export_top_products",
+    "x3_export_anomalies", "x4_export_trends",
+    "x5_export_recommendations", "x6_export_manifest",
+    "i1_anomaly_classify", "i2_trend_insights",
+    "i3_recommendations",
+    # ================= past the 50-window =================
+    # --- r4-green (CORRECTNESS_r04), plans unchanged in r5:
+    "dq1_profile_columns", "gap1_missing_days",
+    "cp1_cusum_changepoint", "ewma1_smoothed_sales",
+    "hll1_distinct_transactions", "z1_robust_zscore",
+    "drift1_payment_tvd",
+    "scd1_latest_per_key", "mo1_zorder_codes",
+    "hist1_log2_histogram", "qr1_quality_report",
+    "ivfpq1_topk",
+    "cube1_store_payment_cube", "u2_setops_assortment",
+    "d12_editdist_neardup", "hll2_range_merge",
+    "w2_window_sampler", "f2_array_sampler",
+    "cur1_curated_corpus",
+    "tri1_copurchase_triangles",
+    "aj1_event_order_asof", "rj1_busy_window_events",
+    "sk1_kmv_distinct_skus", "q1_payment_quantiles",
+    "w1_weighted_sample", "tf1_tfidf_keywords",
+    "sk2_kmv_range_merge", "t10_familiarity", "fun1_event_funnel",
+    "coh1_cohort_retention", "pr1_pagerank_stores",
+    "aj2_order_next_event", "d11_containment", "co1_sku_copurchase",
+    "a19_dow_seasonality",
+    "t7_repetition_filter", "t8_doc_frequency",
+    "pack1_sequence_packing", "c1_kmeans_clusters",
+    "e1_embedding_dim_profile",
+    "ev_tumbling_hourly", "ev_sliding_2h_hourly",
+    "ev_session_windows", "a18_event_type_summary",
+    "j5_wide_pivot_timeseries",
+    # --- r3-green tail, plans unchanged since r3: a1-a6 family,
+    # p1/p2/p3/p4/p6/u1/f1, r1, i4/i5, sd_nested_store_daily,
+    # a4_payment_map_rollup, j5_wide_serialized, d6_simhash_neardup,
+    # d7_semantic_dedup, d8_decontaminate, sim2_cosine_neardup,
+    # t6_stratified_sample — next round's rotation candidates.
+    "a1_store_day_metrics", "a2_payment_breakdown",
+    "a2_payment_per_store_day", "a3_top5_products_store_day",
+    "a4_company_daily", "a6_product_daily_exact",
+    "a6_product_daily_top5_parity",
 ]
 
 
