@@ -55,8 +55,10 @@ _VERIFY_FIRST = [
     "t9_pii_scrub", "qr2_cardinality_drift",
     # --- r5 recheck: src1 re-verifies because corpus_datasheet grew
     # threshold forwarding (identical plan at registry defaults, but
-    # the code path changed — ADVICE r4 item 4)
-    "src1_corpus_datasheet",
+    # the code path changed — ADVICE r4 item 4); sk2 because
+    # kmv_merge_daily became a single-pass aggregation (one fact scan
+    # per window instead of two — plan changed, values identical)
+    "src1_corpus_datasheet", "sk2_kmv_range_merge",
     # --- stale r01/r02 block (VERDICT r4 item 2): last driver-green
     # 2-3 rounds ago, plans unchanged since (local parity green every
     # round) — rotated back through the window so no registry entry's
@@ -85,8 +87,10 @@ _VERIFY_FIRST = [
     "x3_export_anomalies", "x4_export_trends",
     "x5_export_recommendations", "x6_export_manifest",
     "i1_anomaly_classify", "i2_trend_insights",
-    "i3_recommendations",
     # ================= past the 50-window =================
+    # (i3_recommendations displaced to position 51 by the sk2
+    # rotation — r3-green, plan unchanged since)
+    "i3_recommendations",
     # --- r4-green (CORRECTNESS_r04), plans unchanged in r5:
     "dq1_profile_columns", "gap1_missing_days",
     "cp1_cusum_changepoint", "ewma1_smoothed_sales",
@@ -103,7 +107,7 @@ _VERIFY_FIRST = [
     "aj1_event_order_asof", "rj1_busy_window_events",
     "sk1_kmv_distinct_skus", "q1_payment_quantiles",
     "w1_weighted_sample", "tf1_tfidf_keywords",
-    "sk2_kmv_range_merge", "t10_familiarity", "fun1_event_funnel",
+    "t10_familiarity", "fun1_event_funnel",
     "coh1_cohort_retention", "pr1_pagerank_stores",
     "aj2_order_next_event", "d11_containment", "co1_sku_copurchase",
     "a19_dow_seasonality",

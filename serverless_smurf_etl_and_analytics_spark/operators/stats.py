@@ -238,26 +238,36 @@ def kmv_merge_daily(daily: DataFrame, k: int = KMV_K) -> DataFrame:
     ``kmv_daily_sketches`` is materialized, any range query filters
     the bounded sketch table and merges, never touching facts (so
     there is no exact column here; auditing against facts is the
-    registered sk2 query's job)."""
+    registered sk2 query's job).
+
+    ONE pass over the sketch table: the day count and the merged min-k
+    set come out of a single store-grain aggregation (the r4 shape —
+    a window ranking plus a separate days groupBy — read ``daily``
+    twice; when the dailies are derived inline from facts, as sk2 and
+    qr2 do, that doubled the FACT scan). collect_set here is bounded
+    by k x days-per-store (a sketch-table property, not a fact-table
+    one); a day always contributes >= 1 hash, so counting distinct
+    days off the exploded rows equals counting them off ``daily``."""
     exploded = daily.select(
-        "store_id", F.explode("sketch").alias("h")
-    ).distinct()
-    w = Window.partitionBy("store_id").orderBy("h")
-    ranked = exploded.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= k
+        "store_id", "sale_date", F.explode("sketch").alias("h")
     )
-    sketch = ranked.groupBy("store_id").agg(
-        F.count(F.lit(1)).alias("n_hashes_kept"),
-        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_hash"),
+    agg = exploded.groupBy("store_id").agg(
+        F.countDistinct("sale_date").alias("n_days_merged"),
+        F.slice(F.sort_array(F.collect_set("h")), 1, k).alias("ms"),
     )
-    days = daily.groupBy("store_id").agg(
-        F.countDistinct("sale_date").alias("n_days_merged")
+    sk = agg.select(
+        "store_id",
+        "n_days_merged",
+        F.when(F.size("ms") == k, F.element_at("ms", k)).alias(
+            "kth_hash"
+        ),
+        F.size("ms").cast("long").alias("n_kept"),
     )
     est = F.when(
         F.col("kth_hash").isNotNull(),
         F.expr(f"({k - 1} * {U32}) div kth_hash"),
-    ).otherwise(F.col("n_hashes_kept"))
-    return sketch.join(days, "store_id").select(
+    ).otherwise(F.col("n_kept"))
+    return sk.select(
         "store_id", "n_days_merged", "kth_hash", est.alias("est_distinct")
     )
 

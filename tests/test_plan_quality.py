@@ -143,3 +143,21 @@ def test_quality_windows_stay_on_few_exchanges(spark, name, max_exchanges):
     plan = _plan(spark, name)
     n = plan.count("Exchange hashpartitioning")
     assert n <= max_exchanges, f"{name}: {n} hash exchanges\n{plan[:1500]}"
+
+
+def test_heavy_hitters_single_fact_scan(spark):
+    """hh1's r4 shape (re-agg + broadcast join back) planned the
+    per-SKU aggregation twice — two parquet scans, zero ReusedExchange
+    and a measured 1.48x bench regression. The window-over-partial
+    rewrite must keep it at ONE scan; this pins that."""
+    plan = _plan(spark, "hh1_heavy_hitters")
+    assert plan.count("Scan parquet") == 1, plan[:1500]
+
+
+def test_sketch_drift_reads_no_facts_twice_per_window(spark):
+    """qr2 answers from the per-day sketch layer: each window derives
+    its sketches from one scan, so the whole two-window monitor must
+    touch the fact table at most twice (once per window) — never the
+    4+ scans a naive est+exact-per-window plan would cost."""
+    plan = _plan(spark, "qr2_cardinality_drift")
+    assert plan.count("Scan parquet") <= 2, plan[:1500]
