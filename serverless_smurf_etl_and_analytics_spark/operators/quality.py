@@ -523,6 +523,108 @@ def log2_histogram(txns: DataFrame) -> DataFrame:
     )
 
 
+def daily_log2_histograms(txns: DataFrame) -> DataFrame:
+    """Per-(payment_method, sale_date, bin) power-of-two histogram
+    counts — the materializable layer of hist2, the histogram twin of
+    :func:`stats.kmv_daily_sketches` (KMV) and the per-day HLL
+    registers: the daily pipeline persists <= 64 bounded rows per
+    (method, day) and any later date-range quantile question merges
+    them by ADDITION, never rescanning facts."""
+    return (
+        txns.select(
+            "payment_method",
+            "sale_date",
+            F.expr("length(bin(line_cents))").cast("long").alias("bin"),
+        )
+        .groupBy("payment_method", "sale_date", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge_range(
+    txns: DataFrame, start: str, end: str
+) -> DataFrame:
+    """hist2: approximate p50 of line cents per payment method over
+    [start, end] by MERGING the per-day histograms — bin counts add,
+    so the merge is one sum per (method, bin); the p50 estimate is the
+    bin carrying the ceil-rank median, bounded by its power-of-two
+    bin edges (guaranteed <= 2x relative error). The exact q1-style
+    median rides along for auditability, and ``p50_in_bin`` asserts
+    the containment law AS A HASH-CHECKED COLUMN — the driver row
+    proves estimate-brackets-truth, not just that numbers came out.
+
+    Completes the materialize+merge family: sk2 (KMV distincts), hll2
+    (HLL registers), hist2 (quantile histograms) — one bounded daily
+    layer each, any range answerable without fact rescans. Scale: the
+    merge touches |methods| x |days| x <=64 rows; the exact audit side
+    is the only fact-scanning branch (production callers drop it).
+    """
+    in_range = txns.filter(F.col("sale_date").between(start, end))
+    daily = daily_log2_histograms(in_range)
+    merged = daily.groupBy("payment_method", "bin").agg(
+        F.sum("cnt").alias("cnt"),
+        F.countDistinct("sale_date").alias("bin_days"),
+    )
+    w_cum = (
+        Window.partitionBy("payment_method")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("payment_method")
+    h = merged.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    # ceil-rank median index, the q1 definition: idx = (50*n+99) div 100
+    idx = F.expr("(50 * n + 99) div 100")
+    p50_bin = h.filter(
+        (F.col("cum") >= idx) & (F.col("cum") - F.col("cnt") < idx)
+    ).select(
+        "payment_method",
+        F.col("bin").alias("p50_bin"),
+        F.expr("shiftleft(1L, cast(bin as int) - 1)").alias("p50_lo_c"),
+        F.expr("shiftleft(1L, cast(bin as int)) - 1").alias("p50_hi_c"),
+        F.col("n").cast("long").alias("n_lines"),
+    )
+    days = daily.groupBy("payment_method").agg(
+        F.countDistinct("sale_date").alias("n_days_merged")
+    )
+    # exact median (the audit side): q1's value-domain compression
+    uni = in_range.groupBy(
+        "payment_method", F.col("line_cents").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    u = uni.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("payment_method")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("payment_method"))
+    )
+    exact = u.groupBy("payment_method").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(50 * n + 99) div 100"), F.col("v"))
+        ).alias("p50_exact_c")
+    )
+    out = p50_bin.join(days, "payment_method").join(
+        exact, "payment_method"
+    )
+    return out.select(
+        "payment_method",
+        "n_days_merged",
+        "n_lines",
+        "p50_bin",
+        "p50_lo_c",
+        "p50_hi_c",
+        "p50_exact_c",
+        (
+            (F.col("p50_exact_c") >= F.col("p50_lo_c"))
+            & (F.col("p50_exact_c") <= F.col("p50_hi_c"))
+        ).cast("long").alias("p50_in_bin"),
+    )
+
+
 def quality_report(daily: DataFrame) -> DataFrame:
     """qr1: the combined daily quality feed — every alarm the
     monitoring family raises, one row per (store, date, alarm_type)

@@ -440,6 +440,82 @@ FROM h
 """,
 )
 
+# hist2: date-range approximate median by MERGING per-day histograms —
+# completes the materialize+merge family (sk2 KMV / hll2 HLL / hist2
+# quantiles); the p50_in_bin column hash-checks the containment law
+# (exact median inside the estimated bin) on every driver run.
+from .registry import W_END, W_START  # noqa: E402
+
+register(
+    "hist2_histogram_range_merge",
+    lambda spark, sf: quality.hist_merge_range(
+        tables.transactions(spark, sf), W_START, W_END
+    ),
+    f"""
+WITH {TXN},
+in_range AS (
+    SELECT * FROM transactions
+    WHERE sale_date BETWEEN '{W_START}' AND '{W_END}'
+),
+daily AS (
+    SELECT payment_method, sale_date,
+        cast(length(bin(line_cents)) AS bigint) AS bin,
+        cast(count(*) AS bigint) AS cnt
+    FROM in_range GROUP BY 1, 2, 3
+),
+merged AS (
+    SELECT payment_method, bin, cast(sum(cnt) AS bigint) AS cnt
+    FROM daily GROUP BY 1, 2
+),
+h AS (
+    SELECT *,
+        cast(sum(cnt) OVER (PARTITION BY payment_method ORDER BY bin
+             ROWS UNBOUNDED PRECEDING) AS bigint) AS cum,
+        cast(sum(cnt) OVER (PARTITION BY payment_method) AS bigint) AS n
+    FROM merged
+),
+p50 AS (
+    SELECT payment_method, bin AS p50_bin,
+        (1::bigint << (bin - 1)) AS p50_lo_c,
+        (1::bigint << bin) - 1   AS p50_hi_c,
+        n AS n_lines
+    FROM h
+    WHERE cum >= (50 * n + 99) // 100
+      AND cum - cnt < (50 * n + 99) // 100
+),
+days AS (
+    SELECT payment_method,
+        cast(count(DISTINCT sale_date) AS bigint) AS n_days_merged
+    FROM daily GROUP BY 1
+),
+uni AS (
+    SELECT payment_method, line_cents AS v,
+        cast(count(*) AS bigint) AS c
+    FROM in_range GROUP BY 1, 2
+),
+u AS (
+    SELECT payment_method, v, c,
+        sum(c) OVER (PARTITION BY payment_method ORDER BY v
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+        sum(c) OVER (PARTITION BY payment_method) AS n
+    FROM uni
+),
+exact AS (
+    SELECT payment_method,
+        min(CASE WHEN cum >= (50 * n + 99) // 100 THEN v END)
+            AS p50_exact_c
+    FROM u GROUP BY 1
+)
+SELECT p.payment_method, d.n_days_merged, p.n_lines,
+    p.p50_bin, p.p50_lo_c, p.p50_hi_c, e.p50_exact_c,
+    cast(e.p50_exact_c BETWEEN p.p50_lo_c AND p.p50_hi_c AS bigint)
+        AS p50_in_bin
+FROM p50 p
+JOIN days d USING (payment_method)
+JOIN exact e USING (payment_method)
+""",
+)
+
 # qr1: the combined alarm feed — each branch is the corresponding
 # registered oracle verbatim, wrapped as a subquery and projected to
 # the common (store, date, type, metric) shape.

@@ -168,3 +168,28 @@ def test_containment_dominates_jaccard(spark):
         if j is not None:
             # per-mille rounding gives each side ±0.5pm slack
             assert cmax + 1 >= round(j * 1000)
+
+
+def test_star_equals_labelprop_on_random_graphs(spark):
+    """Randomized law: on seeded pseudo-random graphs of varied shape
+    (sparse chains, dense blobs, forests), star contraction and label
+    propagation produce identical label maps. Seeds are fixed — the
+    test is deterministic; shapes cover multi-round contraction."""
+    import random
+
+    for seed, n, m in [(7, 60, 40), (11, 80, 120), (13, 200, 90)]:
+        rng = random.Random(seed)
+        edges = list(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(m)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        star = _labels(
+            dedup.connected_components_star(_edges(spark, edges))
+        )
+        ref = _labels(
+            dedup.connected_components_labelprop(_edges(spark, edges))
+        )
+        assert star == ref, f"divergence at seed {seed}"

@@ -425,3 +425,43 @@ def test_hll_merge_law(spark):
         ).collect()
     }
     assert direct == merged
+
+
+def test_hist_merge_range_laws(spark):
+    """hist2 laws: (1) merging per-day histograms equals binning the
+    range directly (bin counts are pure sums); (2) the exact median
+    always lands inside the estimated p50 bin (the <=2x error bound);
+    (3) the estimate brackets are genuine powers of two."""
+    from serverless_smurf_etl_and_analytics_spark.operators import quality
+
+    txns = tables.transactions(spark, SF_DIR)
+    start, end = "1995-01-01", "2001-12-31"
+    out = quality.hist_merge_range(txns, start, end).collect()
+    assert out, "no payment methods in range"
+    for r in out:
+        assert r["p50_in_bin"] == 1, r
+        assert r["p50_lo_c"] == 1 << (r["p50_bin"] - 1)
+        assert r["p50_hi_c"] == (1 << r["p50_bin"]) - 1
+        assert r["p50_lo_c"] <= r["p50_exact_c"] <= r["p50_hi_c"]
+    # merge law: per-(method, bin) counts from the daily layer sum to
+    # the direct binning of the same filtered rows
+    in_range = txns.filter(F.col("sale_date").between(start, end))
+    direct = {
+        (r["payment_method"], r["bin"]): r["cnt"]
+        for r in in_range.selectExpr(
+            "payment_method",
+            "cast(length(bin(line_cents)) as bigint) as bin",
+        )
+        .groupBy("payment_method", "bin")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    merged = {
+        (r["payment_method"], r["bin"]): r["cnt"]
+        for r in quality.daily_log2_histograms(in_range)
+        .groupBy("payment_method", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert direct == merged
