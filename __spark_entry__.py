@@ -51,7 +51,7 @@ _VERIFY_FIRST = [
     # a full oracle via deterministic doc_id-derived injection (t9),
     # and the merged-sketch cardinality-drift monitor (qr2) — the
     # sketch-layer composition proof
-    "pq2_adc_topk", "pq3_residual_codes",
+    "pq2_adc_topk", "pq3_residual_codes", "pq4_adc_rerank",
     "t9_pii_scrub", "qr2_cardinality_drift",
     "hist2_histogram_range_merge",
     # --- r5 recheck: src1 re-verifies because corpus_datasheet grew
@@ -87,11 +87,10 @@ _VERIFY_FIRST = [
     "x1_export_store_summaries", "x2_export_top_products",
     "x3_export_anomalies", "x4_export_trends",
     "x5_export_recommendations", "x6_export_manifest",
-    "i1_anomaly_classify",
     # ================= past the 50-window =================
-    # (i2/i3 displaced to positions 51-52 by the sk2 + hist2
-    # rotations — r3-green, plans unchanged since)
-    "i2_trend_insights", "i3_recommendations",
+    # (i1/i2/i3 displaced to positions 51-53 by the sk2 + hist2 +
+    # pq4 rotations — r3-green, plans unchanged since)
+    "i1_anomaly_classify", "i2_trend_insights", "i3_recommendations",
     # --- r4-green (CORRECTNESS_r04), plans unchanged in r5:
     "dq1_profile_columns", "gap1_missing_days",
     "cp1_cusum_changepoint", "ewma1_smoothed_sales",

@@ -548,6 +548,70 @@ def ivfpq_topk(
     )
 
 
+def pq_adc_rerank_topk(
+    emb: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 3,
+    n_queries: int = 8,
+) -> DataFrame:
+    """pq4: two-stage retrieval — the recall-recovery pattern every
+    production ANN system ships: stage 1 scores the WHOLE corpus
+    cheaply on compressed codes (:func:`pq_adc_topk`, 8 bytes/vector,
+    table-lookup adds) and keeps a ``shortlist`` (>= k) of candidates;
+    stage 2 re-ranks ONLY the shortlist on raw vectors with the exact
+    int64 fixed-point distance. Quantization error can demote a true
+    neighbor a few places but rarely out of a 4x shortlist, so the
+    re-rank recovers most of PQ's recall loss while touching
+    ``n_queries x shortlist`` raw vectors instead of the corpus
+    (law-tested: pq4 recall >= pq2 recall vs the exact baseline).
+
+    Scale: stage 2's raw-vector fetch is a broadcast of the bounded
+    shortlist against the vectors table — the big side is scanned
+    once, filtered to shortlist rows map-side; the exact distance is
+    the same Arrow-batched ``_dot_fixed_point`` matmul sim1 uses.
+    Determinism: both stages break ties to the lowest neighbor id.
+    """
+    from pyspark.sql import Window as W
+
+    from .similarity import _dot_fixed_point
+
+    short = pq_adc_topk(
+        emb, k=shortlist, m=m, ksub=ksub,
+        n_iter=n_iter, n_queries=n_queries,
+    ).drop("rank")
+    vecs = emb.select("vec_id", "embedding")
+    qv = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+    )
+    shortq = short.join(F.broadcast(qv), "query_id")
+    j = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+    ).join(F.broadcast(shortq), "neighbor_id")
+    exact_d2 = (
+        _dot_fixed_point(F.col("qe"), F.col("qe"))
+        - 2 * _dot_fixed_point(F.col("qe"), F.col("ne"))
+        + _dot_fixed_point(F.col("ne"), F.col("ne"))
+    )
+    w = W.partitionBy("query_id").orderBy("exact_d2", "neighbor_id")
+    return (
+        j.withColumn("exact_d2", exact_d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_d2",
+            "exact_d2",
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
 def pq_train_encode_residual(
     emb: DataFrame,
     m: int = 8,

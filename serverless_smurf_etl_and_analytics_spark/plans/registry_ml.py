@@ -1797,6 +1797,78 @@ register(
 )
 
 
+def _pq_adc_rerank_sql(
+    m: int = 8, ksub: int = 16, n_iter: int = 3, k: int = 5,
+    shortlist: int = 20, nq: int = 8, dim: int = 64,
+) -> str:
+    """Restate clustering.pq_adc_rerank_topk: the pq2 ADC chain keeps
+    a ``shortlist``, then the exact int64 distance on raw fixed-point
+    vectors re-ranks it (a.n2 - 2 a·b + b.n2 over the full dim)."""
+    dsub = dim // m
+    adc_dot = (
+        f"cast(list_sum(list_transform(range({dsub}), "
+        f"i -> q.iv[i+1] * c.civ[i+1])) AS bigint)"
+    )
+    full_dot = (
+        f"cast(list_sum(list_transform(range({dim}), "
+        f"i -> a.iv[i+1] * b.iv[i+1])) AS bigint)"
+    )
+    return f"""
+WITH {_FX_CTE},
+fxn AS (
+    SELECT vec_id, iv,
+        cast(list_sum(list_transform(iv, x -> x * x)) AS bigint) AS n2
+    FROM fx
+),{_pq_chain(m, ksub, n_iter, dim, 'fx')},
+adc AS (
+    SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+        cast(sum(q.n2 - 2 * {adc_dot} + c.cn2) AS bigint) AS adc_d2
+    FROM p_assign_{n_iter} a
+    JOIN p_centn_{n_iter} c ON c.s = a.s AND c.cid = a.cid
+    JOIN p_subn q ON q.s = a.s
+    WHERE q.vec_id < {nq}
+    GROUP BY 1, 2
+),
+short AS (
+    SELECT query_id, neighbor_id, adc_d2 FROM (
+        SELECT query_id, neighbor_id, adc_d2,
+            row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_d2, neighbor_id) AS rnk
+        FROM adc WHERE neighbor_id != query_id
+    ) WHERE rnk <= {shortlist}
+),
+reranked AS (
+    SELECT s.query_id, s.neighbor_id, s.adc_d2,
+        a.n2 - 2 * {full_dot} + b.n2 AS exact_d2,
+        row_number() OVER (
+            PARTITION BY s.query_id
+            ORDER BY a.n2 - 2 * {full_dot} + b.n2, s.neighbor_id
+        ) AS rnk
+    FROM short s
+    JOIN fxn a ON a.vec_id = s.query_id
+    JOIN fxn b ON b.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, adc_d2,
+       cast(exact_d2 AS bigint) AS exact_d2,
+       cast(rnk AS bigint) AS rank
+FROM reranked WHERE rnk <= {k}
+"""
+
+
+# pq4: two-stage retrieval — compressed ADC shortlist, exact re-rank
+# on raw vectors (the recall-recovery trick; pq2's quantized ranking
+# and the exact fixed-point distance proven TOGETHER in one oracle).
+register(
+    "pq4_adc_rerank",
+    lambda spark, sf: clustering.pq_adc_rerank_topk(
+        tables.load(spark, sf, "embeddings"),
+        k=5, shortlist=20, m=8, ksub=16, n_iter=3, n_queries=8,
+    ),
+    _pq_adc_rerank_sql(8, 16, 3, 5, 20, 8),
+)
+
+
 # pq3: residual product quantization — codebooks trained on
 # x - c(x) rather than x (the by_residual=true trade); codes
 # serialized per the pq1 canonicalizer contract.

@@ -253,3 +253,47 @@ def test_residual_pq_reduces_quantization_error(spark):
     )
     _, cb1 = clustering.pq_train_encode_residual(emb)
     assert cb1 == cb2
+
+
+def test_adc_rerank_recovers_recall_and_exact_distances(spark):
+    """pq4 laws: (1) the re-ranked top-k's exact_d2 values equal a
+    numpy recomputation of the int64 fixed-point distance; (2) recall
+    vs the exact L2 top-k baseline is >= plain ADC top-k recall (the
+    shortlist can only help); (3) every returned neighbor came from
+    the ADC shortlist (adc_d2 present and consistent per pair)."""
+    import numpy as np
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    rows = sorted(
+        emb.select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = _fixed(np.vstack([r["embedding"] for r in rows]))
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+
+    def exact_topk(qid, k=5):
+        qi = idx_of[qid]
+        d = ((mat - mat[qi][None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))
+        return [int(ids[i]) for i in order if ids[i] != qid][:k]
+
+    rr = clustering.pq_adc_rerank_topk(emb, k=5, shortlist=20,
+                                       n_queries=8).collect()
+    adc = clustering.pq_adc_topk(emb, k=5, n_queries=8).collect()
+    got_rr: dict[int, set] = {}
+    for r in rr:
+        got_rr.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        qi, ni = idx_of[r["query_id"]], idx_of[r["neighbor_id"]]
+        want = int(((mat[qi] - mat[ni]) ** 2).sum())
+        assert r["exact_d2"] == want, (r, want)
+    got_adc: dict[int, set] = {}
+    for r in adc:
+        got_adc.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rec_rr, rec_adc = [], []
+    for q in sorted(got_rr):
+        truth = set(exact_topk(q))
+        rec_rr.append(len(got_rr[q] & truth) / len(truth))
+        rec_adc.append(len(got_adc[q] & truth) / len(truth))
+    assert sum(rec_rr) >= sum(rec_adc), (rec_rr, rec_adc)
+    assert sum(rec_rr) / len(rec_rr) >= 0.2, rec_rr
