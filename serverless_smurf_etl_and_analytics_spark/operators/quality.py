@@ -399,6 +399,61 @@ def latest_per_key(events: DataFrame) -> DataFrame:
     )
 
 
+def validity_intervals(events: DataFrame) -> DataFrame:
+    """scd2: type-2 history of each user's event_type — every CHANGE
+    opens a validity interval (valid_from inclusive, valid_to = next
+    change's start, NULL while current), consecutive same-type events
+    collapse into one interval (the no-change-update rule that
+    separates SCD-2 from a plain event log). scd1 answers "what is
+    current"; this answers "what was true at time T" — the dimension-
+    history view a warehouse keeps for as-of joins.
+
+    Run detection is the classic gaps-and-islands: flag = type !=
+    lag(type), version = running sum of flags; both windows and the
+    interval-close lead() share the ONE user_id exchange (the runs
+    table the lead operates on is already user-partitioned and
+    version-sorted). Ties on ts break by event_id, so intervals are a
+    pure function of the data."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "version",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # event_type is CONSTANT within a run (runs are same-type by
+    # construction), so min() is just a deterministic pick
+    runs = flagged.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_runs = Window.partitionBy("user_id").orderBy("version")
+    out = runs.withColumn(
+        "valid_to", F.lead("valid_from").over(w_runs)
+    )
+    return out.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_from_s"
+        ),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_to_s"
+        ),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("valid_to").isNull().cast("long").alias("is_current"),
+    )
+
+
 # Morton (Z-order) interleave: spread a 16-bit value's bits to the
 # even positions of a 32-bit lane via the classic 4-step magic-mask
 # cascade — plain bitwise arithmetic, identical syntax in Spark SQL

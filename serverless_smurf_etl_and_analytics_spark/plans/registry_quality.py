@@ -373,6 +373,56 @@ FROM latest WHERE rn = 1
 )
 
 
+# scd2: type-2 validity intervals per user — consecutive same-type
+# events collapse (gaps-and-islands run detection), each change opens
+# an interval closed by the next change; scd1's current row is always
+# the is_current interval (law-tested).
+register(
+    "scd2_validity_intervals",
+    lambda spark, sf: quality.validity_intervals(
+        tables.load_events(spark, sf)
+    ),
+    """
+WITH flagged AS (
+    SELECT user_id, event_id, ts, event_type,
+        CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w != event_type
+             THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+versioned AS (
+    SELECT *,
+        sum(chg) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING
+        ) AS version
+    FROM flagged
+),
+runs AS (
+    SELECT user_id, version,
+        min(event_type) AS event_type,
+        min(ts) AS valid_from,
+        cast(count(*) AS bigint) AS n_events
+    FROM versioned GROUP BY 1, 2
+),
+closed AS (
+    SELECT *,
+        lead(valid_from) OVER (
+            PARTITION BY user_id ORDER BY version
+        ) AS valid_to
+    FROM runs
+)
+SELECT user_id, cast(version AS bigint) AS version, event_type,
+    strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+    strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to_s,
+    n_events,
+    cast(valid_to IS NULL AS bigint) AS is_current
+FROM closed
+""",
+)
+
+
 def _spread_sql(x: str) -> str:
     # the identical shift-or-mask cascade quality._spread_bits_sql
     # emits for the Spark plan — both engines share &, |, << syntax

@@ -465,3 +465,37 @@ def test_hist_merge_range_laws(spark):
         .collect()
     }
     assert direct == merged
+
+
+def test_scd2_intervals_consistent_with_scd1(spark):
+    """scd2 laws: per user, intervals tile the timeline (each
+    valid_to == the next valid_from, exactly one is_current),
+    consecutive intervals change type (runs are maximal), interval
+    n_events sum to the user's event count, and scd1's current row
+    carries the is_current interval's event_type."""
+    from serverless_smurf_etl_and_analytics_spark.operators import quality
+
+    ev = tables.load_events(spark, SF_DIR)
+    rows = quality.validity_intervals(ev).collect()
+    cur = {
+        r["user_id"]: r["event_type"]
+        for r in quality.latest_per_key(ev).collect()
+    }
+    n_ev = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == set(cur)
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(r["n_events"] for r in ivs) == n_ev[uid]
+        assert sum(r["is_current"] for r in ivs) == 1
+        assert ivs[-1]["is_current"] == 1 and ivs[-1]["valid_to_s"] is None
+        assert ivs[-1]["event_type"] == cur[uid]
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to_s"] == b["valid_from_s"]
+            assert a["event_type"] != b["event_type"]
