@@ -596,6 +596,47 @@ def daily_log2_histograms(txns: DataFrame) -> DataFrame:
     )
 
 
+def hist_merge_daily(daily: DataFrame) -> DataFrame:
+    """Merge a per-(method, day, bin) histogram table over whatever
+    rows it holds — the half of hist2 the PIPELINE uses once
+    :func:`daily_log2_histograms` is materialized (no exact audit
+    column; facts never read). ONE pass: the method-level day count
+    rides as a collect_set window on the same method partitioning the
+    (method, bin) merge needs, so deriving the dailies inline (as the
+    registered hist2 does from facts) costs a single fact scan.
+    Output: one row per method — (payment_method, n_days_merged,
+    n_lines, p50_bin, p50_lo_c, p50_hi_c)."""
+    w_m = Window.partitionBy("payment_method")
+    enriched = daily.withColumn(
+        "n_days_merged",
+        F.size(F.collect_set("sale_date").over(w_m)).cast("long"),
+    )
+    merged = enriched.groupBy("payment_method", "bin").agg(
+        F.sum("cnt").alias("cnt"),
+        F.max("n_days_merged").alias("n_days_merged"),
+    )
+    w_cum = (
+        Window.partitionBy("payment_method")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h = merged.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_m)
+    )
+    # ceil-rank median index, the q1 definition: idx = (50*n+99) div 100
+    idx = F.expr("(50 * n + 99) div 100")
+    return h.filter(
+        (F.col("cum") >= idx) & (F.col("cum") - F.col("cnt") < idx)
+    ).select(
+        "payment_method",
+        "n_days_merged",
+        F.col("n").cast("long").alias("n_lines"),
+        F.col("bin").alias("p50_bin"),
+        F.expr("shiftleft(1L, cast(bin as int) - 1)").alias("p50_lo_c"),
+        F.expr("shiftleft(1L, cast(bin as int)) - 1").alias("p50_hi_c"),
+    )
+
+
 def hist_merge_range(
     txns: DataFrame, start: str, end: str
 ) -> DataFrame:
@@ -615,34 +656,7 @@ def hist_merge_range(
     is the only fact-scanning branch (production callers drop it).
     """
     in_range = txns.filter(F.col("sale_date").between(start, end))
-    daily = daily_log2_histograms(in_range)
-    merged = daily.groupBy("payment_method", "bin").agg(
-        F.sum("cnt").alias("cnt"),
-        F.countDistinct("sale_date").alias("bin_days"),
-    )
-    w_cum = (
-        Window.partitionBy("payment_method")
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("payment_method")
-    h = merged.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
-        "n", F.sum("cnt").over(w_all)
-    )
-    # ceil-rank median index, the q1 definition: idx = (50*n+99) div 100
-    idx = F.expr("(50 * n + 99) div 100")
-    p50_bin = h.filter(
-        (F.col("cum") >= idx) & (F.col("cum") - F.col("cnt") < idx)
-    ).select(
-        "payment_method",
-        F.col("bin").alias("p50_bin"),
-        F.expr("shiftleft(1L, cast(bin as int) - 1)").alias("p50_lo_c"),
-        F.expr("shiftleft(1L, cast(bin as int)) - 1").alias("p50_hi_c"),
-        F.col("n").cast("long").alias("n_lines"),
-    )
-    days = daily.groupBy("payment_method").agg(
-        F.countDistinct("sale_date").alias("n_days_merged")
-    )
+    p50_bin = hist_merge_daily(daily_log2_histograms(in_range))
     # exact median (the audit side): q1's value-domain compression
     uni = in_range.groupBy(
         "payment_method", F.col("line_cents").alias("v")
@@ -662,9 +676,7 @@ def hist_merge_range(
             F.when(F.col("cum") >= F.expr("(50 * n + 99) div 100"), F.col("v"))
         ).alias("p50_exact_c")
     )
-    out = p50_bin.join(days, "payment_method").join(
-        exact, "payment_method"
-    )
+    out = p50_bin.join(exact, "payment_method")
     return out.select(
         "payment_method",
         "n_days_merged",

@@ -39,6 +39,7 @@ from pyspark.storagelevel import StorageLevel
 from . import tables
 from .functions.money import cents
 from .operators import export, metrics, report
+from .operators.quality import daily_log2_histograms, hist_merge_daily
 from .operators.stats import (
     hll_daily_registers,
     hll_merge_daily,
@@ -233,6 +234,22 @@ def run_daily_pipeline(
     )
     stats["hll_register_rows"] = spark.read.parquet(hr_path).count()
 
+    # 3d. cents_histograms — the per-(payment_method, day) power-of-two
+    #     histogram layer (<= 64 bounded rows per method-day), same
+    #     incremental contract as 3b/3c; range median questions merge
+    #     bins via ``median_cents_for_range`` below. Third member of
+    #     the materialize+merge family: KMV (distincts), HLL
+    #     (distincts at constant state), histograms (quantiles).
+    ch_path = os.path.join(out_dir, "cents_histograms")
+    (
+        daily_log2_histograms(mv_input)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("sale_date")
+        .parquet(ch_path)
+    )
+    stats["cents_histogram_rows"] = spark.read.parquet(ch_path).count()
+
     # 4. insights — ONE persisted daily-cents + ONE persisted anomaly
     #    set feed all three classifiers (no duplicate window chains).
     #    daily-cents is DERIVED FROM THE MATERIALIZED MV, not the fact
@@ -337,6 +354,22 @@ def distinct_transactions_for_range(
         os.path.join(out_dir, "hll_registers")
     ).withColumn("sale_date", F.col("sale_date").cast("string"))
     return hll_merge_daily(
+        daily.filter(F.col("sale_date").between(start, end))
+    )
+
+
+def median_cents_for_range(
+    spark: SparkSession, out_dir: str, start: str, end: str
+) -> DataFrame:
+    """Range approximate median (with its power-of-two bracket) per
+    payment method from the MATERIALIZED histogram layer: filter the
+    bounded cents_histograms table to [start, end] and sum-merge bins
+    (operators.quality.hist_merge_daily). Facts are never read; the
+    partitioning prunes the read to the range."""
+    daily = spark.read.parquet(
+        os.path.join(out_dir, "cents_histograms")
+    ).withColumn("sale_date", F.col("sale_date").cast("string"))
+    return hist_merge_daily(
         daily.filter(F.col("sale_date").between(start, end))
     )
 

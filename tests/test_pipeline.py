@@ -150,3 +150,34 @@ def test_hll_register_layer_answers_range_distinct(spark, out_dir):
             from_mv[method]["n_days_merged"]
             == direct[method]["n_days_merged"]
         )
+
+
+def test_histogram_layer_answers_range_median(spark, out_dir):
+    """The materialized cents_histograms layer must produce exactly
+    the merged p50 bracket the direct hist2 computation gets from raw
+    facts (bin-sum merge law, through the pipeline's persisted form),
+    and the bracket must contain the exact range median."""
+    from serverless_smurf_etl_and_analytics_spark.operators import quality
+
+    d, run_stats = out_dir
+    assert run_stats["cents_histogram_rows"] > 0
+    assert os.path.isdir(os.path.join(d, "cents_histograms"))
+    start, end = "1995-01-01", "2001-12-31"
+    from_mv = {
+        r["payment_method"]: r
+        for r in pipeline.median_cents_for_range(
+            spark, d, start, end
+        ).collect()
+    }
+    direct = {
+        r["payment_method"]: r
+        for r in quality.hist_merge_range(
+            tables.transactions(spark, SF_DIR), start, end
+        ).collect()
+    }
+    assert set(from_mv) == set(direct)
+    for m in direct:
+        for col in ("p50_bin", "p50_lo_c", "p50_hi_c", "n_lines",
+                    "n_days_merged"):
+            assert from_mv[m][col] == direct[m][col], (m, col)
+        assert direct[m]["p50_in_bin"] == 1
