@@ -272,6 +272,93 @@ def kmv_merge_daily(daily: DataFrame, k: int = KMV_K) -> DataFrame:
     )
 
 
+def kmv_set_overlap(txns: DataFrame, k: int = KMV_K) -> DataFrame:
+    """sk3: pairwise assortment overlap between stores estimated from
+    KMV sketches alone — the theta-sketch set-operation trick: for
+    stores A and B, merge their min-k sets, take tau = the k-th
+    smallest of the union; every retained hash <= tau is a uniform
+    sample of A∪B, so |A∪B| ~ (k-1)*2^32/tau and |A∩B| ~ (hashes <=
+    tau present in BOTH sketches) / k x |A∪B|. The exact intersection
+    rides along for audit (the only fact-derived column — production
+    callers drop it and the whole query becomes |stores|^2 x k work,
+    INDEPENDENT of fact size: category management over a trillion-row
+    fact table from a few KB of sketches).
+
+    All-integer: est_inter = n_common * est_union div n_kept. Pairs
+    are (store_a < store_b); both sketch columns are the bounded
+    arrays :func:`kmv_daily_sketches` would persist, so this composes
+    with the pipeline's materialized layer unchanged.
+
+    Scale: the sketch self-join is |stores|^2 rows of <= k-element
+    arrays (broadcast — dimension-bounded); array_union /
+    array_intersect / filter are per-row built-ins. The exact audit
+    joins distinct (store, sku) with itself on sku — catalog-bounded,
+    never the fact table row count."""
+    hashed = (
+        txns.select("store_id", "item_sku").distinct()
+        .select("store_id", _hash32(F.col("item_sku")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("store_id").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("store_id")
+        .agg(F.sort_array(F.collect_set("h")).alias("sketch"))
+    )
+    a = sk.select(
+        F.col("store_id").alias("store_a"), F.col("sketch").alias("ska")
+    )
+    b = sk.select(
+        F.col("store_id").alias("store_b"), F.col("sketch").alias("skb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("store_a") < F.col("store_b"))
+    u = F.array_sort(F.array_union("ska", "skb"))
+    p = (
+        pairs.withColumn("u", u)
+        .withColumn("n_kept", F.least(F.size("u"), F.lit(k)).cast("long"))
+        .withColumn("tau", F.expr("element_at(u, cast(n_kept as int))"))
+        .withColumn(
+            "n_common",
+            F.size(
+                F.filter(
+                    F.array_intersect("ska", "skb"),
+                    lambda x: x <= F.col("tau"),
+                )
+            ).cast("long"),
+        )
+    )
+    est_union = F.when(
+        F.size("u") > k, F.expr(f"({k - 1} * {U32}) div tau")
+    ).otherwise(F.col("n_kept"))
+    est = p.withColumn("est_union", est_union).withColumn(
+        "est_inter",
+        F.expr("n_common * est_union div n_kept"),
+    )
+    # exact audit: true SKU intersection per pair
+    skus = txns.select("store_id", "item_sku").distinct()
+    inter = (
+        skus.select(F.col("store_id").alias("store_a"), "item_sku")
+        .join(
+            skus.select(F.col("store_id").alias("store_b"), "item_sku"),
+            "item_sku",
+        )
+        .filter(F.col("store_a") < F.col("store_b"))
+        .groupBy("store_a", "store_b")
+        .agg(F.count(F.lit(1)).alias("n_exact_inter"))
+    )
+    return est.join(inter, ["store_a", "store_b"], "left").select(
+        "store_a",
+        "store_b",
+        "n_kept",
+        "tau",
+        "n_common",
+        "est_union",
+        "est_inter",
+        F.coalesce("n_exact_inter", F.lit(0)).alias("n_exact_inter"),
+    )
+
+
 def kmv_cardinality_drift(
     txns: DataFrame,
     start_a: str,

@@ -304,6 +304,93 @@ FROM j
 )
 
 
+# sk3: pairwise assortment overlap from KMV sketches alone — the
+# theta-sketch set-operation trick (tau = k-th smallest of the merged
+# sketch; hashes <= tau sample A∪B uniformly, so the common fraction
+# estimates Jaccard and scales to |A∩B|). Exact intersection audited.
+register(
+    "sk3_kmv_set_overlap",
+    lambda spark, sf: stats.kmv_set_overlap(
+        tables.transactions(spark, sf)
+    ),
+    f"""
+WITH {TXN},
+sku AS (SELECT DISTINCT store_id, item_sku FROM transactions),
+hashed AS (
+    SELECT DISTINCT store_id,
+        ('0x' || substr(md5('kmv|' || cast(item_sku AS varchar)), 1, 8))
+            ::bigint AS h
+    FROM sku
+),
+kept AS (
+    SELECT store_id, h FROM (
+        SELECT store_id, h,
+            row_number() OVER (PARTITION BY store_id ORDER BY h) AS rn
+        FROM hashed
+    ) WHERE rn <= 64
+),
+pairs AS (
+    SELECT a.store_id AS store_a, b.store_id AS store_b
+    FROM (SELECT DISTINCT store_id FROM kept) a
+    JOIN (SELECT DISTINCT store_id FROM kept) b
+      ON a.store_id < b.store_id
+),
+pu AS (
+    SELECT p.store_a, p.store_b, k.h,
+        max(CASE WHEN k.store_id = p.store_a THEN 1 ELSE 0 END) AS in_a,
+        max(CASE WHEN k.store_id = p.store_b THEN 1 ELSE 0 END) AS in_b
+    FROM pairs p
+    JOIN kept k ON k.store_id IN (p.store_a, p.store_b)
+    GROUP BY 1, 2, 3
+),
+ranked AS (
+    SELECT *,
+        row_number() OVER (
+            PARTITION BY store_a, store_b ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY store_a, store_b) AS n_union
+    FROM pu
+),
+sp AS (
+    SELECT store_a, store_b,
+        cast(least(max(n_union), 64) AS bigint) AS n_kept,
+        max(CASE WHEN rn = least(n_union, 64) THEN h END) AS tau,
+        max(n_union) AS n_union_total
+    FROM ranked GROUP BY 1, 2
+),
+common AS (
+    SELECT r.store_a, r.store_b,
+        cast(count(CASE WHEN r.in_a = 1 AND r.in_b = 1
+                        AND r.h <= s.tau THEN 1 END) AS bigint)
+            AS n_common
+    FROM ranked r
+    JOIN sp s ON s.store_a = r.store_a AND s.store_b = r.store_b
+    GROUP BY 1, 2
+),
+est AS (
+    SELECT s.store_a, s.store_b, s.n_kept, s.tau, c.n_common,
+        cast(CASE WHEN s.n_union_total > 64
+                  THEN (63 * 4294967296) // s.tau
+                  ELSE s.n_kept END AS bigint) AS est_union
+    FROM sp s
+    JOIN common c ON c.store_a = s.store_a AND c.store_b = s.store_b
+),
+exact AS (
+    SELECT a.store_id AS store_a, b.store_id AS store_b,
+        cast(count(*) AS bigint) AS n_exact_inter
+    FROM sku a JOIN sku b USING (item_sku)
+    WHERE a.store_id < b.store_id
+    GROUP BY 1, 2
+)
+SELECT e.store_a, e.store_b, e.n_kept, e.tau, e.n_common, e.est_union,
+    cast(e.n_common * e.est_union // e.n_kept AS bigint) AS est_inter,
+    cast(coalesce(x.n_exact_inter, 0) AS bigint) AS n_exact_inter
+FROM est e
+LEFT JOIN exact x
+  ON x.store_a = e.store_a AND x.store_b = e.store_b
+""",
+)
+
+
 # qr2: assortment-cardinality drift alarms from MERGED KMV sketches —
 # the composite proving the sketch layers compose (the monitoring
 # query a pipeline schedules: two window estimates off the per-day

@@ -499,3 +499,30 @@ def test_scd2_intervals_consistent_with_scd1(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to_s"] == b["valid_from_s"]
             assert a["event_type"] != b["event_type"]
+
+
+def test_kmv_set_overlap_estimator_laws(spark):
+    """sk3 laws: n_common <= n_kept; est_inter <= est_union; when the
+    merged union fits inside k the estimate is EXACT (tau covers the
+    whole union, the sample is the population); and corpus-wide the
+    intersection estimator tracks truth (mean absolute error bounded
+    — KMV with k=64 has ~1/sqrt(k) ~ 12% relative union error, so we
+    assert a generous aggregate bound that a bucketing/tau bug would
+    blow through)."""
+    txns = tables.transactions(spark, SF_DIR)
+    rows = stats.kmv_set_overlap(txns).collect()
+    assert rows, "no store pairs"
+    errs = []
+    for r in rows:
+        assert 0 <= r["n_common"] <= r["n_kept"]
+        assert r["est_inter"] <= r["est_union"]
+        if r["n_kept"] < 64:  # union fit entirely in the sketch
+            assert r["est_inter"] == r["n_exact_inter"], r
+        if r["n_exact_inter"] >= 20:
+            errs.append(
+                abs(r["est_inter"] - r["n_exact_inter"])
+                / r["n_exact_inter"]
+            )
+    if errs:
+        mae = sum(errs) / len(errs)
+        assert mae <= 0.5, f"mean abs rel error {mae:.2f}"
