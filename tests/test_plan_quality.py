@@ -28,6 +28,10 @@ ALLOWED_NESTED_LOOP = {
     "tf1_tfidf_keywords",  # same broadcast scalar-count attach as t8
     "t10_familiarity",  # same broadcast scalar-count attach as t8
     "rj1_busy_window_events",
+    # sk3's (store_a < store_b) pair join: both sides are the
+    # |stores|-bounded KMV sketch table (<= k-element arrays), never
+    # facts — the |stores|^2 pair space IS the operator's output grain
+    "sk3_kmv_set_overlap",
 }
 
 
