@@ -37,6 +37,14 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in registry.QUERIES]
     names += [n for n in sorted(registry.QUERIES) if n not in names]
+    # optional allowlist for partial runs (e.g. the sf10 scale
+    # rehearsal times only the document/embedding-heavy family —
+    # running all 124 queries at 100x would spend almost all its wall
+    # on queries whose scaling is already proven flat at sf1)
+    only = os.environ.get("SMURF_BENCH_QUERIES", "").strip()
+    if only:
+        allow = {q.strip() for q in only.split(",") if q.strip()}
+        names = [n for n in names if n in allow]
 
     # warm the JVM + parquet footers once with a trivial action, and
     # spin up the Python/Arrow worker pool (first pandas-UDF use in a

@@ -99,14 +99,28 @@ def amplify(src: str, out: str, copies: int) -> None:
         "FROM '{src}/documents.parquet' WHERE {i} = 0 "
         "UNION ALL " + doc_copy + " WHERE {i} > 0",
     )
-    # rotation r=7i mod 64: coprime stride so all copies differ; DuckDB
-    # list slicing is 1-based inclusive, empty slice when r=0 handled
-    # by list_concat of [r+1..64] and [1..r]
+    # rotation r=7i mod 64: coprime stride so copies 0..63 all differ;
+    # DuckDB list slicing is 1-based inclusive, empty slice when r=0
+    # handled by list_concat of [r+1..64] and [1..r]. Beyond 64 copies
+    # the rotation wraps (copy 64 would be byte-identical to copy 0),
+    # so each 64-copy BLOCK b = i//64 > 0 additionally sign-flips the
+    # dims d where (d*(2b+1)) mod 64 < 32. A fixed per-copy sign
+    # pattern cancels in every within-copy dot product ((-a)(-b)=ab),
+    # so within-copy cosines — and the planted near-dup pairs — are
+    # still preserved EXACTLY, while same-rotation copies from
+    # different blocks disagree on ~half the signs and their cross
+    # cosines drop to noise. Block 0 flips nothing, so runs with
+    # copies <= 64 (the standard sf1 build) are byte-identical to the
+    # pre-block-extension script.
     write(
         "embeddings",
         "SELECT vec_id + {i} * 2000 AS vec_id, "
-        "list_concat(embedding[(({i}*7)%64)+1:64], "
-        "embedding[1:({i}*7)%64])::FLOAT[] AS embedding, label "
+        "list_transform("
+        "list_zip(list_concat(embedding[(({i}*7)%64)+1:64], "
+        "embedding[1:({i}*7)%64]), range(1, 65)), "
+        "z -> CASE WHEN ({i} // 64) > 0 AND "
+        "(z[2] * (2*({i} // 64) + 1)) % 64 < 32 "
+        "THEN -z[1] ELSE z[1] END)::FLOAT[] AS embedding, label "
         "FROM '{src}/embeddings.parquet'",
     )
 
