@@ -54,7 +54,7 @@ _VERIFY_FIRST = [
     "pq2_adc_topk", "pq3_residual_codes", "pq4_adc_rerank",
     "t9_pii_scrub", "qr2_cardinality_drift",
     "hist2_histogram_range_merge", "scd2_validity_intervals",
-    "sk3_kmv_set_overlap",
+    "sk3_kmv_set_overlap", "cm1_range_heavy_users",
     # --- r5 recheck: src1 re-verifies because corpus_datasheet grew
     # threshold forwarding (identical plan at registry defaults, but
     # the code path changed — ADVICE r4 item 4); sk2 because
@@ -86,10 +86,12 @@ _VERIFY_FIRST = [
     "j5_dense_date_store_grid", "j6_top_customers",
     "j7_store_region_rollup",
     "x1_export_store_summaries", "x2_export_top_products",
-    "x3_export_anomalies", "x4_export_trends",
+    "x3_export_anomalies",
     # ================= past the 50-window =================
-    # (x5/x6/i1/i2/i3 displaced to positions 51-55 by the sk2/hist2/
-    # pq4/scd2/sk3 rotations — r3-green, plans unchanged since)
+    # (x4/x5/x6/i1/i2/i3 displaced to positions 51-56 by the sk2/
+    # hist2/pq4/scd2/sk3/cm1 rotations — r3-green, plans unchanged
+    # since)
+    "x4_export_trends",
     "x5_export_recommendations", "x6_export_manifest",
     "i1_anomaly_classify", "i2_trend_insights", "i3_recommendations",
     # --- r4-green (CORRECTNESS_r04), plans unchanged in r5:

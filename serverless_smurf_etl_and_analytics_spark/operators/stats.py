@@ -622,3 +622,161 @@ def hll_merge_daily(daily: DataFrame) -> DataFrame:
         s_total.alias("s_scaled"),
         est.alias("est_hll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: constant-space frequency estimation. KMV (sk*)
+# answers "how many distinct", HLL (hll*) the same at fixed 256 B,
+# hist* answers "how are values distributed" — CM answers "how OFTEN
+# does each key occur" when the key domain is too large to keep a
+# per-key partial at all (user ids: the one key whose cardinality
+# grows with the data in this workload — at 100 TB a per-day-per-user
+# layer is billions of rows/day, while a CM sketch is d x w counters
+# per day, constant). Cormode & Muthukrishnan 2005.
+#
+# Same engineering contract as the other sketches: md5-derived slots
+# (byte-identical in Spark / DuckDB / Python), integer counters, so
+# the driver oracle checks the sketch CONTENTS and estimates exactly,
+# not approximately.
+CM_DEPTH = 4
+CM_WIDTH = 256
+CM_CAND_K = 20
+
+
+def _cm_slot(col: F.Column, depth: int) -> F.Column:
+    """Row ``depth``'s slot for a key: first 32 md5 bits of the
+    depth-salted key, mod width. Independent-enough rows come from
+    distinct salts ("cm0|".."cm3|"), as in the KMV/HLL hash family."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"cm{depth}|"), col.cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CM_WIDTH
+    )
+
+
+def _cm_slots_array(col: F.Column) -> F.Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("depth"),
+                _cm_slot(col, d).alias("slot"),
+            )
+            for d in range(CM_DEPTH)
+        ]
+    )
+
+
+def cm_daily_layer(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The materializable per-day layer: (counters, candidates).
+
+    ``counters``: per (day, depth, slot) summed event counts — at most
+    day x 4 x 256 rows per day regardless of user cardinality. CM
+    sketches merge by elementwise ADDITION, so any date range is
+    answerable from the daily layer alone.
+
+    ``candidates``: per-day top-``CM_CAND_K`` users by event count
+    (deterministic tie-break on user_id) — the classic companion
+    structure: a range query estimates counts only for candidate
+    keys, and any key whose range total exceeds
+    ``n_days x (day k-th count)`` must surface in some day's top-k
+    (pigeonhole), so range heavy hitters above that threshold are
+    guaranteed to be candidates.
+
+    Plan shape: ONE fact scan into a (day, user) partial (map-side
+    combine), then a 4-way in-row explode of that bounded partial
+    into the counter aggregation — the explode multiplies the
+    already-aggregated layer, never the fact rows."""
+    per_user = (
+        events.select(
+            F.to_date("ts").alias("day"), F.col("user_id")
+        )
+        .groupBy("day", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counters = (
+        per_user.select(
+            "day", "cnt", F.explode(_cm_slots_array(F.col("user_id"))).alias("ds")
+        )
+        .groupBy("day", F.col("ds.depth").alias("depth"), F.col("ds.slot").alias("slot"))
+        .agg(F.sum("cnt").alias("c"))
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.desc("cnt"), F.asc("user_id")
+    )
+    candidates = (
+        per_user.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CM_CAND_K)
+        .select("day", "user_id")
+    )
+    return counters, candidates
+
+
+def cm_range_heavy_users(
+    events: DataFrame, start: str, end: str, topk: int = 10
+) -> DataFrame:
+    """cm1: top-``topk`` users by event count over [start, end],
+    answered from the merged per-day CM counters + the candidate
+    union — the frequency member of the materialize+merge family
+    (sk2 distinct, hll2 distinct-at-fixed-space, hist2 quantiles).
+
+    Output (rank <= topk, deterministic order):
+    (user_id, rank, est_events, n_exact, over_bp) — ``est_events`` is
+    the CM point estimate min_d(counter[d][h_d(u)]) from the MERGED
+    counters only; ``n_exact`` rides along for audit (sk1/sk2
+    precedent) and pins the CM one-sided error law est >= exact.
+
+    Scale design: merged counters are <= 4 x 256 rows (broadcast to
+    the candidate probe join); candidates are <= k x days rows. After
+    the daily layer is materialized, a range query reads NO fact rows
+    (derived inline here because the bench runs standalone; the exact
+    audit column is the only fact-scanning part, exactly as in sk2)."""
+    ev = events.filter(F.to_date("ts").between(start, end))
+    counters, candidates = cm_daily_layer(ev)
+    merged = counters.groupBy("depth", "slot").agg(
+        F.sum("c").alias("c")
+    )
+    probes = (
+        candidates.select("user_id")
+        .distinct()
+        .select(
+            "user_id", F.explode(_cm_slots_array(F.col("user_id"))).alias("ds")
+        )
+        .select("user_id", F.col("ds.depth").alias("depth"), F.col("ds.slot").alias("slot"))
+    )
+    est = (
+        probes.join(F.broadcast(merged), ["depth", "slot"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_events"))
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    ranked = (
+        est.join(exact, "user_id")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("est_events"), F.asc("user_id"))
+            ).cast("long"),
+        )
+        .filter(F.col("rank") <= topk)
+    )
+    return ranked.select(
+        "user_id",
+        "rank",
+        "est_events",
+        "n_exact",
+        F.expr(
+            "cast(round((est_events - n_exact) * 10000.0 / n_exact)"
+            " as bigint)"
+        ).alias("over_bp"),
+    )

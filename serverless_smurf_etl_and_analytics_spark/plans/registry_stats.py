@@ -929,3 +929,72 @@ JOIN und e2 ON e2.a = e1.a AND e1.b < e2.b
 JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
 """,
 )
+
+
+# cm1: range heavy users from merged per-day count-min sketches —
+# the FREQUENCY member of the materialize+merge family (sk2 distinct,
+# hll2 distinct-at-fixed-space, hist2 quantiles): per-day d x w
+# counter grids merge by addition, the candidate union bounds the
+# probe set, and the estimate min_d(counter[h_d(u)]) is integer
+# arithmetic over md5 slots — sketch contents hash-checked across
+# engines, not just the top-k. The exact count rides along (sk1/sk2
+# precedent) and pins the one-sided error law est >= exact.
+register(
+    "cm1_range_heavy_users",
+    lambda spark, sf: stats.cm_range_heavy_users(
+        tables.load_events(spark, sf), "2024-01-08", "2024-01-21"
+    ),
+    """
+WITH ev AS (
+    SELECT cast(ts AS DATE) AS day, user_id FROM events
+    WHERE cast(ts AS DATE) BETWEEN '2024-01-08' AND '2024-01-21'
+),
+per_user AS (
+    SELECT day, user_id, cast(count(*) AS bigint) AS cnt
+    FROM ev GROUP BY 1, 2
+),
+depths AS (SELECT unnest([0, 1, 2, 3]) AS depth),
+counters AS (
+    SELECT depth,
+        ('0x' || substr(md5('cm' || depth || '|'
+                            || cast(user_id AS varchar)), 1, 8))
+            ::bigint % 256 AS slot,
+        cast(sum(cnt) AS bigint) AS c
+    FROM per_user, depths GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT user_id FROM (
+        SELECT day, user_id,
+            row_number() OVER (
+                PARTITION BY day ORDER BY cnt DESC, user_id
+            ) AS rn
+        FROM per_user
+    ) WHERE rn <= 20
+),
+probes AS (
+    SELECT user_id, depth,
+        ('0x' || substr(md5('cm' || depth || '|'
+                            || cast(user_id AS varchar)), 1, 8))
+            ::bigint % 256 AS slot
+    FROM cand, depths
+),
+est AS (
+    SELECT p.user_id, min(c.c) AS est_events
+    FROM probes p JOIN counters c USING (depth, slot) GROUP BY 1
+),
+exact AS (
+    SELECT user_id, cast(count(*) AS bigint) AS n_exact
+    FROM ev GROUP BY 1
+),
+r AS (
+    SELECT e.user_id, e.est_events, x.n_exact,
+        row_number() OVER (ORDER BY e.est_events DESC, e.user_id)
+            AS rank
+    FROM est e JOIN exact x USING (user_id)
+)
+SELECT user_id, cast(rank AS bigint) AS rank, est_events, n_exact,
+    cast(round((est_events - n_exact) * 10000.0 / n_exact) AS bigint)
+        AS over_bp
+FROM r WHERE rank <= 10
+""",
+)
