@@ -55,6 +55,12 @@ _VERIFY_FIRST = [
     "t9_pii_scrub", "qr2_cardinality_drift",
     "hist2_histogram_range_merge", "scd2_validity_intervals",
     "sk3_kmv_set_overlap", "cm1_range_heavy_users",
+    # --- r5 changed plans (late): the k-means trainer's monitoring
+    # cost became a float64 column (the sf10 rehearsal overflowed the
+    # int64 cost sum at 100x vectors), which changes the partial
+    # schema in every kmeans_train consumer: c1 directly, ivfpq1 via
+    # the coarse quantizer (pq3 likewise, already above)
+    "c1_kmeans_clusters", "ivfpq1_topk",
     # --- r5 recheck: src1 re-verifies because corpus_datasheet grew
     # threshold forwarding (identical plan at registry defaults, but
     # the code path changed — ADVICE r4 item 4); sk2 because
@@ -85,12 +91,12 @@ _VERIFY_FIRST = [
     "j1_missing_stores_anti", "j3_brand_revenue",
     "j5_dense_date_store_grid", "j6_top_customers",
     "j7_store_region_rollup",
-    "x1_export_store_summaries", "x2_export_top_products",
-    "x3_export_anomalies",
+    "x1_export_store_summaries",
     # ================= past the 50-window =================
-    # (x4/x5/x6/i1/i2/i3 displaced to positions 51-56 by the sk2/
-    # hist2/pq4/scd2/sk3/cm1 rotations — r3-green, plans unchanged
-    # since)
+    # (x2-x6/i1/i2/i3 displaced to positions 51-58 by the sk2/hist2/
+    # pq4/scd2/sk3/cm1 rotations and the late c1/ivfpq1 re-rotation —
+    # r3-green, plans unchanged since)
+    "x2_export_top_products", "x3_export_anomalies",
     "x4_export_trends",
     "x5_export_recommendations", "x6_export_manifest",
     "i1_anomaly_classify", "i2_trend_insights", "i3_recommendations",
@@ -101,7 +107,6 @@ _VERIFY_FIRST = [
     "drift1_payment_tvd",
     "scd1_latest_per_key", "mo1_zorder_codes",
     "hist1_log2_histogram", "qr1_quality_report",
-    "ivfpq1_topk",
     "cube1_store_payment_cube", "u2_setops_assortment",
     "d12_editdist_neardup", "hll2_range_merge",
     "w2_window_sampler", "f2_array_sampler",
@@ -115,7 +120,7 @@ _VERIFY_FIRST = [
     "aj2_order_next_event", "d11_containment", "co1_sku_copurchase",
     "a19_dow_seasonality",
     "t7_repetition_filter", "t8_doc_frequency",
-    "pack1_sequence_packing", "c1_kmeans_clusters",
+    "pack1_sequence_packing",
     "e1_embedding_dim_profile",
     "ev_tumbling_hourly", "ev_sliding_2h_hourly",
     "ev_session_windows", "a18_event_type_summary",

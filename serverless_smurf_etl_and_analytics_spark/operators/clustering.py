@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -48,6 +49,13 @@ _PARTIAL_SCHEMA = StructType(
         StructField("cluster_id", LongType()),
         StructField("n", LongType()),
         StructField("s", ArrayType(LongType())),
+        # monitoring-only per-cluster d2 sum: float64, NOT long — at
+        # 100x vectors the summed squared fixed-point distances pass
+        # 2^63 (the sf10 rehearsal hit ANSI ARITHMETIC_OVERFLOW here);
+        # the exact int64 model state is the coordinate sums above,
+        # whose bound is |vectors per cluster| x SCALE ~ 1e16 at 1e9
+        # vectors — 3 decades of headroom
+        StructField("cost", DoubleType()),
     ]
 )
 
@@ -125,18 +133,18 @@ def kmeans_train(
                     continue
                 iv = tf(pdf["embedding"])
                 a, d2 = nn(iv, c)
-                rows = {"cluster_id": [], "n": [], "s": []}
+                rows = {"cluster_id": [], "n": [], "s": [], "cost": []}
                 for cid in np.unique(a):
                     sel = iv[a == cid]
                     rows["cluster_id"].append(int(cid))
                     rows["n"].append(int(sel.shape[0]))
                     rows["s"].append(sel.sum(axis=0).tolist())
-                # per-batch cost rides along as a pseudo-cluster row
-                # (float-summed: cost is monitoring only; the int
-                # partial sums above are the exact model state)
-                rows["cluster_id"].append(-1)
-                rows["n"].append(len(pdf))
-                rows["s"].append([int(d2.sum(dtype=np.float64))])
+                    # per-cluster cost share, float64: monitoring
+                    # only — the int partial sums above are the
+                    # exact model state (see _PARTIAL_SCHEMA note)
+                    rows["cost"].append(
+                        float(d2[a == cid].sum(dtype=np.float64))
+                    )
                 yield pd.DataFrame(rows)
 
         part = (
@@ -144,23 +152,20 @@ def kmeans_train(
             .groupBy("cluster_id")
             .agg(
                 F.sum("n").alias("n"),
-                # try_element_at: the cost pseudo-row's array has one
-                # element; strict element_at would throw past it
                 F.array(
                     *[
-                        F.sum(F.try_element_at("s", F.lit(i + 1)))
+                        F.sum(F.element_at("s", i + 1))
                         for i in range(dim)
                     ]
                 ).alias("s"),
+                F.sum("cost").alias("cost"),
             )
             .collect()
         )
         new_cent = cent.copy()
         cost = 0.0
         for r in part:
-            if r["cluster_id"] == -1:
-                cost = float(r["s"][0])
-                continue
+            cost += r["cost"]
             s = np.asarray(r["s"], dtype=np.int64)
             q = s.astype(np.float64) / r["n"]
             new_cent[r["cluster_id"]] = np.where(
