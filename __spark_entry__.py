@@ -55,12 +55,14 @@ _VERIFY_FIRST = [
     "t9_pii_scrub", "qr2_cardinality_drift",
     "hist2_histogram_range_merge", "scd2_validity_intervals",
     "sk3_kmv_set_overlap", "cm1_range_heavy_users",
-    # --- r5 changed plans (late): the k-means trainer's monitoring
-    # cost became a float64 column (the sf10 rehearsal overflowed the
-    # int64 cost sum at 100x vectors), which changes the partial
-    # schema in every kmeans_train consumer: c1 directly, ivfpq1 via
-    # the coarse quantizer (pq3 likewise, already above)
-    "c1_kmeans_clusters", "ivfpq1_topk",
+    # --- r5 changed plans (late, both sf10-rehearsal findings): the
+    # k-means trainer's monitoring cost became a float64 column (the
+    # int64 cost sum overflowed at 100x vectors), which changes the
+    # partial schema in every kmeans_train consumer — c1 directly,
+    # ivfpq1 via the coarse quantizer (pq3 likewise, already above);
+    # and d6 re-registered on the 64-bit sketch (32-bit band values
+    # saturate at 500k docs: 268x on 100x data -> 21x)
+    "c1_kmeans_clusters", "ivfpq1_topk", "d6_simhash_neardup",
     # --- r5 recheck: src1 re-verifies because corpus_datasheet grew
     # threshold forwarding (identical plan at registry defaults, but
     # the code path changed — ADVICE r4 item 4); sk2 because
@@ -91,11 +93,11 @@ _VERIFY_FIRST = [
     "j1_missing_stores_anti", "j3_brand_revenue",
     "j5_dense_date_store_grid", "j6_top_customers",
     "j7_store_region_rollup",
-    "x1_export_store_summaries",
     # ================= past the 50-window =================
-    # (x2-x6/i1/i2/i3 displaced to positions 51-58 by the sk2/hist2/
-    # pq4/scd2/sk3/cm1 rotations and the late c1/ivfpq1 re-rotation —
-    # r3-green, plans unchanged since)
+    # (x1-x6/i1/i2/i3 displaced to positions 51-59 by the sk2/hist2/
+    # pq4/scd2/sk3/cm1 rotations and the late c1/ivfpq1/d6
+    # re-rotation — r3-green, plans unchanged since)
+    "x1_export_store_summaries",
     "x2_export_top_products", "x3_export_anomalies",
     "x4_export_trends",
     "x5_export_recommendations", "x6_export_manifest",
@@ -127,9 +129,10 @@ _VERIFY_FIRST = [
     "j5_wide_pivot_timeseries",
     # --- r3-green tail, plans unchanged since r3: a1-a6 family,
     # p1/p2/p3/p4/p6/u1/f1, r1, i4/i5, sd_nested_store_daily,
-    # a4_payment_map_rollup, j5_wide_serialized, d6_simhash_neardup,
+    # a4_payment_map_rollup, j5_wide_serialized,
     # d7_semantic_dedup, d8_decontaminate, sim2_cosine_neardup,
-    # t6_stratified_sample — next round's rotation candidates.
+    # t6_stratified_sample — next round's rotation candidates
+    # (d6 rotated into the window above: 64-bit re-registration).
     "a1_store_day_metrics", "a2_payment_breakdown",
     "a2_payment_per_store_day", "a3_top5_products_store_day",
     "a4_company_daily", "a6_product_daily_exact",

@@ -277,6 +277,36 @@ sim AS (
 """
 )
 
+# 64-bit variant for d6: the sketch width is part of the operator's
+# SEMANTICS (hamming <= 6 over a 64-bit sketch), and 64 bits is what
+# survives scale — the sf10 rehearsal measured the 32-bit config at
+# 268x on 100x docs because 7 bands over 32 bits leave ~4-bit band
+# values (16-32 buckets): at 500k docs every bucket holds ~20k docs
+# and the candidate space degenerates toward all-pairs. 7 bands over
+# 64 bits keep bands >= 9 wide (512+ buckets/band), the regime the
+# Manku et al. 2007 web-dedup setup runs in.
+_SIM_BITS64 = ",\n        ".join(
+    "CASE WHEN list_sum(list_transform(uniq, w -> "
+    + _bit_sql(b)
+    + ")) > 0 THEN '1' ELSE '0' END"
+    for b in range(64)
+)
+
+SQL_SIMHASH64 = (
+    SQL_TOKS
+    + f""",
+u AS (
+    SELECT doc_id, list_distinct(toks) AS uniq FROM toks_t
+),
+sim AS (
+    SELECT doc_id,
+           concat_ws('',
+        {_SIM_BITS64}) AS simhash
+    FROM u
+)
+"""
+)
+
 register(
     "d5_simhash",
     lambda spark, sf: dedup.simhash(tables.load(spark, sf, "documents")),
@@ -289,24 +319,26 @@ SELECT doc_id, simhash, substring(simhash, 1, 8) AS block FROM sim
 # The oracle is the SPEC — a plain all-pairs Hamming filter. The Spark
 # side reproduces it exactly via pigeonhole banding (guaranteed recall),
 # so the hash check proves the banded plan computes the exact answer.
+# 64-bit sketch (see SQL_SIMHASH64 note): the width that keeps band
+# values discriminative as the corpus grows.
 register(
     "d6_simhash_neardup",
     lambda spark, sf: dedup.simhash_neardup_pairs(
-        tables.load(spark, sf, "documents"), 6
+        tables.load(spark, sf, "documents"), 6, bits=64
     ),
     f"""
-WITH {SQL_SIMHASH}
+WITH {SQL_SIMHASH64}
 SELECT
     a.doc_id AS doc_a,
     b.doc_id AS doc_b,
-    cast(len(list_filter(range(32),
+    cast(len(list_filter(range(64),
         i -> substr(a.simhash, cast(i+1 AS int), 1)
              != substr(b.simhash, cast(i+1 AS int), 1))) AS bigint)
         AS hamming
 FROM sim a
 JOIN sim b
   ON a.doc_id < b.doc_id
-WHERE cast(len(list_filter(range(32),
+WHERE cast(len(list_filter(range(64),
         i -> substr(a.simhash, cast(i+1 AS int), 1)
              != substr(b.simhash, cast(i+1 AS int), 1))) AS bigint) <= 6
 """,
