@@ -24,9 +24,13 @@ store+date point):
   layout.
 
 Usage:
-    python scripts/pruning_rehearsal.py [SF_DIR] [WORK_DIR]
-Defaults: /root/repo/.scratch/sf1  /root/repo/.scratch/layouts
-Prints ONE JSON object (commit under benchmarks/ to record a rehearsal).
+    python scripts/pruning_rehearsal.py [SF_DIR] [WORK_DIR] [OUT_JSON]
+Defaults: /root/repo/.scratch/sf1  /root/repo/.scratch/layouts  (stdout)
+Prints ONE JSON object; if OUT_JSON is given the object is also written
+there (JVM GC warnings can interleave into a captured stdout, so the
+file is the reliable channel). Commit under benchmarks/ to record a
+rehearsal. Memory note: the global layout sorts need driver headroom at
+100x — set SMURF_DRIVER_MEM (e.g. 48g) past sf1.
 """
 
 from __future__ import annotations
@@ -132,6 +136,10 @@ def main() -> None:
             }
         result["layouts"][lname] = entry
     print(json.dumps(result))
+    if len(sys.argv) > 3:
+        with open(sys.argv[3], "w") as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
     spark.stop()
 
 
