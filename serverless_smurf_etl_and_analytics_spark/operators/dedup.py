@@ -34,6 +34,17 @@ N_MINHASH = 8
 BAND_SIZE = 4  # 2 bands of 4 hashes
 HEX = "0123456789abcdef"
 
+# Band-table rows (N docs x (max_hamming+1) bands) above which the
+# simhash band self-join stops BROADCASTING its build side: at ~60
+# serialized bytes/row, 2M rows is ~120 MB — already past any sane
+# autoBroadcastJoinThreshold, and a 100 TB corpus would be orders of
+# magnitude over. Past the cap the join falls back to a key-partitioned
+# shuffle on (band_idx, band_val) and AQE skew-splitting handles hot
+# bands. (The cap is rows, not bytes, because the decision must be
+# taken at plan-build time from the already-materialized band-table
+# count — no size estimate of a cached plan is trustworthy here.)
+BROADCAST_MAX_BAND_ROWS = 2_000_000
+
 
 def shingle_rows(docs: DataFrame, n: int = 2) -> DataFrame:
     """(doc_id, sh) distinct word n-gram shingles (default bigrams) via
@@ -283,12 +294,31 @@ def simhash_neardup_pairs(
     skew-join for hot bands. Unlike sim2, the sketch width cannot adapt
     silently: hamming <= h over a ``bits``-wide sketch IS the operator's
     semantics, so changing ``bits`` changes the answer, not just the
-    plan. At corpus sizes where 32-bit band space saturates (~(h+1)
-    * N^2 / 2^(32/(h+1)) candidates), callers opt into ``bits=64`` so
-    bands stay >= 9 wide; the banding/verify scheme is unchanged (the
-    signature stays a single long up to 64)."""
-    if not 1 <= bits <= 64:
-        raise ValueError("bits must be in [1, 64] (signature is a long)")
+    plan. Widths are tiered by how the signature is packed:
+
+    - ``bits <= 64``: single long, shift+mask band extraction (the
+      original scheme; 64 keeps the 7 bands >= 9 wide — fine to ~50k
+      docs).
+    - ``64 < bits <= 128``: the scale tier (d6's registered config) —
+      the signature is an ``array<long>`` of 32-bit words and band
+      values are pre-extracted into an ``array<long>``; 7 bands over
+      128 bits are >= 18 wide (>= 262k bucket values per band), which
+      cuts the saturation candidate term ~(h+1) * N^2 / 2^band_bits by
+      ~2^9 vs 64-bit — the regime the sf10 rehearsal showed 64-bit
+      leaving (15.9x wall on 10x docs as every band bucket held ~1k
+      docs). 128 is the md5 budget; wider needs a second hash stream.
+
+    Either tier broadcasts the build side of the band self-join only
+    while the band table stays under :data:`BROADCAST_MAX_BAND_ROWS`;
+    past that the join is a key-partitioned shuffle (AQE skew-splits
+    hot bands) — an unconditional broadcast of a corpus x bands table
+    cannot survive 100 TB."""
+    if not 1 <= bits <= 128:
+        raise ValueError(
+            "bits must be in [1, 128] (md5 provides 128 signature bits)"
+        )
+    if bits > 64:
+        return _simhash_neardup_pairs_wide(docs, max_hamming, bits)
     # bits > 32: assemble the long from two halves — conv() returns an
     # UNSIGNED decimal string, so a direct cast overflows to null for
     # signatures >= 2^63. The wrap to a negative long is fine: every
@@ -325,12 +355,13 @@ def simhash_neardup_pairs(
     # parallelism with even load: AQE coalesces by shuffle BYTES and
     # would run this tiny but match-explosive input (30M+ candidate
     # probes at sf0.1) on one task, while key-partitioning would pile
-    # hot band values onto a few tasks. The build side is pinned with an
-    # explicit F.broadcast hint so probe rows need no co-location and
-    # the plan cannot silently flip to a shuffle join past the session's
-    # autoBroadcastJoinThreshold. (At a scale where the band table
-    # exceeds broadcast range, drop the hint for a key-partitioned
-    # shuffle join and let AQE skew-splitting handle hot bands.)
+    # hot band values onto a few tasks. While the band table is small
+    # the build side is pinned with an explicit F.broadcast hint so
+    # probe rows need no co-location; past BROADCAST_MAX_BAND_ROWS the
+    # hint is withheld and the join runs as a key-partitioned shuffle
+    # with AQE skew-splitting on hot bands (the count also materializes
+    # the cache, so the decision costs a scan of rows the join needs
+    # anyway).
     p = docs.sparkSession.sparkContext.defaultParallelism
     eb = (
         s.select(
@@ -344,7 +375,9 @@ def simhash_neardup_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = eb.alias("a")
-    b = F.broadcast(eb.alias("b"))
+    b = eb.alias("b")
+    if eb.count() <= BROADCAST_MAX_BAND_ROWS:
+        b = F.broadcast(b)
     # exactly-once without a distinct shuffle: keep a pair only at its
     # first matching band (all earlier bands must differ), and verify
     # the full Hamming bound inline — candidate generation, dedup, and
@@ -364,6 +397,98 @@ def simhash_neardup_pairs(
     hamming = F.bit_count(
         F.col("a.sig").bitwiseXOR(F.col("b.sig"))
     ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & first_match
+            & (hamming <= max_hamming),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+    )
+
+
+def _simhash_neardup_pairs_wide(
+    docs: DataFrame, max_hamming: int, bits: int
+) -> DataFrame:
+    """The 64 < bits <= 128 tier of :func:`simhash_neardup_pairs` —
+    same pigeonhole scheme, different packing. The signature is an
+    ``array<long>`` of 32-bit words (a 32-bit slice conv()s to long
+    with no sign games; Hamming = sum of per-word ``bit_count(xor)``
+    via ``zip_with``/``aggregate``, all codegen'd array intrinsics) and
+    the ``max_hamming + 1`` band values (each <= ceil(128/7) = 19 bits,
+    so a plain long) are pre-extracted into a ``bands`` array — the
+    first-match dedup predicate reads ``element_at(bands, j)`` instead
+    of re-deriving shift/mask expressions per band. The band self-join
+    and its broadcast/shuffle sizing rule are identical to the narrow
+    tier."""
+    n_words = (bits + 31) // 32
+    word_bounds = [
+        (1 + 32 * w, min(32, bits - 32 * w)) for w in range(n_words)
+    ]
+    bounds = band_bounds(bits, max_hamming + 1)
+    sig_arr = F.array(
+        *[
+            F.conv(F.substring("simhash", st, ln), 2, 10).cast("long")
+            for st, ln in word_bounds
+        ]
+    )
+    band_arr = F.array(
+        *[
+            F.conv(F.substring("simhash", st, ln), 2, 10).cast("long")
+            for st, ln in bounds
+        ]
+    )
+    s = simhash(docs, bits).select(
+        "doc_id", sig_arr.alias("sig"), band_arr.alias("bands")
+    )
+    p = docs.sparkSession.sparkContext.defaultParallelism
+    eb = (
+        s.select(
+            "doc_id",
+            "sig",
+            "bands",
+            F.posexplode("bands").alias("band_idx", "band_val"),
+        )
+        .repartition(p)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = eb.alias("a")
+    b = eb.alias("b")
+    if eb.count() <= BROADCAST_MAX_BAND_ROWS:
+        b = F.broadcast(b)
+    # exactly-once without a distinct shuffle: keep a pair only at its
+    # first matching band (all earlier bands must differ); candidate
+    # generation, dedup, and Hamming verification run in one codegen
+    # stage after one shuffle (or broadcast probe).
+    first_match = None
+    for i in range(len(bounds)):
+        mism = F.lit(True)
+        for j in range(i):
+            mism = mism & (
+                F.element_at(F.col("a.bands"), j + 1)
+                != F.element_at(F.col("b.bands"), j + 1)
+            )
+        first_match = (
+            F.when(F.col("a.band_idx") == i, mism)
+            if first_match is None
+            else first_match.when(F.col("a.band_idx") == i, mism)
+        )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"),
+            F.col("b.sig"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return (
         a.join(
             b,

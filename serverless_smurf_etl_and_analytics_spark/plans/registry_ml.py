@@ -277,22 +277,26 @@ sim AS (
 """
 )
 
-# 64-bit variant for d6: the sketch width is part of the operator's
-# SEMANTICS (hamming <= 6 over a 64-bit sketch), and 64 bits is what
-# survives scale — the sf10 rehearsal measured the 32-bit config at
-# 268x on 100x docs because 7 bands over 32 bits leave ~4-bit band
-# values (16-32 buckets): at 500k docs every bucket holds ~20k docs
-# and the candidate space degenerates toward all-pairs. 7 bands over
-# 64 bits keep bands >= 9 wide (512+ buckets/band), the regime the
-# Manku et al. 2007 web-dedup setup runs in.
-_SIM_BITS64 = ",\n        ".join(
+# 128-bit variant for d6: the sketch width is part of the operator's
+# SEMANTICS (hamming <= 6 over a 128-bit sketch), and width is what
+# survives scale — the candidate term is ~(h+1) * N^2 / 2^band_bits,
+# so each config has a corpus size where its band space saturates and
+# the search degenerates toward all-pairs. Measured on the sf10
+# rehearsal (500k docs): 32-bit (7 bands of ~4 bits, 16-32 buckets)
+# ran 268x on 100x docs; 64-bit (bands >= 9 bits) fixed that tier but
+# still hit 15.9x on 10x docs at ~1k docs/bucket. 128 bits — the full
+# md5 budget — keeps the 7 pigeonhole bands >= 18 wide (>= 262k bucket
+# values/band), the regime the Manku et al. 2007 web-scale dedup setup
+# runs in (64-bit sketch, 4-band splits of 16 bits at ~8B docs; same
+# bucket-occupancy arithmetic).
+_SIM_BITS128 = ",\n        ".join(
     "CASE WHEN list_sum(list_transform(uniq, w -> "
     + _bit_sql(b)
     + ")) > 0 THEN '1' ELSE '0' END"
-    for b in range(64)
+    for b in range(128)
 )
 
-SQL_SIMHASH64 = (
+SQL_SIMHASH128 = (
     SQL_TOKS
     + f""",
 u AS (
@@ -301,7 +305,7 @@ u AS (
 sim AS (
     SELECT doc_id,
            concat_ws('',
-        {_SIM_BITS64}) AS simhash
+        {_SIM_BITS128}) AS simhash
     FROM u
 )
 """
@@ -319,26 +323,28 @@ SELECT doc_id, simhash, substring(simhash, 1, 8) AS block FROM sim
 # The oracle is the SPEC — a plain all-pairs Hamming filter. The Spark
 # side reproduces it exactly via pigeonhole banding (guaranteed recall),
 # so the hash check proves the banded plan computes the exact answer.
-# 64-bit sketch (see SQL_SIMHASH64 note): the width that keeps band
-# values discriminative as the corpus grows.
+# 128-bit sketch (see SQL_SIMHASH128 note): the width that keeps band
+# values discriminative as the corpus grows; the Spark side runs the
+# word-array tier (dedup._simhash_neardup_pairs_wide) with the
+# size-conditional broadcast.
 register(
     "d6_simhash_neardup",
     lambda spark, sf: dedup.simhash_neardup_pairs(
-        tables.load(spark, sf, "documents"), 6, bits=64
+        tables.load(spark, sf, "documents"), 6, bits=128
     ),
     f"""
-WITH {SQL_SIMHASH64}
+WITH {SQL_SIMHASH128}
 SELECT
     a.doc_id AS doc_a,
     b.doc_id AS doc_b,
-    cast(len(list_filter(range(64),
+    cast(len(list_filter(range(128),
         i -> substr(a.simhash, cast(i+1 AS int), 1)
              != substr(b.simhash, cast(i+1 AS int), 1))) AS bigint)
         AS hamming
 FROM sim a
 JOIN sim b
   ON a.doc_id < b.doc_id
-WHERE cast(len(list_filter(range(64),
+WHERE cast(len(list_filter(range(128),
         i -> substr(a.simhash, cast(i+1 AS int), 1)
              != substr(b.simhash, cast(i+1 AS int), 1))) AS bigint) <= 6
 """,

@@ -73,13 +73,18 @@ def planted_emb(spark, emb):
     return planted, targets
 
 
-@pytest.mark.parametrize("bits", [32, 64])
+@pytest.mark.parametrize("bits", [32, 64, 128])
 def test_pigeonhole_banding_equals_allpairs(spark, docs, bits):
     """The d6 claim: 7-band pigeonhole blocking finds EXACTLY the
     all-pairs hamming<=6 set — guaranteed recall, zero false
     positives after verification. At 64 bits this also proves the
     two-half long assembly (signatures past 2^63 wrap negative;
-    shift+mask/xor/bit_count stay bit-pattern-correct)."""
+    shift+mask/xor/bit_count stay bit-pattern-correct); at 128 bits
+    it proves the word-array tier (_simhash_neardup_pairs_wide) —
+    the 64-bit answers are additionally pinned by the law that the
+    banded result equals the brute-force filter at the SAME width,
+    so widening d6's registered config cannot silently change what
+    bits=64 callers get."""
     banded = {
         (r["doc_a"], r["doc_b"], r["hamming"])
         for r in dedup.simhash_neardup_pairs(docs, 6, bits).collect()
