@@ -624,18 +624,37 @@ def connected_components_star(
 
     Same per-round lineage/stats hygiene as the labelprop loop
     (:func:`_ckpt_fresh`); state is the contracted edge list — one row
-    per non-root vertex at the fixed point, never the corpus."""
+    per non-root vertex at the fixed point, never the corpus.
+
+    Self-loops carry no connectivity and are dropped from the edge
+    set, but a vertex whose ONLY edges are self-loops must still come
+    out as its own singleton component — the labelprop reference emits
+    it, and the advertised equality law between the two implementations
+    holds on any input. Such vertices are collected (from the same
+    persisted canonical edge pass) and unioned back in as roots."""
     e = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("s"),
             F.least(F.col(src), F.col(dst)).alias("d"),
         )
-        .filter(F.col("s") != F.col("d"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e.count()  # one materialization of the expensive pair search
-    cur = _ckpt_fresh(e)
+    cur = _ckpt_fresh(e.filter(F.col("s") != F.col("d")))
+    # vertices with ONLY self-loop edges: singleton roots (tiny —
+    # bounded by the near-dup vertex set, like every loop state here)
+    lonely = _ckpt_fresh(
+        e.filter(F.col("s") == F.col("d"))
+        .select(F.col("s").alias("v"))
+        .join(
+            cur.select(F.col("s").alias("v"))
+            .union(cur.select(F.col("d").alias("v")))
+            .distinct(),
+            "v",
+            "anti",
+        )
+    )
     e.unpersist()
     for _ in range(max_iter):
         # large-star: closed-neighborhood minimum per vertex over the
@@ -675,21 +694,40 @@ def connected_components_star(
             .filter(F.col("s") != F.col("d"))
             .distinct()
         )
-        changed = (
-            small.exceptAll(cur).count() + cur.exceptAll(small).count()
-        )
-        cur = small
-        if changed == 0:
+        # fixed-point check: both sides are DISTINCT edge sets, so
+        # equality of (count, sum of per-row hash) implies set equality
+        # up to a 2^-64-ish collision — one cheap aggregate over the
+        # just-checkpointed rows instead of the two exceptAll shuffle
+        # jobs this used to run per round (a measured constant-factor
+        # drag on d9/d10). The hash sum rides in decimal(38,0) so it
+        # cannot overflow (ANSI mode would raise on a long sum).
+        if _edge_checksum(small) == _edge_checksum(cur):
+            cur = small
             break
+        cur = small
     # fixed point = union of stars rooted at component minima: the
     # edge set is the label map for non-roots; roots label themselves.
-    return cur.select(
-        F.col("s").alias("v"), F.col("d").alias("component")
-    ).union(
-        cur.select("d")
-        .distinct()
-        .select(F.col("d").alias("v"), F.col("d").alias("component"))
+    return (
+        cur.select(F.col("s").alias("v"), F.col("d").alias("component"))
+        .union(
+            cur.select("d")
+            .distinct()
+            .select(F.col("d").alias("v"), F.col("d").alias("component"))
+        )
+        .union(
+            lonely.select("v", F.col("v").alias("component"))
+        )
     )
+
+
+def _edge_checksum(e: DataFrame) -> tuple:
+    """(row count, sum of xxhash64(s, d)) — an order-insensitive set
+    fingerprint of a distinct (s, d) edge frame; one aggregate job."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("s", "d").cast("decimal(28,0)")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
 
 
 def connected_components_labelprop(

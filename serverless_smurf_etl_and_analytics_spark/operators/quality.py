@@ -21,7 +21,7 @@ no float accumulation order can drift a value.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # transactions columns profiled by dq1 — the bigint/string split
@@ -530,6 +530,32 @@ def write_zordered(daily: DataFrame, path: str) -> None:
     )
 
 
+def _log2_bin(col: str) -> Column:
+    """bitlen bin of a POSITIVE cents column, with the domain enforced
+    per-row: a zero would land in bin 1 (whose bracket [1, 2) excludes
+    it) and a negative (refund) would hit the 64-char two's-complement
+    binary — bin 64, whose ``shiftleft(1L, 63)`` bracket overflows
+    negative — in both cases silently corrupting the hash-checked
+    containment law between the daily layer and the range merge.
+    ``raise_error`` fails the JOB with the offending value instead;
+    out-of-domain facts must be cleaned (or the refund flow modeled
+    explicitly) before histogramming, not absorbed wrongly."""
+    return (
+        F.when(
+            F.col(col) >= 1,
+            F.expr(f"length(bin({col}))").cast("long"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"log2 histogram requires {col} >= 1; got %s",
+                    F.col(col),
+                )
+            ).cast("long")
+        )
+    )
+
+
 def log2_histogram(txns: DataFrame) -> DataFrame:
     """hist1: mergeable power-of-two histogram of line cents per
     payment method, with each bin's exact bounds and the p50-carrying
@@ -543,10 +569,14 @@ def log2_histogram(txns: DataFrame) -> DataFrame:
 
     bin = bitlen(v) (floor(log2(v)) + 1, via the length-of-binary
     trick — no floating log), so bin k covers [2^(k-1), 2^k).
+
+    Domain: line_cents >= 1, ENFORCED (:func:`_log2_bin`) — see
+    :func:`daily_log2_histograms` for why out-of-domain values must
+    fail loudly here rather than land in a wrong bin.
     """
     binned = txns.select(
         "payment_method",
-        F.expr("length(bin(line_cents))").cast("long").alias("bin"),
+        _log2_bin("line_cents").alias("bin"),
         F.col("line_cents").alias("v"),
     ).groupBy("payment_method", "bin").agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -584,12 +614,14 @@ def daily_log2_histograms(txns: DataFrame) -> DataFrame:
     :func:`stats.kmv_daily_sketches` (KMV) and the per-day HLL
     registers: the daily pipeline persists <= 64 bounded rows per
     (method, day) and any later date-range quantile question merges
-    them by ADDITION, never rescanning facts."""
+    them by ADDITION, never rescanning facts.
+
+    Domain: line_cents >= 1, ENFORCED per-row (:func:`_log2_bin`)."""
     return (
         txns.select(
             "payment_method",
             "sale_date",
-            F.expr("length(bin(line_cents))").cast("long").alias("bin"),
+            _log2_bin("line_cents").alias("bin"),
         )
         .groupBy("payment_method", "sale_date", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -88,6 +88,45 @@ class CommitConflict(Exception):
 # overwrites, whose content does not depend on the head they land on)
 _ANY_HEAD = object()
 
+# touched inside a staged data dir at every publish attempt so vacuum's
+# grace window keys off COMMIT activity, not write completion: the
+# parquet files' (and the dir's) mtimes freeze when the write finishes,
+# so a commit stalled between write and manifest publish for longer
+# than the grace would otherwise look abandoned while still in flight.
+# Underscore-prefixed, so parquet readers ignore it.
+_IN_FLIGHT_MARKER = "_COMMITTING"
+
+
+def _touch_in_flight(staged: str) -> None:
+    with open(os.path.join(staged, _IN_FLIGHT_MARKER), "a"):
+        pass
+    os.utime(os.path.join(staged, _IN_FLIGHT_MARKER))
+
+
+def _append_data_dirs(
+    table_dir: str, head: int, schema: list, staged: str
+) -> list[str]:
+    """data_dirs for an append of ``staged`` onto ``head``, refusing
+    schema drift: an append with a drifted schema would poison every
+    later multi-directory read — refuse it at commit time (an
+    intentional schema change commits as overwrite). Applies equally
+    to batch commits and stream micro-batch commits — a schema-drifted
+    micro-batch is exactly as poisonous as a drifted batch append. A
+    head whose manifest predates schema recording (or a restore of
+    one) has nothing to validate against — skip, don't crash on
+    None."""
+    prev = _read_manifest(table_dir, head)
+    prev_schema_raw = prev.get("schema")
+    if prev_schema_raw is not None:
+        prev_schema = [tuple(c) for c in prev_schema_raw]
+        if prev_schema != schema:
+            raise ValueError(
+                f"append schema {schema} != table schema"
+                f" {prev_schema}; commit schema changes with"
+                " mode='overwrite'"
+            )
+    return prev["data_dirs"] + [staged]
+
 
 def _try_publish(table_dir: str, version: int, manifest: dict) -> bool:
     """Atomically publish a COMPLETE manifest as ``_log/<N>.json``;
@@ -96,7 +135,9 @@ def _try_publish(table_dir: str, version: int, manifest: dict) -> bool:
     ``os.link``ed to the final name: link is atomic AND exclusive, so
     a reader can never observe a partial manifest, and a crash before
     the link leaves only an invisible ``*.tmp`` (ignored by
-    :func:`latest_version`'s ``.json`` filter, GC'd by vacuum)."""
+    :func:`latest_version`'s ``.json`` filter; :func:`vacuum` lists
+    ``_log/*.tmp`` older than its grace window as GC candidates, so
+    crash-stranded temp manifests do not accumulate forever)."""
     tmp = os.path.join(
         _log_dir(table_dir),
         f"{version:012d}.{uuid.uuid4().hex[:8]}.tmp",
@@ -144,6 +185,7 @@ def commit_version(
     )
 
     while True:
+        _touch_in_flight(staged)
         head = latest_version(table_dir)
         if expect_head is not _ANY_HEAD and head != expect_head:
             raise CommitConflict(
@@ -153,23 +195,7 @@ def commit_version(
         version = 0 if head is None else head + 1
         dirs = [staged]
         if mode == "append" and head is not None:
-            prev = _read_manifest(table_dir, head)
-            # an append with a drifted schema would poison every later
-            # multi-directory read — refuse it at commit time (an
-            # intentional schema change commits as overwrite). A head
-            # whose manifest predates schema recording (or a restore
-            # of one) has nothing to validate against — skip, don't
-            # crash on None.
-            prev_schema_raw = prev.get("schema")
-            if prev_schema_raw is not None:
-                prev_schema = [tuple(c) for c in prev_schema_raw]
-                if prev_schema != schema:
-                    raise ValueError(
-                        f"append schema {schema} != table schema"
-                        f" {prev_schema}; commit schema changes with"
-                        " mode='overwrite'"
-                    )
-            dirs = prev["data_dirs"] + dirs
+            dirs = _append_data_dirs(table_dir, head, schema, staged)
         manifest = {
             "version": version,
             "op": op,
@@ -251,17 +277,25 @@ def vacuum(
     keep_versions: int = 1,
     grace_seconds: float = 3600.0,
 ) -> list[str]:
-    """List (NOT delete) data directories unreferenced by the newest
-    ``keep_versions`` manifests — the GC candidate set. Deletion is
-    left to the caller so a reader pinned to an old version cannot be
-    yanked mid-query by this library.
+    """List (NOT delete) paths unreferenced by the newest
+    ``keep_versions`` manifests — the GC candidate set: stale data
+    directories plus crash-stranded ``_log/*.tmp`` manifests older
+    than the grace window. Deletion is left to the caller so a reader
+    pinned to an old version cannot be yanked mid-query by this
+    library.
 
     ``grace_seconds``: a staged directory referenced by NO manifest at
-    all and younger than this is NOT a candidate — it may be an
-    in-flight commit whose manifest hasn't landed yet (deleting it
-    would destroy that commit's data files out from under it). Dirs
-    referenced by an OLD manifest are committed history, candidates
-    regardless of age. Pass 0 only with writers quiesced."""
+    all whose newest activity is younger than this is NOT a candidate
+    — it may be an in-flight commit whose manifest hasn't landed yet
+    (deleting it would destroy that commit's data files out from under
+    it). "Newest activity" is the max mtime over the dir and its
+    entries, which includes the ``_COMMITTING`` marker every publish
+    attempt re-touches — the parquet files' own mtimes freeze when the
+    write finishes, so a commit stalled between write and publish
+    longer than the grace would otherwise be mislisted while still in
+    flight. Dirs referenced by an OLD manifest are committed history,
+    candidates regardless of age. Pass 0 only with writers
+    quiesced."""
     import time
 
     head = latest_version(table_dir)
@@ -282,17 +316,42 @@ def vacuum(
     }
     now = time.time()
 
+    def _newest_mtime(d: str) -> float:
+        ts = [os.path.getmtime(d)]
+        for f in os.listdir(d):
+            try:
+                ts.append(os.path.getmtime(os.path.join(d, f)))
+            except OSError:
+                pass  # concurrently replaced entry: skip
+        return max(ts)
+
     def _gc_ok(d: str) -> bool:
         if d in keep or not os.path.isdir(d):
             return False
         if d in ever_referenced:
             return True  # committed history, safe at any age
         try:
-            return now - os.path.getmtime(d) >= grace_seconds
+            return now - _newest_mtime(d) >= grace_seconds
         except OSError:
             return False  # vanished mid-scan: someone else's problem
 
-    return sorted(d for d in all_dirs if _gc_ok(d))
+    candidates = [d for d in all_dirs if _gc_ok(d)]
+    # crash-stranded temp manifests: _try_publish unlinks its tmp on
+    # every non-crash path, so any .tmp older than the grace is an
+    # orphan (a LIVE publish attempt's tmp exists only for the instant
+    # between write and link/unlink — the grace is overkill, kept for
+    # symmetry with the data-dir rule).
+    log_root = _log_dir(table_dir)
+    for f in os.listdir(log_root):
+        if not f.endswith(".tmp"):
+            continue
+        p = os.path.join(log_root, f)
+        try:
+            if now - os.path.getmtime(p) >= grace_seconds:
+                candidates.append(p)
+        except OSError:
+            pass  # vanished mid-scan (its publisher unlinked it)
+    return sorted(candidates)
 
 
 def compact(
@@ -413,6 +472,7 @@ def commit_stream_batch(
         (f.name, f.dataType.simpleString()) for f in df.schema.fields
     )
     while True:
+        _touch_in_flight(staged)
         head = latest_version(table_dir)
         # the race loser re-checks the batch ledger too: the winner
         # may have been a replay of the SAME batch from another driver
@@ -421,7 +481,9 @@ def commit_stream_batch(
         version = 0 if head is None else head + 1
         dirs = [staged]
         if mode == "append" and head is not None:
-            dirs = _read_manifest(table_dir, head)["data_dirs"] + dirs
+            # same drift guard as commit_version: a schema-drifted
+            # micro-batch must not append mixed-schema data_dirs
+            dirs = _append_data_dirs(table_dir, head, schema, staged)
         manifest = {
             "version": version,
             "op": "stream_batch",

@@ -193,3 +193,26 @@ def test_star_equals_labelprop_on_random_graphs(spark):
             dedup.connected_components_labelprop(_edges(spark, edges))
         )
         assert star == ref, f"divergence at seed {seed}"
+
+
+def test_star_equals_labelprop_with_self_loops(spark):
+    """Law (ADVICE r5): self-loops carry no connectivity, but a vertex
+    whose ONLY edges are self-loops must still come out as its own
+    singleton component from BOTH implementations — star contraction
+    used to drop it at its entry filter while labelprop emitted it."""
+    cases = [
+        [(5, 5)],                  # the whole graph is one self-loop
+        [(1, 2), (7, 7)],          # self-loop-only vertex beside a pair
+        [(3, 3), (3, 4)],          # self-loop on a connected vertex
+        [(9, 9), (9, 9)],          # duplicated self-loop
+        [(2, 2), (2, 3), (3, 4), (8, 8), (6, 6)],
+    ]
+    for edges in cases:
+        star = _labels(
+            dedup.connected_components_star(_edges(spark, edges))
+        )
+        ref = _labels(
+            dedup.connected_components_labelprop(_edges(spark, edges))
+        )
+        assert star == ref, f"divergence on {edges}"
+        assert all(v in star for v, _ in edges), f"missing vertex: {edges}"

@@ -526,3 +526,37 @@ def test_kmv_set_overlap_estimator_laws(spark):
     if errs:
         mae = sum(errs) / len(errs)
         assert mae <= 0.5, f"mean abs rel error {mae:.2f}"
+
+
+def test_log2_histogram_rejects_nonpositive_cents(spark):
+    """Domain guard (ADVICE r5): a zero would land in bin 1 (bracket
+    [1,2) excludes it) and a negative would hit the two's-complement
+    bin 64 with an overflowed bracket — both silently corrupt the
+    daily->range containment law, so the layer must fail loudly on
+    out-of-domain cents instead."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    base = [("card", "2024-01-01", 250), ("cash", "2024-01-01", 1)]
+    for bad in (0, -199):
+        rows = base + [("card", "2024-01-02", bad)]
+        df = spark.createDataFrame(
+            rows, "payment_method string, sale_date string, line_cents long"
+        )
+        with _pytest.raises(
+            SparkRuntimeException, match="line_cents >= 1"
+        ):
+            quality.log2_histogram(df).collect()
+        with _pytest.raises(
+            SparkRuntimeException, match="line_cents >= 1"
+        ):
+            quality.daily_log2_histograms(df).collect()
+    # in-domain rows still bin: 250 -> bin 8 ([128, 256)), 1 -> bin 1
+    ok = spark.createDataFrame(
+        base, "payment_method string, sale_date string, line_cents long"
+    )
+    got = {
+        (r["payment_method"], r["bin"])
+        for r in quality.daily_log2_histograms(ok).collect()
+    }
+    assert got == {("card", 8), ("cash", 1)}

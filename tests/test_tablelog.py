@@ -414,3 +414,86 @@ def test_vacuum_grace_protects_inflight_staging(spark, tmp_path):
     # with writers quiesced (grace 0) the orphan becomes collectable
     assert inflight in tablelog.vacuum(t, keep_versions=1,
                                        grace_seconds=0)
+
+
+def test_stream_batch_append_refuses_schema_drift(spark, tmp_path):
+    """The drift guard covers the STREAM commit path too: a
+    schema-drifted micro-batch append must be refused at commit time,
+    exactly like a drifted batch append — otherwise it extends
+    data_dirs with mixed-schema files and poisons every later
+    multi-directory read (ADVICE r5)."""
+    import pytest as _pytest
+
+    t = str(tmp_path / "t")
+    d = _daily(spark)
+    tablelog.commit_stream_batch(spark, t, d.limit(5), batch_id=0)
+    drifted = d.limit(3).withColumn("extra", F.lit(1))
+    with _pytest.raises(ValueError, match="schema"):
+        tablelog.commit_stream_batch(spark, t, drifted, batch_id=1)
+    # the refused batch landed nothing: head unchanged, ledger clean
+    assert tablelog.latest_version(t) == 0
+    assert tablelog.committed_batch_ids(t) == {0}
+
+
+def test_vacuum_lists_stale_tmp_manifests(spark, tmp_path):
+    """A crash between _try_publish's tmp write and its link strands a
+    _log/*.tmp manifest; vacuum lists it (past the grace) so orphans
+    do not accumulate forever (ADVICE r5: the docstring used to claim
+    this without the code doing it)."""
+    t = str(tmp_path / "t")
+    d = _daily(spark)
+    tablelog.commit_version(spark, t, d.limit(5), mode="overwrite")
+    log_dir = os.path.join(t, "_log")
+    stale = os.path.join(log_dir, "000000000007.deadbeef.tmp")
+    fresh = os.path.join(log_dir, "000000000008.cafebabe.tmp")
+    for p in (stale, fresh):
+        with open(p, "w") as f:
+            f.write("{}")
+    os.utime(stale, (1, 1))  # ancient
+    cands = tablelog.vacuum(t, keep_versions=1)
+    assert stale in cands
+    assert fresh not in cands  # inside the grace: may be mid-publish
+    # committed manifests are never candidates
+    assert all(not c.endswith(".json") for c in cands)
+
+
+def test_vacuum_grace_keys_off_commit_activity(spark, tmp_path):
+    """The grace window must track COMMIT activity, not write
+    completion: parquet mtimes freeze when the write finishes, so a
+    commit stalled between write and publish longer than the grace
+    used to be mislisted while still in flight (ADVICE r5). Publish
+    attempts re-touch a _COMMITTING marker inside the staged dir and
+    vacuum ages the NEWEST mtime in the dir."""
+    t = str(tmp_path / "t")
+    d = _daily(spark)
+    tablelog.commit_version(spark, t, d, mode="overwrite")
+    tablelog.commit_version(spark, t, d.limit(5), mode="overwrite")
+    # simulate a stalled writer: staged long ago (dir + files ancient)
+    # but its committer is alive and re-touching the marker
+    stalled = os.path.join(t, "data", "staged-stalled0000000")
+    os.makedirs(stalled)
+    part = os.path.join(stalled, "part-00000.parquet")
+    with open(part, "w") as f:
+        f.write("x")
+    tablelog._touch_in_flight(stalled)
+    os.utime(stalled, (1, 1))
+    os.utime(part, (1, 1))
+    assert stalled not in tablelog.vacuum(t, keep_versions=1)
+    # once the marker itself ages out, the dir is abandoned: candidate
+    os.utime(os.path.join(stalled, tablelog._IN_FLIGHT_MARKER), (1, 1))
+    assert stalled in tablelog.vacuum(t, keep_versions=1)
+
+
+def test_committed_staged_dir_has_marker_ignored_by_readers(
+    spark, tmp_path
+):
+    """The _COMMITTING marker stays behind in committed data dirs;
+    parquet readers must ignore it (underscore prefix convention)."""
+    t = str(tmp_path / "t")
+    d = _daily(spark)
+    tablelog.commit_version(spark, t, d.limit(5), mode="overwrite")
+    staged = tablelog.history(t)[0]["data_dirs"][0]
+    assert os.path.exists(
+        os.path.join(staged, tablelog._IN_FLIGHT_MARKER)
+    )
+    assert _rows(tablelog.read_version(spark, t)) == _rows(d.limit(5))
