@@ -105,13 +105,25 @@ def pivot_timeseries(
     txns: DataFrame, expected: DataFrame, start: str, end: str
 ) -> DataFrame:
     """J5 wide form: one row per date, one column per store
-    (``get-trends/lambda_function.py:285-304``). Column set depends on
-    the store dimension, so this is Spark-side only (no fixed-schema
-    oracle); the long form above is the hash-checked variant."""
+    (``get-trends/lambda_function.py:285-304``).
+
+    The pivot column set is pinned EXPLICITLY from the store dimension
+    (one driver-side collect of a bounded dim table — the same class
+    of model artifact as a broadcast build side): an explicit values
+    list (a) saves the extra distinct job Spark's dynamic pivot runs
+    to discover values, and (b) makes the output schema a pure
+    function of the dimension, so the DuckDB oracle (a dynamic PIVOT
+    over the identical dense grid) produces the same columns and the
+    driver can hash-check the wide form directly — previously this was
+    the registry's one oracle-less query. The serialized twin below
+    remains the fixed-schema variant."""
+    stores = sorted(
+        r["store_id"] for r in expected.select("store_id").collect()
+    )
     long = dense_date_store_grid(txns, expected, start, end)
     return (
         long.groupBy("sale_date")
-        .pivot("store_id")
+        .pivot("store_id", stores)
         .agg(F.first("sales"))
         .na.fill(0.0)
     )

@@ -690,9 +690,12 @@ LEFT JOIN daily f
 """,
 )
 
-# J5 wide form — one column per store (get-trends:285-304). The column
-# set depends on the store dimension, so there is no fixed-schema SQL
-# oracle: registered WITHOUT oracle -> the driver's rows-only check.
+# J5 wide form — one column per store (get-trends:285-304). The Spark
+# side pins its pivot columns from the store dimension and the oracle
+# runs DuckDB's dynamic PIVOT over the identical dense grid — both
+# column sets are pure functions of the same dimension table, so the
+# driver's sorted-columns compare hash-checks the full wide matrix
+# (previously the registry's one oracle-less query).
 register(
     "j5_wide_pivot_timeseries",
     lambda spark, sf: joins.pivot_timeseries(
@@ -701,7 +704,27 @@ register(
         W_START,
         W_END,
     ),
-    None,
+    f"""
+WITH {TXN}, {SQL_DAILY_CENTS},
+dates AS (
+    SELECT strftime(cast(generate_series AS date), '%Y-%m-%d') AS sale_date
+    FROM generate_series(DATE '{W_START}', DATE '{W_END}', INTERVAL 1 day)
+),
+stores AS (
+    SELECT lpad(cast(s_suppkey AS varchar), 4, '0') AS store_id FROM supplier
+),
+grid AS (
+    SELECT
+        d.sale_date,
+        s.store_id,
+        cast(coalesce(f.sales_c, 0) / 100.0 AS double) AS sales
+    FROM dates d
+    CROSS JOIN stores s
+    LEFT JOIN daily f
+      ON f.sale_date = d.sale_date AND f.store_id = s.store_id
+)
+SELECT * FROM (PIVOT grid ON store_id USING first(sales) GROUP BY sale_date)
+""",
 )
 
 # J5 wide form, serialized twin — the same grid with the per-store
