@@ -111,6 +111,34 @@ def record_run(
     df.coalesce(1).write.mode("append").parquet(_ledger_path(out_dir))
 
 
+def materialize_store_daily(df: DataFrame, path: str) -> None:
+    """Write the store_daily MV in its SERVING layout: one directory
+    per sale_date (directory-level partition pruning serves the date
+    axis — P4 range scans and the incremental rewrite) with rows
+    clustered by store_id INSIDE each partition, so parquet row-group
+    min/max footers prune store probes (P2 prefix, P3 point lookups)
+    to the admitting groups. The r5 pruning rehearsal measured the
+    clustered layouts admitting 1/32 row groups on store predicates at
+    sf1/sf10 where the unclustered write admits all of them
+    (``benchmarks/pruning_r5_sf*.json``) — this wires that measured
+    win into the pipeline default instead of leaving it a rehearsal
+    artifact. Cost: one repartition+sort of a dimension-sized MV
+    (|stores| x |days| rows regardless of fact volume) per
+    materialization.
+
+    The repartition ALSO fixes small-file pressure: hash-placing each
+    date's rows into one task yields one file per partition directory
+    instead of one per (task x date)."""
+    (
+        df.repartition("sale_date")
+        .sortWithinPartitions("sale_date", "store_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("sale_date")
+        .parquet(path)
+    )
+
+
 def run_daily_pipeline(
     spark: SparkSession,
     sf_dir: str,
@@ -154,13 +182,7 @@ def run_daily_pipeline(
         txns if bootstrap else txns.filter(F.col("sale_date") == run_date)
     )
     stats["store_daily_mode"] = "bootstrap" if bootstrap else "incremental"
-    (
-        metrics.store_daily_nested(mv_input)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("sale_date")
-        .parquet(sd_path)
-    )
+    materialize_store_daily(metrics.store_daily_nested(mv_input), sd_path)
     # partition-column type inference reads sale_date back as DATE;
     # cast to string so MV consumers see the canonical column type
     store_daily = spark.read.parquet(sd_path).withColumn(
