@@ -9,9 +9,12 @@ pairing integrity — is pure DataFrame algebra designed like the d1/d3
 dedup family (hash-bucketed shuffles, never all-pairs). The decode /
 feature-extract steps are Arrow-batched ``mapInPandas`` plumbing with
 a DETERMINISTIC FAKE decoder: this container has no codec libraries,
-so the real-decoder slot is clearly stubbed (NotImplementedError)
-while the Spark-side schema, batch shape, and UDF signature are real
-and tested.
+so the real-decoder slots for COMPRESSED formats are clearly stubbed
+(NotImplementedError) while the Spark-side schema, batch shape, and
+UDF signature are real and tested. One format is decoded for REAL
+with zero dependencies: binary PPM (P6) images — see
+:func:`decode_ppm` / :func:`resize_ppm_images`, an actual
+decode/resample/re-encode/fingerprint path exercised by the tests.
 
 The corpus itself has no binary column, so ``with_binary_payload``
 derives one deterministically from the documents table (payload =
@@ -151,8 +154,10 @@ def resize_images(
     stubbed — same pattern as decode_assets."""
     if use_real_decoder:
         raise NotImplementedError(
-            "real image resampling requires codec libraries (PIL) not "
-            "available in this environment"
+            "real resampling of COMPRESSED formats requires codec "
+            "libraries (PIL) not available in this environment; for "
+            "binary PPM payloads use resize_ppm_images — a real "
+            "zero-dependency decode/resample/re-encode path"
         )
     imgs = decoded.filter(F.col("modality") == "image")
     ms = max_side
@@ -294,3 +299,122 @@ def decode_assets(
             yield pd.DataFrame(out)
 
     return d.mapInPandas(fake_decode, DECODE_SCHEMA)
+
+
+# ---- real zero-dependency image codec (binary PPM / P6) -------------------
+# The container has no PIL/ffmpeg, but one REAL raster format decodes
+# with numpy + the standard library alone: binary PPM (P6, the netpbm
+# interchange format every imaging tool emits). These functions make
+# the real-resampler slot genuinely real for that format — actual
+# pixels decoded, actually resampled, re-encoded, fingerprinted — while
+# the deterministic fake above remains the default test path and the
+# PIL/ffmpeg slots for compressed formats stay honestly stubbed.
+
+
+def encode_ppm(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 array as a binary PPM (P6) payload."""
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) pixels, got {px.shape}")
+    h, w = px.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Decode a binary PPM (P6) payload to an (H, W, 3) uint8 array.
+    Tolerates comments and arbitrary whitespace in the header (the
+    netpbm spec); raises ValueError for anything that is not a
+    maxval<=255 P6 image."""
+    import numpy as np
+
+    buf = bytes(payload)
+    if buf[:2] != b"P6":
+        raise ValueError("not a binary PPM (missing P6 magic)")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(buf) and buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        tok = buf[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"bad PPM header token {tok!r}")
+        fields.append(int(tok))
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pos += 1  # exactly one whitespace byte after maxval (spec)
+    need = w * h * 3
+    data = buf[pos : pos + need]
+    if len(data) != need:
+        raise ValueError(
+            f"truncated PPM: need {need} pixel bytes, have {len(data)}"
+        )
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+
+
+def _resize_nearest(px, ow: int, oh: int):
+    """Nearest-neighbor resample of (H, W, 3) to (oh, ow, 3) — pure
+    integer index mapping, deterministic across platforms (no float
+    filter kernels, so fingerprints are stable)."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    yi = np.arange(oh) * h // oh
+    xi = np.arange(ow) * w // ow
+    return px[yi][:, xi]
+
+
+def resize_ppm_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
+    """REAL image resize over binary PPM payloads: decode actual
+    pixels, aspect-preserving nearest-neighbor fit into a ``max_side``
+    box, fingerprint = md5 of the re-encoded P6 bytes. Same output
+    schema and batch shape as the fake-path :func:`resize_images`, so
+    callers swap paths without plan changes; rows whose payload is not
+    a valid P6 image fail the job loudly (feed this operator from a
+    format-validated ingest, or pre-filter).
+
+    Input: (doc_id, payload) rows. Scale notes match decode_assets:
+    Arrow-batched ``mapInPandas``, payload bytes never pass through
+    the driver, per-batch memory bounded by the batch size."""
+    ms = max_side
+
+    def real_resize(batches):
+        import hashlib
+
+        import numpy as np  # noqa: F401
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "out_width": [], "out_height": [], "resized_fp": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_ppm(payload)
+                h, w = px.shape[:2]
+                scale = min(1.0, ms / max(w, h))
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                resized = _resize_nearest(px, ow, oh)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["resized_fp"].append(
+                    hashlib.md5(encode_ppm(resized)).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        real_resize, RESIZE_SCHEMA
+    )

@@ -88,3 +88,58 @@ def test_frame_sampling_fans_out(spark, docs):
         offs = [r["offset_ms"] for r in sorted(doc_rows, key=lambda r: r["frame_idx"])]
         assert offs[0] == 0
         assert offs == sorted(offs)  # evenly spaced, monotone
+
+
+def test_ppm_codec_roundtrip_and_validation():
+    """The zero-dependency REAL image codec: P6 encode/decode are
+    inverses, header comments/whitespace tolerated, malformed and
+    truncated payloads rejected loudly."""
+    import numpy as np
+
+    px = (np.arange(9 * 13 * 3) % 256).astype(np.uint8).reshape(9, 13, 3)
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(px)) == px).all()
+    commented = b"P6\n# made by a tool\n 13  9\n255\n" + px.tobytes()
+    assert (multimodal.decode_ppm(commented) == px).all()
+    with pytest.raises(ValueError, match="P6"):
+        multimodal.decode_ppm(b"JFIF....")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_ppm(multimodal.encode_ppm(px)[:-4])
+    with pytest.raises(ValueError, match="16-bit"):
+        multimodal.decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+
+
+def test_resize_ppm_images_real_pixels(spark):
+    """resize_ppm_images decodes REAL pixels and fingerprints the
+    re-encoded resample: the Spark result must byte-match a local
+    numpy reference for every asset — geometry AND pixel content."""
+    import hashlib
+
+    import numpy as np
+
+    def make_img(doc_id, w, h):
+        rng = np.random.default_rng(doc_id)
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    geoms = [(1, 64, 48), (2, 300, 200), (3, 10, 500), (4, 7, 5)]
+    rows = [
+        (doc_id, bytearray(multimodal.encode_ppm(make_img(doc_id, w, h))))
+        for doc_id, w, h in geoms
+    ]
+    assets = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.resize_ppm_images(assets, 128).collect()
+    }
+    for doc_id, w, h in geoms:
+        px = make_img(doc_id, w, h)
+        scale = min(1.0, 128 / max(w, h))
+        ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+        expect_fp = hashlib.md5(
+            multimodal.encode_ppm(multimodal._resize_nearest(px, ow, oh))
+        ).hexdigest()
+        r = got[doc_id]
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["out_width"], r["out_height"]) == (ow, oh)
+        assert r["resized_fp"] == expect_fp, f"pixel drift on {doc_id}"
+    # upscale never happens: the small image passes through 1:1
+    assert (got[4]["out_width"], got[4]["out_height"]) == (7, 5)
