@@ -15,8 +15,10 @@ Scale design (the point of each variant at 100 TB):
   ``isnotnull`` filters; measured 74 s vs 4 s at sf0.1.)
 - banding turns O(n^2) pair search into a self-equi-join on (band_idx,
   band_val): a shuffle where only same-bucket docs meet.
-- SimHash: per-token md5 bits summed per doc (groupBy barrier), 32-bit
-  signature string; near-dup search uses pigeonhole banding
+- SimHash: per-token md5 bits summed per doc (groupBy barrier),
+  signature widths 32/64 (single long) to 128 (array of 32-bit words
+  — d6's registered config; width sets how wide the pigeonhole bands
+  stay as the corpus grows); near-dup search uses pigeonhole banding
   (max_hamming+1 bands -> any-band equality has guaranteed recall).
 - All hashing is md5 (byte-identical in Spark and DuckDB) so every
   stage is oracle-checkable; no engine-internal hash functions.
