@@ -38,7 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # one round and nothing outside the window has a changed plan.
 _VERIFY_FIRST = [
     # ================= r7 window (first 50) =================
-    # --- r7 changed plans / new oracle, verified first:
+    # --- r7 NEW queries, verified first: the deterministic train/val/
+    # test split and the temperature-scaled source mixing weights
+    # (cur1/d11 displaced from the tail of this window to the r8 block
+    # to make room — still r4-green, plans unchanged):
+    "cur2_train_eval_split", "mix1_source_mixing_weights",
+    # --- r7 changed plans / new oracle:
     # d6 re-registered on the 128-bit word-array SimHash tier with the
     # size-conditional band broadcast (the r5/r6 scale wall); j5_wide
     # gains its FIRST value-hash oracle (explicit pivot values +
@@ -77,10 +82,10 @@ _VERIFY_FIRST = [
     "aj1_event_order_asof", "aj2_order_next_event",
     "co1_sku_copurchase", "coh1_cohort_retention",
     "cp1_cusum_changepoint", "cube1_store_payment_cube",
-    "cur1_curated_corpus", "d11_containment",
     # ================= past the 50-window =================
     # the rest of the r4 block — next round's rotation candidates,
     # ahead of the r5/r6-green tail which the registry order supplies:
+    "cur1_curated_corpus", "d11_containment",
     "d12_editdist_neardup", "dq1_profile_columns",
     "drift1_payment_tvd", "e1_embedding_dim_profile",
     "ev_session_windows", "ev_sliding_2h_hourly", "ev_tumbling_hourly",

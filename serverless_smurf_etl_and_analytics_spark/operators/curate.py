@@ -292,3 +292,93 @@ def corpus_datasheet(
         F.expr("n_quality_pass * 10000 div n_docs").alias("quality_bp"),
         F.expr("n_curated * 10000 div n_docs").alias("curated_bp"),
     )
+
+
+def train_eval_split(
+    docs: DataFrame,
+    test_bp: int = 100,
+    val_bp: int = 200,
+    salt: str = "split",
+) -> DataFrame:
+    """cur2: deterministic train/val/test assignment — the split every
+    training run needs BEFORE any shuffling or sampling, with the
+    property that matters at 100 TB: membership is a pure function of
+    (doc_id, salt), so the split is reproducible across engines and
+    runs, stable under corpus growth (new docs never move old ones
+    between splits), and leakage-auditable (d8's decontamination can
+    check train against val/test by recomputing the rule, no join to
+    a membership table).
+
+    bucket = md5_u32(salt|doc_id); the unit interval is carved
+    [0, test_bp) test, [test_bp, test_bp+val_bp) val, rest train —
+    the same exact integer compare as t6/w1:
+    ``u * 10000 < bp * 2^32``.
+
+    Scale design: one narrow whole-stage-codegen projection over the
+    scan — no shuffle, no state, bandwidth-bound like t6."""
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    scaled = u * 10000
+    split = (
+        F.when(scaled < F.lit(test_bp) * F.lit(U32), F.lit("test"))
+        .when(
+            scaled < F.lit(test_bp + val_bp) * F.lit(U32), F.lit("val")
+        )
+        .otherwise(F.lit("train"))
+    )
+    return docs.select(
+        "doc_id", "lang", "source", split.alias("split")
+    )
+
+
+def source_mixing_weights(docs: DataFrame) -> DataFrame:
+    """mix1: temperature-scaled source mixing weights — the "data
+    recipe" step that decides how often each source is sampled during
+    training. Raw-proportional sampling lets one dominant crawl drown
+    curated sources; temperature tau = 0.5 (weight ~ n_tokens^0.5,
+    the standard multilingual/multi-source flattening) upsamples small
+    high-quality sources while keeping large ones dominant.
+
+    Determinism across engines: the weight base is
+    ``floor(sqrt(n_tokens))`` — sqrt of a bigint is correctly rounded
+    IEEE double in both Spark and DuckDB, and floor(sqrt(n)) equals
+    integer isqrt for n < 2^52, so the base is integer-exact; the ppm
+    share is one integer-scale rounding (round(w * 1e6 / sum(w))), the
+    repo's money-layer convention, never an accumulated float.
+
+    Scale design: one map-side-combined aggregation over the corpus
+    scan to |sources| rows, then a window over that bounded dimension
+    — fact rows are never reshuffled."""
+    per = (
+        docs.select(
+            "source",
+            F.size(tokens_col(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .withColumn(
+            "sqrt_weight",
+            F.floor(F.sqrt(F.col("n_tokens"))).cast("long"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return per.withColumn(
+        "weight_ppm",
+        F.round(
+            F.col("sqrt_weight")
+            * 1000000.0
+            / F.sum("sqrt_weight").over(w_all)
+        ).cast("long"),
+    ).select(
+        "source", "n_docs", "n_tokens", "sqrt_weight", "weight_ppm"
+    )

@@ -2042,3 +2042,60 @@ FROM flagged
 GROUP BY source, lang
 """,
 )
+
+
+# cur2: deterministic train/val/test split — membership is a pure
+# function of (doc_id, salt) via the t6/w1 md5-u32 integer compare, so
+# both engines carve identical splits and the assignment is stable
+# under corpus growth (a new doc never moves an old one).
+register(
+    "cur2_train_eval_split",
+    lambda spark, sf: curate.train_eval_split(
+        tables.load(spark, sf, "documents")
+    ),
+    """
+SELECT doc_id, lang, source,
+    CASE
+        WHEN ('0x' || substr(md5('split|' || cast(doc_id AS varchar)),
+                             1, 8))::bigint * 10000
+             < 100 * 4294967296 THEN 'test'
+        WHEN ('0x' || substr(md5('split|' || cast(doc_id AS varchar)),
+                             1, 8))::bigint * 10000
+             < 300 * 4294967296 THEN 'val'
+        ELSE 'train'
+    END AS split
+FROM documents
+""",
+)
+
+# mix1: temperature-scaled (tau = 0.5) source mixing weights. The
+# weight base floor(sqrt(sum_tokens)) is integer-exact in both engines
+# for n < 2^52 (sqrt of a bigint is correctly rounded, and rounding
+# cannot cross an integer boundary below 2^52), and the ppm share is
+# one integer-scale rounding — so the hash check covers the whole data
+# recipe, not just the counts.
+register(
+    "mix1_source_mixing_weights",
+    lambda spark, sf: curate.source_mixing_weights(
+        tables.load(spark, sf, "documents")
+    ),
+    r"""
+WITH per AS (
+    SELECT source,
+        cast(count(*) AS bigint) AS n_docs,
+        cast(sum(len(list_filter(
+            string_split_regex(trim(text), '\s+'), x -> x != ''
+        ))) AS bigint) AS n_tokens
+    FROM documents
+    GROUP BY source
+),
+w AS (
+    SELECT *, cast(floor(sqrt(n_tokens)) AS bigint) AS sqrt_weight
+    FROM per
+)
+SELECT source, n_docs, n_tokens, sqrt_weight,
+    cast(round(sqrt_weight * 1000000.0
+               / sum(sqrt_weight) OVER ()) AS bigint) AS weight_ppm
+FROM w
+""",
+)
