@@ -485,15 +485,41 @@ def familiarity_score(docs: DataFrame) -> DataFrame:
     All integer (df counts, round at ppm scale) so the score is
     hash-identical across engines.
 
-    Scale design: one distinct + count pair builds the vocabulary df
-    table (bounded by vocab, map-side combined); the token stream
-    joins it on the token key (co-shuffled; broadcastable while the
-    vocab fits) and aggregates per doc. No windows, no sorts."""
-    toks = token_rows(docs).select("doc_id", "tok")
-    dfreq = (
-        toks.distinct()
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    Scale design: the exploded token stream is collapsed ONCE to a
+    per-(doc, token) term-frequency table (map-side combinable, and
+    orders of magnitude smaller than the raw stream for natural text);
+    every downstream step — the vocabulary df table, the dpm join, the
+    per-doc aggregate — reads that compressed table, so the expensive
+    stream never crosses a second shuffle. The tf subtree feeds both
+    the vocab build and the probe side as the SAME plan fragment, so
+    Catalyst's ReuseExchange computes its shuffle once (plan-asserted
+    in ``test_plan_quality``) — no persist, no extra job. The vocab
+    join carries no hint: AQE's runtime size check broadcasts the dpm
+    side while the vocabulary fits an executor and key-shuffles past
+    that (a web-scale vocab at 100 TB does not fit). The tf-weighted
+    mean ``sum(dpm*tf)/sum(tf)`` is value-identical to the stream mean
+    ``sum(dpm)/count(*)`` the oracle computes. No windows, no sorts."""
+    # The explicit isnotnull(doc_id) filter matches the one the final
+    # doc_id join infers on the probe branch, so BOTH consumers of the
+    # tf subtree canonicalize to the same scan+explode+aggregate plan
+    # and AQE reuses one shuffle stage for them (tokenization — the
+    # dominant cost — runs once, plan-asserted in test_plan_quality).
+    toks = (
+        token_rows(docs)
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    # df counts nullif(tf, 0): tf is never 0 (group counts are >= 1)
+    # so the value is exactly count(*) per token — but Catalyst cannot
+    # prove that, so it cannot rewrite the count to count(1) and prune
+    # tf from this branch (which would collapse it to a plain distinct
+    # with a DIFFERENT subtree than the probe side, defeating the
+    # stage reuse above).
+    dfreq = tf.groupBy("tok").agg(
+        F.count(F.nullif(F.col("tf"), F.lit(0))).cast("long").alias("df")
     )
     n_docs = docs.agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs")
@@ -508,10 +534,10 @@ def familiarity_score(docs: DataFrame) -> DataFrame:
             .alias("dpm"),
         )
     )
-    j = toks.join(dpm, "tok")
+    j = tf.join(dpm, "tok")
     per_doc = j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.round(F.sum("dpm") / F.count(F.lit(1)))
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.round(F.sum(F.col("dpm") * F.col("tf")) / F.sum("tf"))
         .cast("long")
         .alias("familiarity_dpm"),
         F.min("df").alias("min_tok_df"),
