@@ -442,9 +442,14 @@ def tfidf_keywords(docs: DataFrame, top_k: int = 3) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    df_t = (
-        tf.groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # count(nullif(tf, 0)) == count(*) (group counts are >= 1) but
+    # Catalyst cannot prove it, so it cannot prune tf from this branch
+    # and collapse it to a distinct — keeping the df branch and the
+    # probe branch canonically identical so AQE reuses ONE tokenize+
+    # shuffle stage for both (same trick as familiarity_score;
+    # plan-pinned in test_plan_quality).
+    df_t = tf.groupBy("tok").agg(
+        F.count(F.nullif(F.col("tf"), F.lit(0))).cast("long").alias("df")
     )
     n_docs = docs.agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs")

@@ -158,15 +158,17 @@ def test_heavy_hitters_single_fact_scan(spark):
     assert plan.count("Scan parquet") == 1, plan[:1500]
 
 
-def test_familiarity_tokenizes_once(spark):
-    """t10's tf subtree feeds both the vocabulary-df branch and the
-    probe branch; the explicit isnotnull(doc_id) filter and the
-    nullif-guarded df count keep both branches canonically identical,
-    so AQE reuses ONE shuffle stage and the dominant tokenize+explode
-    pass runs once (r7: sf10 cold 20.2s -> 8.1s). A refactor that
-    lets Catalyst prune the branches apart re-tokenizes the corpus —
-    this pins the executed (final adaptive) plan."""
-    df = registry.QUERIES["t10_familiarity"](spark, SF_DIR)
+@pytest.mark.parametrize("name", ["t10_familiarity", "tf1_tfidf_keywords"])
+def test_token_stream_tokenizes_once(spark, name):
+    """t10/tf1's tf subtree feeds both the vocabulary-df branch and
+    the probe branch; the nullif-guarded df count (plus, for t10, the
+    explicit isnotnull(doc_id) filter) keeps both branches canonically
+    identical, so AQE reuses ONE shuffle stage and the dominant
+    tokenize+explode pass runs once (r7: t10 sf10 cold 20.2s ->
+    8.1s). A refactor that lets Catalyst prune the branches apart
+    re-tokenizes the corpus — this pins the executed (final adaptive)
+    plan."""
+    df = registry.QUERIES[name](spark, SF_DIR)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
