@@ -188,6 +188,138 @@ def rolling_fingerprint(docs: DataFrame, n: int = 4) -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 4, w: int = 4
+) -> DataFrame:
+    """(doc_id, fp) — MOSS winnowing (Schleimer et al. 2003, "Winnowing:
+    Local Algorithms for Document Fingerprinting"): hash every k-token
+    gram, slide a window of ``w`` consecutive gram hashes, keep each
+    window's MINIMUM hash, emit the distinct minima as the document's
+    fingerprint set. Guarantees every shared run of ``k + w - 1``
+    tokens contributes at least one shared fingerprint — the local
+    coverage property t5's single global-min digest lacks — so two
+    documents sharing ANY long run are guaranteed fingerprint overlap.
+
+    Scale design: the gram hashing and window-min selection are pure
+    array expressions inside one whole-stage-codegen projection — zero
+    shuffles per document, output bounded by ~n_tokens/w fingerprints
+    per doc (the winnowing density bound, 2/(w+1) expected). Docs
+    shorter than ``k + w - 1`` tokens have no full window and emit no
+    rows (identically in the DuckDB oracle)."""
+    toks = tokens_col(F.col("text"))
+    empty = F.array().cast("array<string>")
+    kgh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.md5(
+                F.concat_ws("\x1f", F.slice(toks, i + F.lit(1), k))
+            ),
+        ),
+    ).otherwise(empty)
+    d = docs.select("doc_id", kgh.alias("kgh"))
+    fps = F.when(
+        F.size(F.col("kgh")) >= w,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("kgh")) - w),
+            lambda p: F.array_min(F.slice(F.col("kgh"), p + F.lit(1), w)),
+        ),
+    ).otherwise(empty)
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(fps)).alias("fp")
+    )
+
+
+def winnow_overlap(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    max_df: int = 50,
+    min_shared: int = 2,
+) -> DataFrame:
+    """wn1: partial-overlap / quotation detection from winnowing
+    fingerprints — the pair report MOSS builds: for every document
+    pair sharing >= ``min_shared`` retained fingerprints, the shared
+    count, each side's retained-fingerprint count, and the integer
+    per-mille overlap ``1000 * n_shared // min(n_fp_a, n_fp_b)``.
+
+    Near-dup detectors (d2-d6) answer "are these documents mostly the
+    same?"; winnowing overlap answers "do they share any substantial
+    passage?" — the containment question at paragraph granularity,
+    which bag-of-shingles Jaccard dilutes away on long documents.
+
+    Scale design: pairs are generated per-FINGERPRINT bucket, never
+    all-pairs. The bucket cap is enforced by a plain df COUNT (map-side
+    combinable, no per-key array materialization, so a boilerplate
+    fingerprint in millions of documents never builds a giant row):
+    fingerprints present in more than ``max_df`` documents are dropped
+    before the pair join (boilerplate grams carry no discriminative
+    signal and would create hot buckets — the MOSS stop-gram rule), so
+    a bucket expands to at most ``max_df``² pairs. The fingerprint
+    table feeds three consumers (df count, pair join, per-doc totals)
+    and is persisted once — the operator-cache idiom of the dedup
+    band tables; lifetime is caller-owned
+    (``session.clear_operator_caches``). All counts integer ->
+    hash-portable."""
+    from pyspark.storagelevel import StorageLevel
+
+    fps = winnow_fingerprints(docs, k, w).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dft = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    keep = fps.join(
+        dft.filter(F.col("df").between(2, max_df)).select("fp"), "fp"
+    )
+    a = keep.alias("a")
+    b = keep.alias("b")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    # denominators are each document's TOTAL fingerprint count (before
+    # the stop-gram cap), so partial overlaps score < 1000 pm instead
+    # of every pair trivially saturating on its shared subset
+    nfp = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    return (
+        shared.join(
+            nfp.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            nfp.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.floor(
+                F.lit(1000) * F.col("n_shared")
+                / F.least(F.col("n_fp_a"), F.col("n_fp_b"))
+            )
+            .cast("long")
+            .alias("overlap_pm"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprinting: md5 over whitespace-normalized,
     lowercased text + a shard prefix (the rolling-hash fingerprint of

@@ -998,3 +998,61 @@ SELECT user_id, cast(rank AS bigint) AS rank, est_events, n_exact,
 FROM r WHERE rank <= 10
 """,
 )
+
+
+# wn1: MOSS winnowing overlap — k-gram window-min fingerprints, pair
+# report per fingerprint bucket with the stop-gram df cap; the
+# partial-overlap / quotation detector (containment at passage
+# granularity, where whole-doc Jaccard dilutes away a shared
+# paragraph). Parameters frozen in both engines: k=4, w=4,
+# max_df in [2, 50], min_shared=2.
+register(
+    "wn1_winnow_overlap",
+    lambda spark, sf: textops.winnow_overlap(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+WITH {SQL_TOKS},
+kg AS (
+    SELECT doc_id,
+        [md5(array_to_string(toks[i:i+3], chr(31)))
+         FOR i IN range(1, len(toks) - 2)] AS kgh
+    FROM toks_t
+    WHERE len(toks) >= 4
+),
+fp_raw AS (
+    SELECT doc_id,
+        unnest([list_min(kgh[p:p+3])
+                FOR p IN range(1, len(kgh) - 2)]) AS fp
+    FROM kg
+    WHERE len(kgh) >= 4
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM fp_raw),
+dft AS (
+    SELECT fp, cast(count(*) AS bigint) AS df FROM fps GROUP BY fp
+),
+keep AS (
+    SELECT f.doc_id, f.fp
+    FROM fps f JOIN dft d USING (fp)
+    WHERE d.df BETWEEN 2 AND 50
+),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        cast(count(*) AS bigint) AS n_shared
+    FROM keep a JOIN keep b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+nfp AS (
+    SELECT doc_id, cast(count(*) AS bigint) AS n_fp
+    FROM fps GROUP BY doc_id
+)
+SELECT s.doc_a, s.doc_b, s.n_shared,
+    na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b,
+    1000 * s.n_shared // least(na.n_fp, nb.n_fp) AS overlap_pm
+FROM shared s
+JOIN nfp na ON s.doc_a = na.doc_id
+JOIN nfp nb ON s.doc_b = nb.doc_id
+WHERE s.n_shared >= 2
+""",
+)

@@ -44,3 +44,65 @@ def test_tfidf_prefers_rare_tokens(spark):
     assert out[(1, 1)] == "zebra"  # df=1 beats tf=3 of df=3 'the'
     assert out[(2, 1)] == "cat"
     assert out[(3, 1)] == "dog"
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_winnow_coverage_guarantee(spark):
+    """The winnowing locality property (Schleimer et al. 2003): two
+    documents sharing a run of >= k + w - 1 tokens MUST share at least
+    one fingerprint — the shared run contains a full gram window, and
+    winnowing picks that window's minimum identically on both sides."""
+    run = " ".join(f"shared{i}" for i in range(7))  # k + w - 1 = 7
+    docs = _docs_df(
+        spark,
+        [
+            (1, "en", "aa bb cc " + run + " dd ee"),
+            (2, "en", "zz yy " + run + " xx ww vv uu"),
+        ],
+    )
+    out = textops.winnow_overlap(docs, min_shared=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["n_shared"] >= 1
+    assert 0 < r["overlap_pm"] <= 1000
+
+
+def test_winnow_short_and_disjoint_docs_emit_nothing(spark):
+    """Docs shorter than k + w - 1 tokens have no full window (no
+    fingerprints at all); disjoint docs share none — either way the
+    pair report is empty."""
+    fps = textops.winnow_fingerprints(
+        _docs_df(spark, [(1, "en", "a b c d e f")])  # 6 < 7
+    ).collect()
+    assert fps == []
+    docs = _docs_df(
+        spark,
+        [
+            (1, "en", " ".join(f"l{i}" for i in range(20))),
+            (2, "en", " ".join(f"r{i}" for i in range(20))),
+        ],
+    )
+    assert textops.winnow_overlap(docs, min_shared=1).collect() == []
+
+
+def test_winnow_stop_gram_cap_drops_boilerplate(spark):
+    """A fingerprint present in more than max_df documents is dropped
+    before pairing: with max_df=2 a 3-way-shared run produces no
+    pairs, while a 2-way-shared run still does."""
+    run = " ".join(f"b{i}" for i in range(7))
+    tail = lambda j: " ".join(f"t{j}_{i}" for i in range(8))
+    docs = _docs_df(
+        spark, [(j, "en", run + " " + tail(j)) for j in (1, 2, 3)]
+    )
+    assert (
+        textops.winnow_overlap(docs, max_df=2, min_shared=1).collect() == []
+    )
+    docs2 = _docs_df(
+        spark, [(j, "en", run + " " + tail(j)) for j in (1, 2)]
+    )
+    out = textops.winnow_overlap(docs2, max_df=2, min_shared=1).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
