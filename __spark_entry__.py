@@ -43,10 +43,10 @@ _VERIFY_FIRST = [
     # (cur1/d11 displaced from the tail of this window to the r8 block
     # to make room — still r4-green, plans unchanged):
     "cur2_train_eval_split", "mix1_source_mixing_weights",
-    # wn1 (MOSS winnowing overlap) added late in r7 — verified first;
-    # cube1 displaced to the head of the r8 block to hold the window
-    # at 50:
-    "wn1_winnow_overlap",
+    # wn1/wn2 (MOSS winnowing overlap + decontamination) added late in
+    # r7 — verified first; cp1/cube1 displaced to the head of the r8
+    # block to hold the window at 50:
+    "wn1_winnow_overlap", "wn2_winnow_decontaminate",
     # --- r7 changed plans / new oracle:
     # d6 re-registered on the 128-bit word-array SimHash tier with the
     # size-conditional band broadcast (the r5/r6 scale wall); j5_wide
@@ -85,9 +85,8 @@ _VERIFY_FIRST = [
     "a18_event_type_summary", "a19_dow_seasonality",
     "aj1_event_order_asof", "aj2_order_next_event",
     "co1_sku_copurchase", "coh1_cohort_retention",
-    "cp1_cusum_changepoint",
     # ================= past the 50-window =================
-    "cube1_store_payment_cube",
+    "cp1_cusum_changepoint", "cube1_store_payment_cube",
     # the rest of the r4 block — next round's rotation candidates,
     # ahead of the r5/r6-green tail which the registry order supplies:
     "cur1_curated_corpus", "d11_containment",

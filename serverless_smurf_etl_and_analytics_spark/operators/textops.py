@@ -200,34 +200,56 @@ def winnow_fingerprints(
     coverage property t5's single global-min digest lacks — so two
     documents sharing ANY long run are guaranteed fingerprint overlap.
 
-    Scale design: the gram hashing and window-min selection are pure
-    array expressions inside one whole-stage-codegen projection — zero
-    shuffles per document, output bounded by ~n_tokens/w fingerprints
-    per doc (the winnowing density bound, 2/(w+1) expected). Docs
-    shorter than ``k + w - 1`` tokens have no full window and emit no
-    rows (identically in the DuckDB oracle)."""
-    toks = tokens_col(F.col("text"))
-    empty = F.array().cast("array<string>")
-    kgh = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.md5(
-                F.concat_ws("\x1f", F.slice(toks, i + F.lit(1), k))
-            ),
-        ),
-    ).otherwise(empty)
-    d = docs.select("doc_id", kgh.alias("kgh"))
-    fps = F.when(
-        F.size(F.col("kgh")) >= w,
-        F.transform(
-            F.sequence(F.lit(0), F.size(F.col("kgh")) - w),
-            lambda p: F.array_min(F.slice(F.col("kgh"), p + F.lit(1), w)),
-        ),
-    ).otherwise(empty)
-    return d.select(
-        "doc_id", F.explode(F.array_distinct(fps)).alias("fp")
+    Scale design: exploded token rows + stacked window functions over
+    ONE (doc_id, pos) shuffle+sort — the gram concat, the md5, and
+    the window-min all run inside whole-stage codegen. (The obvious
+    zero-shuffle alternative — nested higher-order array ``transform``
+    lambdas per document — evaluates INTERPRETED per element in Spark
+    and measured 4.6x slower at sf1, 28.9s vs 6.3s, for identical
+    output; the shuffle is cheaper than losing codegen on the
+    md5-per-gram hot loop.) Output is bounded by ~n_tokens/w
+    fingerprints per doc (the winnowing density bound, 2/(w+1)
+    expected). Docs shorter than ``k + w - 1`` tokens have no full
+    window and emit no rows (identically in the DuckDB oracle). The
+    result is persisted: the md5-per-gram pass is the dominant cost
+    and every consumer (wn1's df count + pair join + per-doc totals,
+    wn2's bench/train split) reads it several times — lifetime is
+    caller-owned (``session.clear_operator_caches``), and the cache
+    manager substitutes the materialization into any logically-equal
+    subtree across queries."""
+    from pyspark.storagelevel import StorageLevel
+
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    # a gram at pos is full iff its (k-1)-ahead token exists; valid
+    # gram positions are contiguous so the winnow window needs no
+    # re-indexing before its own lead-based completeness check
+    kg = (
+        token_rows(docs)
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col("tok"),
+                    *[F.lead("tok", j).over(wl) for j in range(1, k)],
+                )
+            ).alias("h"),
+            F.lead("tok", k - 1).over(wl).isNotNull().alias("full_gram"),
+        )
+        .filter("full_gram")
     )
+    fps = (
+        kg.select(
+            "doc_id",
+            F.min("h").over(wl.rowsBetween(0, w - 1)).alias("fp"),
+            F.lead("h", w - 1).over(wl).isNotNull().alias("full_win"),
+        )
+        .filter("full_win")
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return fps.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def winnow_overlap(
@@ -257,15 +279,11 @@ def winnow_overlap(
     signal and would create hot buckets — the MOSS stop-gram rule), so
     a bucket expands to at most ``max_df``² pairs. The fingerprint
     table feeds three consumers (df count, pair join, per-doc totals)
-    and is persisted once — the operator-cache idiom of the dedup
-    band tables; lifetime is caller-owned
-    (``session.clear_operator_caches``). All counts integer ->
-    hash-portable."""
-    from pyspark.storagelevel import StorageLevel
-
-    fps = winnow_fingerprints(docs, k, w).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    and is persisted once by :func:`winnow_fingerprints` — the
+    operator-cache idiom of the dedup band tables; lifetime is
+    caller-owned (``session.clear_operator_caches``). All counts
+    integer -> hash-portable."""
+    fps = winnow_fingerprints(docs, k, w)
     dft = fps.groupBy("fp").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -316,6 +334,65 @@ def winnow_overlap(
             )
             .cast("long")
             .alias("overlap_pm"),
+        )
+    )
+
+
+def winnow_decontaminate(
+    docs: DataFrame, k: int = 4, w: int = 4, min_shared: int = 1
+) -> DataFrame:
+    """wn2: passage-level benchmark decontamination from winnowing
+    fingerprints — flags training documents sharing >= ``min_shared``
+    winnow fingerprints with ANY benchmark document (the deterministic
+    1/8 heldout split of :func:`~.dedup.benchmark_membership`, same as
+    d8). The winnowing coverage guarantee makes the rule crisper than
+    d8's whole-doc shingle-overlap threshold: any run of >= k + w - 1
+    tokens copied verbatim from a benchmark document IS caught, even
+    inside an otherwise-clean long document whose overlap basis points
+    stay under d8's bar.
+
+    Output per flagged doc: (doc_id, lang, n_fp, n_hit, hit_pm) where
+    hit_pm = 1000 * n_hit // n_fp.
+
+    Scale design: d8's broadcast-probe shape — the benchmark
+    fingerprint set is small by construction (eval corpora; winnowing
+    keeps ~2/(w+1) fingerprints per token) and broadcasts; the
+    training side is a map-side hash probe, never shuffled by
+    fingerprint. If the benchmark set outgrows broadcast, drop the
+    hint and the same plan key-shuffles — semantics unchanged."""
+    from .dedup import benchmark_membership
+
+    fp = winnow_fingerprints(docs, k, w).withColumn(
+        "is_bench", benchmark_membership()
+    )
+    bench = (
+        fp.filter(F.col("is_bench"))
+        .select("fp")
+        .distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    train = fp.filter(~F.col("is_bench")).select("doc_id", "fp")
+    per_doc = (
+        train.join(F.broadcast(bench), "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fp"),
+            F.coalesce(F.sum("hit"), F.lit(0).cast("long")).alias(
+                "n_hit"
+            ),
+        )
+        .filter(F.col("n_hit") >= min_shared)
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_fp",
+            "n_hit",
+            F.floor(F.lit(1000) * F.col("n_hit") / F.col("n_fp"))
+            .cast("long")
+            .alias("hit_pm"),
         )
     )
 

@@ -162,7 +162,7 @@ FROM u GROUP BY 1
 # w1: quality-weighted Bernoulli downsampling — keep probability
 # proportional to the t1 stopword/uniqueness quality blend (integer
 # basis points), decided by a pure md5 integer compare like t6.
-from .sql_text import SQL_TOKS, STOP_SQL  # noqa: E402
+from .sql_text import SQL_TOKS, SQL_WINNOW_FPS, STOP_SQL  # noqa: E402
 
 register(
     "w1_weighted_sample",
@@ -1012,22 +1012,7 @@ register(
         tables.load(spark, sf, "documents")
     ),
     f"""
-WITH {SQL_TOKS},
-kg AS (
-    SELECT doc_id,
-        [md5(array_to_string(toks[i:i+3], chr(31)))
-         FOR i IN range(1, len(toks) - 2)] AS kgh
-    FROM toks_t
-    WHERE len(toks) >= 4
-),
-fp_raw AS (
-    SELECT doc_id,
-        unnest([list_min(kgh[p:p+3])
-                FOR p IN range(1, len(kgh) - 2)]) AS fp
-    FROM kg
-    WHERE len(kgh) >= 4
-),
-fps AS (SELECT DISTINCT doc_id, fp FROM fp_raw),
+WITH {SQL_WINNOW_FPS},
 dft AS (
     SELECT fp, cast(count(*) AS bigint) AS df FROM fps GROUP BY fp
 ),
@@ -1054,5 +1039,39 @@ FROM shared s
 JOIN nfp na ON s.doc_a = na.doc_id
 JOIN nfp nb ON s.doc_b = nb.doc_id
 WHERE s.n_shared >= 2
+""",
+)
+
+
+# wn2: winnow-based benchmark decontamination — the passage-level
+# companion to d8: any >= 7-token verbatim run copied from a heldout
+# (1/8 md5-split, same rule as d8) benchmark doc is guaranteed a
+# shared fingerprint; flags training docs with >= 1 benchmark hit.
+register(
+    "wn2_winnow_decontaminate",
+    lambda spark, sf: textops.winnow_decontaminate(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+WITH {SQL_WINNOW_FPS},
+m AS (
+    SELECT doc_id, fp,
+        substr(md5('bench|' || cast(doc_id AS varchar)), 32, 1)
+            IN ('0', '1') AS is_bench
+    FROM fps
+),
+bench AS (SELECT DISTINCT fp FROM m WHERE is_bench),
+per_doc AS (
+    SELECT t.doc_id,
+        cast(count(*) AS bigint) AS n_fp,
+        cast(count(b.fp) AS bigint) AS n_hit
+    FROM m t LEFT JOIN bench b ON t.fp = b.fp
+    WHERE NOT t.is_bench
+    GROUP BY t.doc_id
+)
+SELECT p.doc_id, d.lang, p.n_fp, p.n_hit,
+    1000 * p.n_hit // p.n_fp AS hit_pm
+FROM per_doc p JOIN documents d USING (doc_id)
+WHERE p.n_hit >= 1
 """,
 )

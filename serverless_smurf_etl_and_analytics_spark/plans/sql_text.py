@@ -100,3 +100,30 @@ jac AS (
 )
 """
 )
+
+
+# MOSS winnowing fingerprint set (k=4, w=4): k-gram md5 hashes, then
+# each w-window's minimum, distinct per doc. Shared by the wn1 overlap
+# and wn2 decontamination oracles; mirrors
+# operators/textops.py::winnow_fingerprints exactly (list slices are
+# 1-based inclusive; range() is end-exclusive).
+SQL_WINNOW_FPS = (
+    SQL_TOKS
+    + r""",
+kg AS (
+    SELECT doc_id,
+        [md5(array_to_string(toks[i:i+3], chr(31)))
+         FOR i IN range(1, len(toks) - 2)] AS kgh
+    FROM toks_t
+    WHERE len(toks) >= 4
+),
+fp_raw AS (
+    SELECT doc_id,
+        unnest([list_min(kgh[p:p+3])
+                FOR p IN range(1, len(kgh) - 2)]) AS fp
+    FROM kg
+    WHERE len(kgh) >= 4
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM fp_raw)
+"""
+)

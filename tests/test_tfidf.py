@@ -106,3 +106,24 @@ def test_winnow_stop_gram_cap_drops_boilerplate(spark):
     )
     out = textops.winnow_overlap(docs2, max_df=2, min_shared=1).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
+
+
+def test_winnow_decontaminate_catches_copied_run(spark):
+    """wn2's guarantee: a training doc containing a >= k + w - 1 = 7
+    token run copied verbatim from a benchmark doc (doc_id 19 is in
+    the md5 'bench|' 1/8 split; 1 and 2 are not) is flagged; a clean
+    training doc is not. The benchmark doc itself never appears in the
+    output (only training docs are reported)."""
+    leak = " ".join(f"secret{i}" for i in range(7))
+    docs = _docs_df(
+        spark,
+        [
+            (19, "en", "bench preamble " + leak + " bench tail words"),
+            (1, "en", "train text with " + leak + " embedded inside it"),
+            (2, "en", " ".join(f"clean{i}" for i in range(15))),
+        ],
+    )
+    out = textops.winnow_decontaminate(docs).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    r = out[0]
+    assert r["n_hit"] >= 1 and 0 < r["hit_pm"] <= 1000
