@@ -382,3 +382,92 @@ def source_mixing_weights(docs: DataFrame) -> DataFrame:
     ).select(
         "source", "n_docs", "n_tokens", "sqrt_weight", "weight_ppm"
     )
+
+
+def token_budget_select(docs: DataFrame, budget: int = 20000) -> DataFrame:
+    """bud1: token-budget corpus selection — fill a training-token
+    budget with the best-quality documents first, the "take the top N
+    tokens" step that turns a scored corpus into a release. The rule
+    is a deterministic prefix: order documents by (weight_bp DESC,
+    doc_id ASC) — weight_bp is w1's integer stopword/uniqueness blend
+    — take documents while the running token total stays <= budget,
+    and stop at the first document that would cross it (later smaller
+    documents do NOT back-fill; prefix semantics keep the selection a
+    pure function of the ordering).
+
+    Output: the selected corpus (doc_id, lang, weight_bp, n_tokens).
+
+    Scale design: the naive form is a running sum over one GLOBAL
+    ordering — a single-partition window that serializes the whole
+    corpus through one task. Instead the prefix is resolved at the
+    weight-BUCKET level: per-bucket token totals (<= 10001 rows,
+    dimension-sized) get a cumulative sum on the driver-scale side,
+    every bucket whose cumulative end fits the budget is taken whole
+    via a broadcast semi-join, and only the single boundary bucket
+    runs a per-document running sum (partitioned by its one weight
+    value — the unavoidable sequential tail, bounded by one bucket's
+    documents). Equality with the naive global-window rule is
+    law-tested in tests/test_curate.py."""
+    toks = tokens_col(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        F.size(
+            F.filter(
+                toks, lambda w: w.isin("the", "a", "and", "of", "to", "in")
+            )
+        )
+        .cast("long")
+        .alias("n_stop"),
+    )
+    weight = F.when(
+        F.col("n_tokens") > 0,
+        F.round(
+            (F.col("n_stop") * 3000.0 + F.col("n_uniq") * 7000.0)
+            / F.col("n_tokens")
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: the tokenize/score projection feeds both the bucket
+    # ledger and the selection probe (different shapes, so exchange
+    # reuse can't cover them); narrow 4-column rows, spills to disk at
+    # scale — lifetime caller-owned (session.clear_operator_caches)
+    d = d.select(
+        "doc_id", "lang", "n_tokens", weight.alias("weight_bp")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # bucket ledger: one row per distinct weight_bp (<= 10001), so the
+    # unpartitioned window is over a dimension-sized input by design
+    wb = Window.orderBy(F.col("weight_bp").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    buckets = (
+        d.groupBy("weight_bp")
+        .agg(F.sum("n_tokens").alias("btok"))
+        .withColumn("cum_end", F.sum("btok").over(wb))
+        .withColumn("cum_before", F.col("cum_end") - F.col("btok"))
+        .select(
+            "weight_bp",
+            "cum_before",
+            (F.col("cum_end") <= budget).alias("full_in"),
+            (
+                (F.col("cum_before") < budget)
+                & (F.col("cum_end") > budget)
+            ).alias("boundary"),
+        )
+    )
+    j = d.join(F.broadcast(buckets), "weight_bp")
+    out_cols = ["doc_id", "lang", "weight_bp", "n_tokens"]
+    full = j.filter("full_in").select(*out_cols)
+    wgrp = Window.partitionBy("weight_bp").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    bd = (
+        j.filter("boundary")
+        .withColumn("cum_in", F.sum("n_tokens").over(wgrp))
+        .filter(F.col("cum_before") + F.col("cum_in") <= budget)
+        .select(*out_cols)
+    )
+    return full.unionByName(bd)

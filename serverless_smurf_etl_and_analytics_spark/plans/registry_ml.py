@@ -2099,3 +2099,43 @@ SELECT source, n_docs, n_tokens, sqrt_weight,
 FROM w
 """,
 )
+
+
+# bud1: token-budget corpus selection — deterministic prefix over
+# (weight_bp DESC, doc_id ASC) while the running token total fits the
+# budget. The Spark side resolves the prefix at weight-bucket level
+# (no global single-partition window); the oracle states the naive
+# global-window rule — their equality IS the correctness claim
+# (also law-tested in tests/test_curate.py).
+register(
+    "bud1_token_budget_select",
+    lambda spark, sf: curate.token_budget_select(
+        tables.load(spark, sf, "documents")
+    ),
+    f"""
+WITH {SQL_TOKS},
+m AS (
+    SELECT doc_id, lang,
+        cast(len(toks) AS bigint) AS n_tokens,
+        cast(len(list_distinct(toks)) AS bigint) AS n_uniq,
+        cast(len(list_filter(toks, x -> x IN {STOP_SQL})) AS bigint)
+            AS n_stop
+    FROM toks_t
+),
+w AS (
+    SELECT doc_id, lang, n_tokens,
+        CASE WHEN n_tokens > 0
+             THEN cast(round((n_stop * 3000.0 + n_uniq * 7000.0)
+                             / n_tokens) AS bigint)
+             ELSE 0 END AS weight_bp
+    FROM m
+),
+c AS (
+    SELECT *,
+        sum(n_tokens) OVER (ORDER BY weight_bp DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM w
+)
+SELECT doc_id, lang, weight_bp, n_tokens FROM c WHERE cum <= 20000
+""",
+)

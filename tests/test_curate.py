@@ -124,3 +124,53 @@ def test_weighted_sample_rate_tracks_weight(spark, duck):
         """
     ).fetchone()[0]
     assert abs(kept - expected) < 6 * math.sqrt(n), (kept, expected)
+
+
+def test_token_budget_select_equals_global_prefix_rule(spark):
+    """bud1's bucket-level cutoff must reproduce the naive global
+    running-sum prefix EXACTLY — including the boundary bucket's
+    doc_id tie-break and post-boundary zero-token docs — at several
+    budgets (one mid-corpus, one smaller than the best doc, one larger
+    than the whole corpus)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    for budget in (97, 5000, 10**9):
+        got = {
+            (r["doc_id"], r["weight_bp"], r["n_tokens"])
+            for r in curate.token_budget_select(docs, budget).collect()
+        }
+        toks = curate.tokens_col(F.col("text"))
+        d = docs.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+            F.size(
+                F.filter(
+                    toks,
+                    lambda w: w.isin("the", "a", "and", "of", "to", "in"),
+                )
+            )
+            .cast("long")
+            .alias("n_stop"),
+        ).withColumn(
+            "weight_bp",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    (F.col("n_stop") * 3000.0 + F.col("n_uniq") * 7000.0)
+                    / F.col("n_tokens")
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        wg = Window.orderBy(
+            F.col("weight_bp").desc(), F.col("doc_id")
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        naive = {
+            (r["doc_id"], r["weight_bp"], r["n_tokens"])
+            for r in d.withColumn("cum", F.sum("n_tokens").over(wg))
+            .filter(F.col("cum") <= budget)
+            .collect()
+        }
+        assert got == naive, f"budget={budget}"
