@@ -47,7 +47,7 @@ _VERIFY_FIRST = [
     # r7 — verified first; cp1/cube1 displaced to the head of the r8
     # block to hold the window at 50:
     "wn1_winnow_overlap", "wn2_winnow_decontaminate",
-    "bud1_token_budget_select",
+    "bud1_token_budget_select", "src2_cross_source_dups",
     # --- r7 changed plans / new oracle:
     # d6 re-registered on the 128-bit word-array SimHash tier with the
     # size-conditional band broadcast (the r5/r6 scale wall); j5_wide
@@ -85,10 +85,9 @@ _VERIFY_FIRST = [
     # window so no entry's last green row ages past 2 windows):
     "a18_event_type_summary", "a19_dow_seasonality",
     "aj1_event_order_asof", "aj2_order_next_event",
-    "co1_sku_copurchase",
     # ================= past the 50-window =================
-    "coh1_cohort_retention", "cp1_cusum_changepoint",
-    "cube1_store_payment_cube",
+    "co1_sku_copurchase", "coh1_cohort_retention",
+    "cp1_cusum_changepoint", "cube1_store_payment_cube",
     # the rest of the r4 block — next round's rotation candidates,
     # ahead of the r5/r6-green tail which the registry order supplies:
     "cur1_curated_corpus", "d11_containment",

@@ -471,3 +471,89 @@ def token_budget_select(docs: DataFrame, budget: int = 20000) -> DataFrame:
         .select(*out_cols)
     )
     return full.unionByName(bd)
+
+
+def cross_source_dup_matrix(
+    docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """src2: cross-source duplication matrix — for every unordered
+    source pair, how many verified near-duplicate document pairs (the
+    d4 MinHash+LSH pipeline at the same ``threshold``) straddle or
+    stay inside it, normalized to parts-per-million of the pair space.
+    The datasheet signal that tells a corpus builder WHICH feeds
+    duplicate each other (mirror sites, re-crawls, syndication) rather
+    than just how much duplication exists overall.
+
+    Output: (source_a, source_b [lexicographic, a <= b], n_pairs,
+    n_docs_a, n_docs_b, pair_space, dup_ppm) where pair_space is
+    n_a * n_b for a != b and n_a * (n_a - 1) / 2 within a source, and
+    dup_ppm = 1000000 * n_pairs // pair_space.
+
+    Scale design: rides d4's bucketed band join (never all-pairs;
+    shingle subtree persisted once by :func:`~.dedup.
+    minhash_neardup_pairs`); the source attach joins the BOUNDED
+    near-dup pair set against the narrow (doc_id, source) projection,
+    and the matrix is |sources|² rows — dimension-sized."""
+    from .dedup import minhash_neardup_pairs
+
+    pairs = minhash_neardup_pairs(docs, threshold).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    m = lab.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    j = (
+        m.join(
+            F.broadcast(
+                per_src.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_docs").alias("n_docs_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                per_src.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_docs").alias("n_docs_b"),
+                )
+            ),
+            "source_b",
+        )
+    )
+    space = F.when(
+        F.col("source_a") == F.col("source_b"),
+        (F.col("n_docs_a") * (F.col("n_docs_a") - 1) / 2).cast("long"),
+    ).otherwise(F.col("n_docs_a") * F.col("n_docs_b"))
+    return j.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        "n_docs_a",
+        "n_docs_b",
+        space.alias("pair_space"),
+        F.floor(F.lit(1000000) * F.col("n_pairs") / space)
+        .cast("long")
+        .alias("dup_ppm"),
+    )

@@ -2139,3 +2139,51 @@ c AS (
 SELECT doc_id, lang, weight_bp, n_tokens FROM c WHERE cum <= 20000
 """,
 )
+
+
+# src2: cross-source duplication matrix — d4's verified near-dup pairs
+# rolled up per unordered source pair, normalized ppm of the pair
+# space; the "which feeds mirror each other" datasheet signal.
+register(
+    "src2_cross_source_dups",
+    lambda spark, sf: curate.cross_source_dup_matrix(
+        tables.load(spark, sf, "documents"), 0.5
+    ),
+    f"""
+WITH {SQL_JACCARD},
+nd AS (
+    SELECT doc_a, doc_b FROM jac
+    WHERE shingles_union > 0
+      AND cast(round(shingles_common * 1000.0 / shingles_union)
+               AS bigint) / 1000.0 >= 0.5
+),
+lab AS (
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b
+    FROM nd
+    JOIN documents da ON nd.doc_a = da.doc_id
+    JOIN documents db ON nd.doc_b = db.doc_id
+),
+m AS (
+    SELECT source_a, source_b, cast(count(*) AS bigint) AS n_pairs
+    FROM lab GROUP BY 1, 2
+),
+per_src AS (
+    SELECT source, cast(count(*) AS bigint) AS n_docs
+    FROM documents GROUP BY source
+),
+j AS (
+    SELECT m.source_a, m.source_b, m.n_pairs,
+        a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+        CASE WHEN m.source_a = m.source_b
+             THEN cast(a.n_docs * (a.n_docs - 1) / 2 AS bigint)
+             ELSE a.n_docs * b.n_docs END AS pair_space
+    FROM m
+    JOIN per_src a ON m.source_a = a.source
+    JOIN per_src b ON m.source_b = b.source
+)
+SELECT source_a, source_b, n_pairs, n_docs_a, n_docs_b, pair_space,
+    1000000 * n_pairs // pair_space AS dup_ppm
+FROM j
+""",
+)
