@@ -48,6 +48,7 @@ _VERIFY_FIRST = [
     # block to hold the window at 50:
     "wn1_winnow_overlap", "wn2_winnow_decontaminate",
     "bud1_token_budget_select", "src2_cross_source_dups",
+    "cap1_source_cap", "shuf1_deterministic_shuffle",
     # --- r7 changed plans / new oracle:
     # d6 re-registered on the 128-bit word-array SimHash tier with the
     # size-conditional band broadcast (the r5/r6 scale wall); j5_wide
@@ -80,12 +81,13 @@ _VERIFY_FIRST = [
     "x1_export_store_summaries", "x2_export_top_products",
     "x3_export_anomalies", "x4_export_trends",
     "x5_export_recommendations", "x6_export_manifest",
-    # --- the oldest r4-stale block (first 10 of the 41 last green in
-    # CORRECTNESS_r04; the remaining 29 + the r6-green set are the r8
-    # window so no entry's last green row ages past 2 windows):
+    # --- the oldest r4-stale block (first 2 of the 41 last green in
+    # CORRECTNESS_r04 — r7's 8 NEW queries displaced the other 8 of
+    # the original 10; the remaining 39 + the r6-green set are the r8
+    # window, so every r4-green entry is re-verified by r8):
     "a18_event_type_summary", "a19_dow_seasonality",
-    "aj1_event_order_asof", "aj2_order_next_event",
     # ================= past the 50-window =================
+    "aj1_event_order_asof", "aj2_order_next_event",
     "co1_sku_copurchase", "coh1_cohort_retention",
     "cp1_cusum_changepoint", "cube1_store_payment_cube",
     # the rest of the r4 block — next round's rotation candidates,

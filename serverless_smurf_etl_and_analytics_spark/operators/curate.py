@@ -557,3 +557,88 @@ def cross_source_dup_matrix(
         .cast("long")
         .alias("dup_ppm"),
     )
+
+
+def source_cap_sample(
+    docs: DataFrame, cap: int = 60, salt: str = "cap"
+) -> DataFrame:
+    """cap1: per-source document cap — keep at most ``cap`` documents
+    per source, chosen by md5 order (a deterministic uniform draw),
+    the per-domain cap every web-scale corpus applies so no single
+    feed dominates the mix. The draw is a pure function of
+    (doc_id, salt): re-running on a grown corpus can only displace
+    docs whose hash ranks past the cap, never reshuffle the kept set
+    arbitrarily.
+
+    Output: (doc_id, lang, source, src_rank) for kept docs,
+    src_rank in [1, cap].
+
+    Scale design: one window rank partitioned by source — the shuffle
+    key is the source, so skew follows feed size; a pathological
+    mega-source still sorts within its partitions via spillable
+    external sort, and the rank is the only state. No global
+    ordering anywhere."""
+    h = F.md5(
+        F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "lang", "source", h.alias("h"))
+        .withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("src_rank") <= cap)
+        .select("doc_id", "lang", "source", "src_rank")
+    )
+
+
+def deterministic_shuffle(
+    docs: DataFrame, salt: str = "shuf"
+) -> DataFrame:
+    """shuf1: deterministic global training order — every document
+    gets a dense 1-based ``shuffle_rank`` in md5 order, the
+    reproducible corpus permutation a training run uses for example
+    order (same salt -> same order, on any engine, any partitioning).
+
+    Scale design: a global row_number is a single-partition window, so
+    the rank is assembled TWO-LEVEL instead: the first md5 byte splits
+    the corpus into 256 buckets whose counts form a broadcastable
+    cumulative-offset ledger, and each bucket ranks internally
+    (partitioned window); rank = bucket offset + within-bucket row
+    number. Because the bucket is a PREFIX of the sort key, bucket
+    order concatenated with within-bucket order IS the global md5
+    order — law-tested against the naive global window in
+    tests/test_curate.py."""
+    h = F.md5(
+        F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string"))
+    )
+    d = docs.select("doc_id", h.alias("h")).withColumn(
+        "bucket", F.substring("h", 1, 2)
+    )
+    ledger = (
+        d.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    wb = Window.partitionBy("bucket").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.join(F.broadcast(ledger), "bucket")
+        .withColumn(
+            "shuffle_rank",
+            (F.col("offset") + F.row_number().over(wb)).cast("long"),
+        )
+        .select("doc_id", F.col("h").alias("shuffle_key"), "shuffle_rank")
+    )

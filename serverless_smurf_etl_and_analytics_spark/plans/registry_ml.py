@@ -2187,3 +2187,46 @@ SELECT source_a, source_b, n_pairs, n_docs_a, n_docs_b, pair_space,
 FROM j
 """,
 )
+
+
+# cap1: per-source document cap by md5 order — the per-domain cap of
+# web-scale corpus building (no feed dominates), deterministic and
+# growth-stable.
+register(
+    "cap1_source_cap",
+    lambda spark, sf: curate.source_cap_sample(
+        tables.load(spark, sf, "documents"), 60
+    ),
+    """
+WITH r AS (
+    SELECT doc_id, lang, source,
+        row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5('cap|' || cast(doc_id AS varchar)), doc_id
+        ) AS src_rank
+    FROM documents
+)
+SELECT doc_id, lang, source, cast(src_rank AS bigint) AS src_rank
+FROM r WHERE src_rank <= 60
+""",
+)
+
+
+# shuf1: deterministic global training order — dense md5-order rank;
+# the Spark side assembles it two-level (256-bucket offset ledger +
+# per-bucket window) so no single-partition window exists; the oracle
+# states the naive global rule, so their equality IS the claim.
+register(
+    "shuf1_deterministic_shuffle",
+    lambda spark, sf: curate.deterministic_shuffle(
+        tables.load(spark, sf, "documents")
+    ),
+    """
+SELECT doc_id,
+    md5('shuf|' || cast(doc_id AS varchar)) AS shuffle_key,
+    cast(row_number() OVER (
+        ORDER BY md5('shuf|' || cast(doc_id AS varchar)), doc_id
+    ) AS bigint) AS shuffle_rank
+FROM documents
+""",
+)

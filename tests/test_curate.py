@@ -174,3 +174,43 @@ def test_token_budget_select_equals_global_prefix_rule(spark):
             .collect()
         }
         assert got == naive, f"budget={budget}"
+
+
+def test_deterministic_shuffle_is_dense_global_md5_order(spark):
+    """shuf1's two-level bucket assembly must equal the naive global
+    row_number over (md5, doc_id): ranks are a dense 1..n permutation
+    and every rank matches the global rule."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    got = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in curate.deterministic_shuffle(docs).collect()
+    }
+    h = F.md5(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
+    naive = {
+        r["doc_id"]: r["rank"]
+        for r in docs.select("doc_id", h.alias("h"))
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("h"), F.col("doc_id")))
+            .cast("long"),
+        )
+        .collect()
+    }
+    assert got == naive
+    assert sorted(got.values()) == list(range(1, len(got) + 1))
+
+
+def test_source_cap_keeps_at_most_cap_per_source(spark):
+    docs = tables.load(spark, SF_DIR, "documents")
+    out = curate.source_cap_sample(docs, 10).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append(r["src_rank"])
+    assert per, "expected at least one source"
+    for src, ranks in per.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 10
