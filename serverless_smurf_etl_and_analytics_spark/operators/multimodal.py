@@ -418,3 +418,123 @@ def resize_ppm_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
     return assets.select("doc_id", "payload").mapInPandas(
         real_resize, RESIZE_SCHEMA
     )
+
+
+# ---- real zero-dependency audio codec (RIFF/WAVE PCM) ---------------------
+# The audio sibling of the PPM path: uncompressed PCM WAV parses with
+# the standard library + numpy alone, so the audio feature-extract
+# slot is genuinely real for that format — actual samples decoded,
+# actual level statistics computed — while compressed formats (mp3,
+# ogg, ...) stay honestly stubbed behind the fake path.
+
+WAV_STATS_SCHEMA = (
+    "doc_id long, sample_rate long, n_channels long, n_samples long, "
+    "duration_ms long, peak_abs long, rms_q long, pcm_fp string"
+)
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Encode an (n_samples, n_channels) int16 array as a PCM WAV
+    (RIFF/WAVE, format tag 1, 16-bit) payload."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16
+    )
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav(payload: bytes):
+    """Decode a PCM WAV payload to ((n_samples, n_channels) int16
+    array, sample_rate). Walks RIFF chunks (tolerating extras like
+    LIST/fact before data); raises ValueError on non-RIFF input,
+    compressed format tags, non-16-bit samples, or a truncated data
+    chunk — malformed audio fails loudly, never silently zero-fills."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, ch, rate, _byte_rate, _align, bits = fmt
+    if tag != 1:
+        raise ValueError(f"compressed WAV (format tag {tag}) not supported")
+    if bits != 16:
+        raise ValueError(f"{bits}-bit WAV not supported")
+    usable = len(data) - len(data) % (ch * 2)
+    s = np.frombuffer(data[:usable], dtype="<i2").reshape(-1, ch)
+    return s, rate
+
+
+def wav_audio_stats(assets: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over PCM WAV payloads: decode
+    actual samples and compute the level statistics an audio-data
+    pipeline filters on — integer duration_ms, peak absolute sample,
+    quantized RMS (floor of the root-mean-square over all channels),
+    and an md5 fingerprint of the raw sample bytes (container
+    metadata excluded, so re-muxed identical audio deduplicates).
+
+    Input: (doc_id, payload) rows; invalid payloads fail the job
+    loudly (feed from a format-validated ingest). Arrow-batched
+    ``mapInPandas`` like the PPM path — payload bytes never pass
+    through the driver, per-batch memory bounded by the batch size."""
+
+    def real_stats(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "doc_id": [], "sample_rate": [], "n_channels": [],
+                "n_samples": [], "duration_ms": [], "peak_abs": [],
+                "rms_q": [], "pcm_fp": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s, rate = decode_wav(payload)
+                n, ch = s.shape
+                x = s.astype("int64")
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(ch)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["peak_abs"].append(
+                    int(np.abs(x).max()) if n else 0
+                )
+                out["rms_q"].append(
+                    int(np.sqrt((x * x).mean())) if n else 0
+                )
+                out["pcm_fp"].append(
+                    hashlib.md5(s.tobytes()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        real_stats, WAV_STATS_SCHEMA
+    )

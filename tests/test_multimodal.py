@@ -143,3 +143,55 @@ def test_resize_ppm_images_real_pixels(spark):
         assert r["resized_fp"] == expect_fp, f"pixel drift on {doc_id}"
     # upscale never happens: the small image passes through 1:1
     assert (got[4]["out_width"], got[4]["out_height"]) == (7, 5)
+
+
+def test_wav_codec_roundtrip_and_stats(spark):
+    """Real WAV path: encode known PCM, decode it back exactly, and
+    the Spark-side stats operator reports the true duration/peak/RMS
+    (hand-computable on a constant-amplitude square wave)."""
+    import numpy as np
+
+    from serverless_smurf_etl_and_analytics_spark.operators import (
+        multimodal as mm,
+    )
+
+    rate, n = 8000, 4000  # exactly 500 ms
+    square = np.where(np.arange(n) % 2 == 0, 1000, -1000).astype("int16")
+    stereo = np.stack([square, square], axis=1)
+    payload = mm.encode_wav(stereo, rate)
+    s, r = mm.decode_wav(payload)
+    assert r == rate and s.shape == (n, 2) and (s == stereo).all()
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    row = mm.wav_audio_stats(assets).collect()[0]
+    assert row["sample_rate"] == rate
+    assert row["n_channels"] == 2
+    assert row["n_samples"] == n
+    assert row["duration_ms"] == 500
+    assert row["peak_abs"] == 1000
+    assert row["rms_q"] == 1000  # |x| constant -> RMS == amplitude
+    import hashlib
+
+    assert row["pcm_fp"] == hashlib.md5(stereo.tobytes()).hexdigest()
+
+
+def test_wav_decode_rejects_malformed_payloads(spark):
+    import numpy as np
+    import pytest
+
+    from serverless_smurf_etl_and_analytics_spark.operators import (
+        multimodal as mm,
+    )
+
+    good = mm.encode_wav(np.zeros(100, dtype="int16"), 8000)
+    with pytest.raises(ValueError, match="RIFF"):
+        mm.decode_wav(b"not audio at all")
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_wav(good[:-10])
+    # compressed format tag fails loudly, never silently decodes
+    bad = bytearray(good)
+    bad[20] = 85  # format tag 1 -> 0x55 (mp3-in-wav)
+    with pytest.raises(ValueError, match="format tag"):
+        mm.decode_wav(bytes(bad))
