@@ -49,6 +49,7 @@ _VERIFY_FIRST = [
     "wn1_winnow_overlap", "wn2_winnow_decontaminate",
     "bud1_token_budget_select", "src2_cross_source_dups",
     "cap1_source_cap", "shuf1_deterministic_shuffle",
+    "rel1_release_order",
     # --- r7 changed plans / new oracle:
     # d6 re-registered on the 128-bit word-array SimHash tier with the
     # size-conditional band broadcast (the r5/r6 scale wall); j5_wide
@@ -85,8 +86,9 @@ _VERIFY_FIRST = [
     # CORRECTNESS_r04 — r7's 8 NEW queries displaced the other 8 of
     # the original 10; the remaining 39 + the r6-green set are the r8
     # window, so every r4-green entry is re-verified by r8):
-    "a18_event_type_summary", "a19_dow_seasonality",
+    "a18_event_type_summary",
     # ================= past the 50-window =================
+    "a19_dow_seasonality",
     "aj1_event_order_asof", "aj2_order_next_event",
     "co1_sku_copurchase", "coh1_cohort_retention",
     "cp1_cusum_changepoint", "cube1_store_payment_cube",

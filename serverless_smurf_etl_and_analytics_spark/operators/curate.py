@@ -642,3 +642,37 @@ def deterministic_shuffle(
         )
         .select("doc_id", F.col("h").alias("shuffle_key"), "shuffle_rank")
     )
+
+
+def release_order(
+    docs: DataFrame, cap: int = 60, budget: int = 20000
+) -> DataFrame:
+    """rel1: the corpus RELEASE pipeline as one query — the
+    composition a training run executes after curation: cap each
+    source at ``cap`` docs (cap1's md5 rule), fill the token budget
+    best-quality-first over the capped pool (bud1's bucket-resolved
+    prefix), then assign the reproducible training order (shuf1's
+    two-level md5 rank) over exactly the selected set. Built entirely
+    from the registered stages so their individually-proven semantics
+    compose; every rule is a pure function of (doc_id, text, source),
+    so the release is re-derivable byte-for-byte from the raw corpus.
+
+    Output: (doc_id, lang, source, weight_bp, n_tokens, shuffle_rank)
+    — the release manifest in training order domain (rank dense in
+    [1, n_selected])."""
+    kept = source_cap_sample(docs, cap).select("doc_id")
+    capped = docs.join(kept, "doc_id")
+    sel = token_budget_select(capped, budget)
+    ranked = deterministic_shuffle(sel).select("doc_id", "shuffle_rank")
+    return (
+        sel.join(ranked, "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "weight_bp",
+            "n_tokens",
+            "shuffle_rank",
+        )
+    )

@@ -2230,3 +2230,57 @@ SELECT doc_id,
 FROM documents
 """,
 )
+
+
+# rel1: the release pipeline (cap1 -> bud1 -> shuf1) as ONE oracle —
+# per-source cap, token-budget best-quality prefix over the capped
+# pool, deterministic training order over the selected set; each
+# predicate textually mirrors its stage's own oracle, so the stages
+# are PROVEN to compose (the cur1 pattern for the release side).
+register(
+    "rel1_release_order",
+    lambda spark, sf: curate.release_order(
+        tables.load(spark, sf, "documents"), 60, 20000
+    ),
+    f"""
+WITH capped AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+            row_number() OVER (
+                PARTITION BY source
+                ORDER BY md5('cap|' || cast(doc_id AS varchar)), doc_id
+            ) AS src_rank
+        FROM documents
+    ) WHERE src_rank <= 60
+),
+{SQL_TOKS},
+m AS (
+    SELECT t.doc_id, t.lang,
+        cast(len(toks) AS bigint) AS n_tokens,
+        cast(len(list_distinct(toks)) AS bigint) AS n_uniq,
+        cast(len(list_filter(toks, x -> x IN {STOP_SQL})) AS bigint)
+            AS n_stop
+    FROM toks_t t JOIN capped USING (doc_id)
+),
+w AS (
+    SELECT doc_id, lang, n_tokens,
+        CASE WHEN n_tokens > 0
+             THEN cast(round((n_stop * 3000.0 + n_uniq * 7000.0)
+                             / n_tokens) AS bigint)
+             ELSE 0 END AS weight_bp
+    FROM m
+),
+c AS (
+    SELECT *,
+        sum(n_tokens) OVER (ORDER BY weight_bp DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM w
+),
+sel AS (SELECT doc_id, lang, weight_bp, n_tokens FROM c WHERE cum <= 20000)
+SELECT s.doc_id, s.lang, d.source, s.weight_bp, s.n_tokens,
+    cast(row_number() OVER (
+        ORDER BY md5('shuf|' || cast(s.doc_id AS varchar)), s.doc_id
+    ) AS bigint) AS shuffle_rank
+FROM sel s JOIN documents d USING (doc_id)
+""",
+)
