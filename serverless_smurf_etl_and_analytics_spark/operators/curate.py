@@ -76,9 +76,8 @@ def pack_sequences(
     overflow spilling into the next shard.
 
     Output: (doc_id, stream, n_tokens, shard_id, offset_in_shard) —
-    all integers, reproducible, and oracle-expressible as a window
-    cumsum (registered next verify-window rotation; pytest-parity
-    checked meanwhile).
+    all integers, reproducible; registered with a window-cumsum DuckDB
+    oracle (pack1).
 
     Scale design: one shuffle on the stream key plus a within-
     partition sort — the window never sees unbounded frames (running
