@@ -37,63 +37,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # every registered query has a driver-verified green row in at least
 # one round and nothing outside the window has a changed plan.
 _VERIFY_FIRST = [
-    # ================= r7 window (first 50) =================
-    # --- r7 NEW queries, verified first: the deterministic train/val/
-    # test split and the temperature-scaled source mixing weights
-    # (cur1/d11 displaced from the tail of this window to the r8 block
-    # to make room — still r4-green, plans unchanged):
-    "cur2_train_eval_split", "mix1_source_mixing_weights",
-    # wn1/wn2 (MOSS winnowing overlap + decontamination) added late in
-    # r7 — verified first; cp1/cube1 displaced to the head of the r8
-    # block to hold the window at 50:
-    "wn1_winnow_overlap", "wn2_winnow_decontaminate",
-    "bud1_token_budget_select", "src2_cross_source_dups",
-    "cap1_source_cap", "shuf1_deterministic_shuffle",
-    "rel1_release_order",
-    # --- r7 changed plans / new oracle:
-    # d6 re-registered on the 128-bit word-array SimHash tier with the
-    # size-conditional band broadcast (the r5/r6 scale wall); j5_wide
-    # gains its FIRST value-hash oracle (explicit pivot values +
-    # DuckDB dynamic PIVOT) after two rounds of no_oracle rows; d9/d10
-    # ride the star-CC changes (self-loop-only singleton roots, the
-    # checksum fixed-point test); hist1/hist2/qr1 ride the log2-bin
-    # positive-cents domain guard in the daily histogram layer.
-    "d6_simhash_neardup", "j5_wide_pivot_timeseries",
+    # ================= r8 window (first 50) =================
+    # --- r8 changed plans, verified first:
+    # d5/d6 ride the packed-simhash overflow fix (ADVICE r7 medium:
+    # _MAX_DOC_TOKENS lowered to the real carry-free bound);
+    # bud1/rel1 ride the exact-boundary bucket predicate fix (ADVICE
+    # r7 low: cum_before <= budget); sim2/d7/src2 ride the
+    # materialized LSH band-table path; d9/d10 ride the star-CC
+    # singleton-dropout iteration; wn1/wn2 ride the per-day
+    # fingerprint materialize+merge.
+    "d5_simhash", "d6_simhash_neardup",
+    "bud1_token_budget_select", "rel1_release_order",
+    "sim2_cosine_neardup", "d7_semantic_dedup",
+    "src2_cross_source_dups",
     "d9_semantic_dedup_cc", "d10_minhash_dup_groups",
-    "hist1_log2_histogram", "hist2_histogram_range_merge",
-    "qr1_quality_report",
-    # --- the full r3-stale block (VERDICT r6 item 2: last
-    # driver-green in CORRECTNESS_r03, 4 rounds ago by now; local
-    # parity green every round, plans unchanged since except where
-    # noted above):
-    "a1_store_day_metrics", "a2_payment_breakdown",
-    "a2_payment_per_store_day", "a3_top5_products_store_day",
-    "a4_company_daily", "a4_payment_map_rollup",
-    "a6_product_daily_exact", "a6_product_daily_top5_parity",
-    "d7_semantic_dedup", "d8_decontaminate",
-    "f1_scalar_sampler",
-    "i1_anomaly_classify", "i2_trend_insights", "i3_recommendations",
-    "i4_combine_insights", "i5_insight_summary",
-    "j5_wide_serialized",
-    "p1_store_summary_projection", "p2_prefix_filter",
-    "p3_point_lookup", "p4_range_filter_daily", "p6_isin_filter",
-    "r1_daily_report_lines", "sd_nested_store_daily",
-    "sim2_cosine_neardup", "t6_stratified_sample", "u1_union_tagged",
-    "x1_export_store_summaries", "x2_export_top_products",
-    "x3_export_anomalies", "x4_export_trends",
-    "x5_export_recommendations", "x6_export_manifest",
-    # --- the oldest r4-stale block (first 2 of the 41 last green in
-    # CORRECTNESS_r04 — r7's 8 NEW queries displaced the other 8 of
-    # the original 10; the remaining 39 + the r6-green set are the r8
-    # window, so every r4-green entry is re-verified by r8):
-    "a18_event_type_summary",
-    # ================= past the 50-window =================
+    "wn1_winnow_overlap", "wn2_winnow_decontaminate",
+    # --- the full 38-query r4-stale block (VERDICT r7 item 1: last
+    # driver-green in CORRECTNESS_r04, 3 rounds ago; local parity
+    # green every round, plans unchanged since):
     "a19_dow_seasonality",
     "aj1_event_order_asof", "aj2_order_next_event",
     "co1_sku_copurchase", "coh1_cohort_retention",
     "cp1_cusum_changepoint", "cube1_store_payment_cube",
-    # the rest of the r4 block — next round's rotation candidates,
-    # ahead of the r5/r6-green tail which the registry order supplies:
     "cur1_curated_corpus", "d11_containment",
     "d12_editdist_neardup", "dq1_profile_columns",
     "drift1_payment_tvd", "e1_embedding_dim_profile",
@@ -107,6 +72,32 @@ _VERIFY_FIRST = [
     "t7_repetition_filter", "t8_doc_frequency", "tf1_tfidf_keywords",
     "tri1_copurchase_triangles", "u2_setops_assortment",
     "w1_weighted_sample", "w2_window_sampler", "z1_robust_zscore",
+    # --- window filler to hold 50: the worst r7 bench ratio (1.47×,
+    # re-pinned/explained this round) gets a fresh green row:
+    "a12_trend_half_vs_half",
+    # ================= past the 50-window =================
+    # r6/r7-green tail in least-recently-verified order: the r6-green
+    # block next round's rotation candidates, then the r7 window. Any
+    # query whose plan changes in r9 moves to the head.
+    "a7_trailing_7day", "a10_deviation_vs_trailing",
+    "a11_trend_recent_vs_earlier", "a13_trend_first_vs_last",
+    "a8_company_trailing", "a9_product_trailing",
+    "a16_product_range_stats", "j1_missing_stores_anti",
+    "j3_brand_revenue", "j5_dense_date_store_grid",
+    "j6_top_customers", "j7_store_region_rollup",
+    "a14_kpi_for_range", "a15_top_products_reagg",
+    "a17_distinct_dates", "t1_text_stats", "t2_lang_id",
+    "t3_fingerprint", "t4_token_count_bpe", "t5_rolling_fingerprint",
+    "d1_exact_dedup", "d2_minhash_signatures",
+    "d3_lsh_candidate_pairs", "d4_minhash_neardup",
+    "mm1_binary_fingerprint_dedup", "mm2_modality_stats",
+    "mm3_pairing_integrity", "sim1_cosine_topk", "sim4_ivf_topk",
+    "sim3_lsh_topk", "t9_pii_scrub", "c1_kmeans_clusters",
+    "pq1_pq_codes", "ivfpq1_topk", "pq2_adc_topk", "pq4_adc_rerank",
+    "pq3_residual_codes", "src1_corpus_datasheet",
+    "sk2_kmv_range_merge", "sk3_kmv_set_overlap",
+    "qr2_cardinality_drift", "cm1_range_heavy_users",
+    "hh1_heavy_hitters", "scd2_validity_intervals",
 ]
 
 
