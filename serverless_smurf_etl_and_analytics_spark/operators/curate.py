@@ -451,8 +451,14 @@ def token_budget_select(docs: DataFrame, budget: int = 20000) -> DataFrame:
             "weight_bp",
             "cum_before",
             (F.col("cum_end") <= budget).alias("full_in"),
+            # <= (not <): a bucket whose cumulative START lands exactly
+            # on the budget still admits its zero-token head docs under
+            # the naive global rule (cum <= budget) — ADVICE r7. Still
+            # disjoint from full_in (which needs cum_end <= budget) and
+            # still unique: the next positive bucket's cum_before is
+            # this one's cum_end > budget.
             (
-                (F.col("cum_before") < budget)
+                (F.col("cum_before") <= budget)
                 & (F.col("cum_end") > budget)
             ).alias("boundary"),
         )

@@ -228,10 +228,18 @@ def minhash_neardup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 _PACK = [
     sum(((v >> l) & 1) << (16 * l) for l in range(4)) for v in range(16)
 ]
-# distinct-token-per-doc bound that keeps the 16-bit lanes carry-free;
-# enforced per doc with the exact token count (raise_error), since a
-# silent lane overflow would corrupt signatures undetectably.
-_MAX_DOC_TOKENS = (1 << 16) - 1
+# distinct-token-per-doc bound under which the packed aggregation is
+# PROVABLY safe. Two constraints: (1) lanes carry-free needs each lane
+# count < 2^16; (2) the SIGNED long sum must not overflow — lane 3
+# sits at bit 48, so a lane-3 count of 2^15 alone reaches 2^63 and
+# trips Spark 4's ANSI ARITHMETIC_OVERFLOW mid-aggregation, before any
+# post-agg guard can fire. (2) binds first: the real bound is 2^15-1
+# (worst case sum = (2^15-1)*(2^48+2^32+2^16+1) < 2^63-1). Docs at or
+# below the bound can never overflow; docs above it fail LOUDLY —
+# either the formatted raise_error below (when the sum happens to stay
+# in range) or Spark's raw ANSI overflow (when it doesn't) — never a
+# silently corrupted signature. Split such docs upstream.
+_MAX_DOC_TOKENS = (1 << 15) - 1
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
@@ -251,9 +259,13 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     is ``bits/4`` array lookups instead of ``bits`` shift/mask chains
     (measured 2.7 s -> 1.0 s for the 128-bit build at sf0.1). The
     majority vote over ±1 equals ``2 * count_of_ones > n_tokens``;
-    lanes stay carry-free below 2^16 tokens/doc, enforced per doc with
-    the exact count (a doc over the bound fails the job loudly rather
-    than corrupt its signature — split such docs upstream)."""
+    the packed sum is provably safe below 2^15 distinct tokens/doc
+    (the signed-long bound on lane 3 at bit 48 — tighter than the
+    2^16 carry-free lane bound), enforced per doc with the exact
+    count. A doc over the bound fails the job loudly — the formatted
+    raise_error when the sum stays in range, Spark's ANSI
+    ARITHMETIC_OVERFLOW when it doesn't — never a silently corrupted
+    signature; split such docs upstream."""
     # explicit repartition after the distinct: the packed vote
     # projection + aggregation is CPU-dense but byte-small, and AQE
     # would coalesce the distinct's shuffle output to one task

@@ -176,6 +176,31 @@ def test_token_budget_select_equals_global_prefix_rule(spark):
         assert got == naive, f"budget={budget}"
 
 
+def test_token_budget_exact_boundary_keeps_zero_token_head(spark):
+    """ADVICE r7 corner: when a bucket's cumulative START equals the
+    budget exactly, its zero-cost (0-token) head docs are still inside
+    the naive global prefix (cum <= budget) and must be selected. Doc
+    1 (weight 7000) consumes the whole 10-token budget; the weight-0
+    bucket then holds doc 2 (empty text, 0 tokens — keep) and doc 3
+    (one token repeated 14001x, weight round(7000/14001)=0 — drop).
+    The old strict cum_before < budget boundary predicate dropped the
+    bucket wholesale, losing doc 2."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10)), "en", "s", 40),
+            (2, "", "en", "s", 0),
+            (3, "x " * 14001, "en", "s", 28002),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        r["doc_id"]
+        for r in curate.token_budget_select(docs, 10).collect()
+    }
+    assert got == {1, 2}
+
+
 def test_deterministic_shuffle_is_dense_global_md5_order(spark):
     """shuf1's two-level bucket assembly must equal the naive global
     row_number over (md5, doc_id): ranks are a dense 1..n permutation

@@ -382,3 +382,56 @@ def test_cosine_topk_scale_invariance(spark):
         for r in similarity.cosine_topk(scaled, 5).collect()
     }
     assert a == b
+
+
+def _one_doc(spark, text: str):
+    return spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+
+
+def test_simhash_packed_sum_safe_at_exact_bound(spark):
+    """_MAX_DOC_TOKENS is the PROVABLE bound: a doc with exactly
+    2^15-1 distinct tokens aggregates without overflow even in the
+    worst lane distribution (ADVICE r7: the old 2^16-1 bound was
+    unreachable — a lane-3 count of 2^15 pushes the signed-long sum
+    past 2^63 under ANSI mode before the guard fires)."""
+    n = dedup._MAX_DOC_TOKENS
+    assert n == (1 << 15) - 1
+    doc = _one_doc(spark, " ".join(f"t{i}" for i in range(n)))
+    out = dedup.simhash(doc, 32).collect()
+    assert len(out) == 1 and len(out[0]["simhash"]) == 32
+
+
+def test_simhash_over_bound_raises_formatted_guard(spark):
+    """One past the bound with a benign (uniform-md5) token mix: the
+    packed sum stays in range, so the loud failure is the formatted
+    raise_error naming the bound — not silent corruption."""
+    doc = _one_doc(
+        spark,
+        " ".join(f"t{i}" for i in range(dedup._MAX_DOC_TOKENS + 233)),
+    )
+    with pytest.raises(Exception, match="simhash vote lanes overflow"):
+        dedup.simhash(doc, 32).collect()
+
+
+def test_simhash_adversarial_lane_pileup_fails_loud(spark):
+    """The ADVICE r7 repro: tokens mined so md5's first nibble is
+    >= 8 (lane-3 bit set for every token). With 2^15 such tokens the
+    packed sum for nibble 0 reaches 2^63, so ANSI mode aborts the
+    aggregation (raw ARITHMETIC_OVERFLOW) before the formatted guard
+    can evaluate — loud either way, never a corrupted signature."""
+    import hashlib
+
+    toks, i = [], 0
+    need = (1 << 15) + 8
+    while len(toks) < need:
+        w = f"t{i}"
+        if hashlib.md5(w.encode()).hexdigest()[0] >= "8":
+            toks.append(w)
+        i += 1
+    doc = _one_doc(spark, " ".join(toks))
+    with pytest.raises(Exception):
+        dedup.simhash(doc, 32).collect()
