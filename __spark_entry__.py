@@ -49,7 +49,7 @@ _VERIFY_FIRST = [
     "d5_simhash", "d6_simhash_neardup",
     "bud1_token_budget_select", "rel1_release_order",
     "sim2_cosine_neardup", "d7_semantic_dedup",
-    "src2_cross_source_dups",
+    "src2_cross_source_dups", "sim3_lsh_topk",
     "d9_semantic_dedup_cc", "d10_minhash_dup_groups",
     "wn1_winnow_overlap", "wn2_winnow_decontaminate",
     # --- the full 38-query r4-stale block (VERDICT r7 item 1: last
@@ -72,9 +72,8 @@ _VERIFY_FIRST = [
     "t7_repetition_filter", "t8_doc_frequency", "tf1_tfidf_keywords",
     "tri1_copurchase_triangles", "u2_setops_assortment",
     "w1_weighted_sample", "w2_window_sampler", "z1_robust_zscore",
-    # --- window filler to hold 50: the worst r7 bench ratio (1.47×,
-    # re-pinned/explained this round) gets a fresh green row:
-    "a12_trend_half_vs_half",
+    # (sim3 rides the band_table bits-string refactor — 12th changed
+    # plan, taking the window's 50th slot.)
     # ================= past the 50-window =================
     # r6/r7-green tail in least-recently-verified order: the r6-green
     # block next round's rotation candidates, then the r7 window. Any
@@ -92,7 +91,7 @@ _VERIFY_FIRST = [
     "d3_lsh_candidate_pairs", "d4_minhash_neardup",
     "mm1_binary_fingerprint_dedup", "mm2_modality_stats",
     "mm3_pairing_integrity", "sim1_cosine_topk", "sim4_ivf_topk",
-    "sim3_lsh_topk", "t9_pii_scrub", "c1_kmeans_clusters",
+    "t9_pii_scrub", "c1_kmeans_clusters",
     "pq1_pq_codes", "ivfpq1_topk", "pq2_adc_topk", "pq4_adc_rerank",
     "pq3_residual_codes", "src1_corpus_datasheet",
     "sk2_kmv_range_merge", "sk3_kmv_set_overlap",

@@ -683,7 +683,23 @@ def connected_components_star(
     out as its own singleton component — the labelprop reference emits
     it, and the advertised equality law between the two implementations
     holds on any input. Such vertices are collected (from the same
-    persisted canonical edge pass) and unioned back in as roots."""
+    persisted canonical edge pass) and unioned back in as roots.
+
+    **Settled-star dropout** (r8): after each round, components whose
+    edges already form a CLOSED star leave the iterated set. An edge
+    group {(s_i, d)} is settled iff every member s_i occurs in the
+    round's edge set exactly once (as the src of its one edge — no
+    other out-edge, nothing pointing at it) and the root d never
+    occurs as a src. Both star steps preserve components exactly, so
+    such a group is its entire original component and both steps map
+    it to itself (stars are local fixed points) — its rows are final
+    label-map rows. In a near-dup graph most components are 2-3
+    vertices and star-shaped after round 1, so the dropout shrinks
+    rounds 2+ to the hard residue instead of re-joining already-final
+    stars every round; the loop now terminates when the RESIDUE is
+    empty (typical) or stable. Soundness is law-tested against
+    labelprop on chain/star/clique corpora (tests/test_graph_dedup.py).
+    """
     e = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("s"),
@@ -708,6 +724,8 @@ def connected_components_star(
         )
     )
     e.unpersist()
+    settled: list[DataFrame] = []
+    prev_cs = _edge_checksum(cur)
     for _ in range(max_iter):
         # large-star: closed-neighborhood minimum per vertex over the
         # undirected adjacency; larger neighbors re-point to it.
@@ -746,23 +764,79 @@ def connected_components_star(
             .filter(F.col("s") != F.col("d"))
             .distinct()
         )
-        # fixed-point check: both sides are DISTINCT edge sets, so
-        # equality of (count, sum of per-row hash) implies set equality
-        # up to a 2^-64-ish collision — one cheap aggregate over the
-        # just-checkpointed rows instead of the two exceptAll shuffle
-        # jobs this used to run per round (a measured constant-factor
-        # drag on d9/d10). The hash sum rides in decimal(38,0) so it
-        # cannot overflow (ANSI mode would raise on a long sum).
-        if _edge_checksum(small) == _edge_checksum(cur):
-            cur = small
+        # settled-star dropout: per-vertex occurrence stats over the
+        # new edge set — an edge group {(s_i, d)} whose members each
+        # occur exactly once (this edge) and whose root never occurs
+        # as a src is a CLOSED star = a final component (docstring
+        # proof); its rows leave the loop as finished label-map rows.
+        vstats = (
+            small.select(
+                F.col("s").alias("v"),
+                F.lit(1).alias("a"),
+                F.lit(0).alias("b"),
+            )
+            .union(
+                small.select(
+                    F.col("d").alias("v"),
+                    F.lit(0).alias("a"),
+                    F.lit(1).alias("b"),
+                )
+            )
+            .groupBy("v")
+            .agg(F.sum("a").alias("ns"), F.sum("b").alias("nd"))
+        )
+        pure = (
+            (F.col("s_ns") == 1)
+            & (F.col("s_nd") == 0)
+            & (F.col("d_ns") == 0)
+        ).cast("int")
+        marked = (
+            small.join(
+                vstats.select(
+                    F.col("v").alias("s"),
+                    F.col("ns").alias("s_ns"),
+                    F.col("nd").alias("s_nd"),
+                ),
+                "s",
+            )
+            .join(
+                vstats.select(
+                    F.col("v").alias("d"), F.col("ns").alias("d_ns")
+                ),
+                "d",
+            )
+            # min over the root's group: ALL members must be pure, or
+            # the group stays (a lone impure member can still bridge
+            # this component to a smaller root later)
+            .withColumn(
+                "ok", F.min(pure).over(Window.partitionBy("d")) == 1
+            )
+        )
+        cur = _ckpt_fresh(marked.filter(~F.col("ok")).select("s", "d"))
+        # settled rows stay LAZY: depth-1 plans over the checkpointed
+        # `small`, evaluated exactly once when the caller consumes the
+        # final label map — no extra materialization job per round
+        settled.append(marked.filter("ok").select("s", "d"))
+        # fixed-point check on the RESIDUE: both sides are DISTINCT
+        # edge sets, so equality of (count, sum of per-row hash)
+        # implies set equality up to a 2^-64-ish collision — one cheap
+        # aggregate instead of the two exceptAll jobs this used to run
+        # per round. The hash sum rides in decimal so it cannot
+        # overflow (ANSI mode would raise on a long sum). Typical
+        # termination is an EMPTY residue (everything settled out).
+        cs = _edge_checksum(cur)
+        if cs[0] == 0 or cs == prev_cs:
             break
-        cur = small
+        prev_cs = cs
     # fixed point = union of stars rooted at component minima: the
     # edge set is the label map for non-roots; roots label themselves.
+    stars = cur
+    for s_df in settled:
+        stars = stars.union(s_df)
     return (
-        cur.select(F.col("s").alias("v"), F.col("d").alias("component"))
+        stars.select(F.col("s").alias("v"), F.col("d").alias("component"))
         .union(
-            cur.select("d")
+            stars.select("d")
             .distinct()
             .select(F.col("d").alias("v"), F.col("d").alias("component"))
         )

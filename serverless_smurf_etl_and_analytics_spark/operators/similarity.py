@@ -145,17 +145,25 @@ def _dot_fixed_point(ea, eb):
     return F.pandas_udf(dot, "long")(ea, eb)
 
 
-def band_table(emb: DataFrame, n_bands: int, band_planes: int) -> DataFrame:
-    """(vec_id, n2, buckets array, band_idx, bucket) — one row per
-    (vector, band), persisted and hash-partitioned on the band join key
-    so (a) both sides of the candidate self-join read materialized rows
-    and (b) the match-heavy probe keeps full parallelism (AQE coalesces
-    by shuffle BYTES and would run this tiny but explosive input on one
-    task).
+def band_bits(emb: DataFrame, n_planes: int) -> DataFrame:
+    """(vec_id, n2, bits, embedding) — the PERSISTABLE form of the LSH
+    projection: ``bits`` is the full ``n_planes``-char '0'/'1' string
+    of sign-random-projection bits in plane order. Every band config
+    with ``n_bands * band_planes <= n_planes`` derives its bucket keys
+    by SUBSTRING (the md5 plane stream is prefix-stable), so one stored
+    bit string serves sim3's (1, 8), sim2's adaptive config, and any
+    future widening up to ``n_planes`` — this is what makes the table a
+    corpus ARTIFACT rather than a per-query intermediate.
 
-    The fixed-point conversion, norms, and all 32 plane dot products
-    are ONE Arrow-batched numpy matmul per partition (mapInPandas):
-    exact int64 math, identical values to the SQL oracle. This is the
+    Row-wise pure function of the vector, so the table is trivially
+    MERGEABLE: band_bits(A ∪ B) == band_bits(A) ∪ band_bits(B) — new
+    corpus shards append without touching existing rows (law-tested in
+    tests/test_band_artifact.py; the same incremental-maintenance
+    algebra as the kmv/hll/histogram daily layers in stats.py).
+
+    The fixed-point conversion, norms, and all plane dot products are
+    ONE Arrow-batched numpy matmul per partition (mapInPandas): exact
+    int64 math, identical values to the SQL oracle. This is the
     deliberate Pandas-UDF escape hatch: the pure-DataFrame forms are
     either interpreted (higher-order functions are CodegenFallback,
     ~1 ms/row) or generate methods past the JIT compile limit (a 33-way
@@ -165,17 +173,12 @@ def band_table(emb: DataFrame, n_bands: int, band_planes: int) -> DataFrame:
     import numpy as np
 
     p = emb.sparkSession.sparkContext.defaultParallelism
-    n_planes = n_bands * band_planes
-    # the md5 plane stream is prefix-stable: configs beyond the 64
-    # precomputed planes (adaptive_band_config at large n) extend it,
-    # smaller ones slice it — band 0 stays byte-identical either way
     planes = (
         PLANE_SIGNS
         if n_planes <= len(PLANE_SIGNS)
         else plane_signs(n_planes)
     )
     planes_t = np.array(planes[:n_planes], dtype=np.int64).T
-    bp = band_planes
     scale = SCALE
 
     # self-contained closure (no module-global references): cloudpickle
@@ -195,22 +198,18 @@ def band_table(emb: DataFrame, n_bands: int, band_planes: int) -> DataFrame:
                 x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)
             ).astype(np.int64)
             n2 = (iv * iv).sum(axis=1)
-            bits = (iv @ planes_t) > 0
-            buckets = [
-                [
-                    "".join(
-                        "1" if bits[i, b * bp + j] else "0"
-                        for j in range(bp)
-                    )
-                    for b in range(n_bands)
-                ]
-                for i in range(len(pdf))
-            ]
+            # '1'/'0' chars vectorized: ASCII 49/48 bytes -> one str
+            # per row (no per-bit Python loop — at 10x scale the old
+            # nested join built 4.4M bucket strings char-by-char)
+            chars = np.where((iv @ planes_t) > 0, 49, 48).astype(
+                np.uint8
+            )
+            bits = [bytes(row).decode("ascii") for row in chars]
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].values,
                     "n2": n2,
-                    "buckets": buckets,
+                    "bits": bits,
                     "embedding": pdf["embedding"].values,
                 }
             )
@@ -220,12 +219,27 @@ def band_table(emb: DataFrame, n_bands: int, band_planes: int) -> DataFrame:
     # thin partitions cost far more wall than a handful of matmul
     # batches. The embedding rides along so the verify can read it off
     # the self-join output instead of two extra dimension joins.
-    bt = emb.repartition(max(4, p // 4), "vec_id").mapInPandas(
+    return emb.repartition(max(4, p // 4), "vec_id").mapInPandas(
         compute,
-        "vec_id long, n2 long, buckets array<string>, "
-        "embedding array<float>",
+        "vec_id long, n2 long, bits string, embedding array<float>",
     )
-    eb = bt.select(
+
+
+def _explode_bands(
+    bt: DataFrame, n_bands: int, band_planes: int
+) -> DataFrame:
+    """band_bits rows -> (vec_id, n2, buckets array, embedding,
+    band_idx, bucket): bucket b is the b-th ``band_planes``-char slice
+    of ``bits``, exploded to one row per (vector, band) and persisted —
+    both sides of the candidate self-join read materialized rows, and
+    the match-heavy probe keeps full parallelism."""
+    buckets = F.array(
+        *[
+            F.substring("bits", b * band_planes + 1, band_planes)
+            for b in range(n_bands)
+        ]
+    )
+    eb = bt.withColumn("buckets", buckets).select(
         "vec_id",
         "n2",
         "buckets",
@@ -233,6 +247,153 @@ def band_table(emb: DataFrame, n_bands: int, band_planes: int) -> DataFrame:
         F.posexplode("buckets").alias("band_idx", "bucket"),
     )
     return eb.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def band_table(emb: DataFrame, n_bands: int, band_planes: int) -> DataFrame:
+    """(vec_id, n2, buckets array, band_idx, bucket) — one row per
+    (vector, band): :func:`band_bits` computed inline for this config's
+    ``n_bands * band_planes`` planes, sliced and exploded by
+    :func:`_explode_bands`. The recompute-every-session form; sessions
+    that maintain the corpus artifact use :func:`cached_band_bits` /
+    :func:`load_band_bits` instead and skip the matmul stage entirely."""
+    return _explode_bands(
+        band_bits(emb, n_bands * band_planes), n_bands, band_planes
+    )
+
+
+def corpus_fingerprint(emb: DataFrame) -> tuple[int, int]:
+    """(n_vectors, order-insensitive content hash) of an embedding
+    corpus — the staleness key for cached band artifacts. One
+    aggregate scan: count + sum(xxhash64(vec_id, embedding)), so ANY
+    added/removed/mutated vector changes the key and a stale artifact
+    can never be silently reused. The count doubles as the input to
+    :func:`adaptive_band_config` (no second job). The hash sum runs in
+    decimal(38,0) — the _edge_checksum pattern — because a long sum of
+    uniform 64-bit hashes overflows ANSI mode after a handful of rows;
+    the decimal is folded to 64 bits for the key."""
+    row = emb.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("vec_id", "embedding").cast("decimal(38,0)"))
+        .alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"] or 0) % (1 << 64)
+
+
+def _band_cache_root(root: str | None) -> str:
+    import os
+    import tempfile
+
+    return (
+        root
+        or os.environ.get("SMURF_BAND_CACHE")
+        or os.path.join(tempfile.gettempdir(), "smurf_band_cache")
+    )
+
+
+def artifact_n_planes(path: str) -> int:
+    """Stored plane width, parsed from the artifact dirname."""
+    import os
+
+    return int(os.path.basename(path).rsplit("_p", 1)[1])
+
+
+def materialize_band_artifact(
+    emb: DataFrame,
+    root: str | None = None,
+    n_planes: int | None = None,
+    fingerprint: tuple[int, int] | None = None,
+) -> str:
+    """Write the :func:`band_bits` table as an on-disk corpus artifact
+    and return its path — the across-session form of the LSH pipeline's
+    most expensive stage. At 100 TB the band table is maintained by the
+    ingest pipeline (built once per shard, appended via
+    :func:`append_band_artifact`), not recomputed per query session:
+    the r7 rehearsal measured the sf10 cold sim2 run at 62.5 s of which
+    ~34 s was rebuilding this table the warm runs already had.
+
+    Layout: ``{root}/n{count}_h{hash}_p{n_planes}`` — the corpus
+    fingerprint keys the dirname, so lookups are exact-match and a
+    changed corpus simply misses (no invalidation protocol needed);
+    the stored plane width rides the dirname too, and any config
+    needing ``<= n_planes`` planes slices it (prefix-stable stream).
+    Default width: the corpus's adaptive config rounded up to the next
+    multiple of 32 — headroom so moderate corpus growth re-reads the
+    same artifact. The write is atomic (tmp dir + os.rename): a
+    concurrent or crashed builder can never expose a partial artifact.
+    """
+    import os
+    import shutil
+    import uuid
+
+    root = _band_cache_root(root)
+    n, h = fingerprint or corpus_fingerprint(emb)
+    if n_planes is None:
+        nb, bp = adaptive_band_config(n)
+        n_planes = ((nb * bp + 31) // 32) * 32
+    path = os.path.join(root, f"n{n}_h{h}_p{n_planes}")
+    if os.path.exists(path):
+        return path
+    os.makedirs(root, exist_ok=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    band_bits(emb, n_planes).write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # lost a build race: the winner's artifact is equally valid
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def append_band_artifact(new_emb: DataFrame, path: str) -> None:
+    """Merge a NEW corpus shard into a pipeline-managed artifact: band
+    rows are a row-wise pure function of the vector, so the merge law
+    is plain union — compute bits only for the new vectors (at the
+    artifact's stored plane width) and append. Existing rows are never
+    read or rewritten; this is what keeps the 100 TB maintenance cost
+    proportional to the DELTA, like the daily-sketch layers in
+    stats.py. (Pipeline-managed paths only: the fingerprint-keyed
+    cache dirs of :func:`materialize_band_artifact` are immutable —
+    a grown corpus gets a new key and a fresh build.)"""
+    band_bits(new_emb, artifact_n_planes(path)).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def load_band_bits(spark, path: str) -> DataFrame:
+    """Read a band artifact back as the :func:`band_bits` shape."""
+    return spark.read.parquet(path).select(
+        "vec_id", "n2", "bits", "embedding"
+    )
+
+
+def cached_band_bits(
+    emb: DataFrame,
+    n_bands: int,
+    band_planes: int,
+    root: str | None = None,
+    fingerprint: tuple[int, int] | None = None,
+) -> DataFrame:
+    """find-or-build: return band_bits for ``emb`` from the artifact
+    cache, building (and caching) it on miss. A hit must cover the
+    requested config's plane count; wider artifacts are sliced
+    (prefix-stable planes), narrower ones are treated as misses."""
+    import glob
+    import os
+
+    root = _band_cache_root(root)
+    n, h = fingerprint or corpus_fingerprint(emb)
+    need = n_bands * band_planes
+    for p in sorted(glob.glob(os.path.join(root, f"n{n}_h{h}_p*"))):
+        if artifact_n_planes(p) >= need:
+            return load_band_bits(emb.sparkSession, p)
+    nb, bp = adaptive_band_config(n)
+    width = ((max(need, nb * bp) + 31) // 32) * 32
+    return load_band_bits(
+        emb.sparkSession,
+        materialize_band_artifact(
+            emb, root, n_planes=width, fingerprint=(n, h)
+        ),
+    )
 
 
 def fixed_point(emb: DataFrame) -> DataFrame:
@@ -394,6 +555,7 @@ def cosine_neardup_pairs(
     threshold: float = 0.3,
     n_bands: int | None = None,
     band_planes: int | None = None,
+    band_cache: str | None = "auto",
 ) -> DataFrame:
     """LSH-bucketed cosine near-dup — the scale path, mirroring the
     MinHash d3->d4 pipeline shape: candidates are pairs sharing a
@@ -423,12 +585,32 @@ def cosine_neardup_pairs(
     once n >> 2^width, adaptive width keeps candidates O(n log n) at
     the same >= 0.93 recall floor. Below 4096 vectors the resolved
     config is exactly (8, 8), so driver-verified scales are
-    byte-identical to the fixed form the oracle hardcodes."""
+    byte-identical to the fixed form the oracle hardcodes.
+
+    ``band_cache`` (default "auto") reads the projection stage from
+    the fingerprint-keyed band artifact, building and caching it on
+    first contact with a corpus (see
+    :func:`materialize_band_artifact`) — the bits are a deterministic
+    pure function of the vectors, so cached and inline plans yield
+    byte-identical pairs (law-tested) and a cold session skips the
+    pipeline's most expensive stage. None disables (always recompute
+    inline); any other string is used as the cache root."""
+    fp = corpus_fingerprint(emb)
     if n_bands is None or band_planes is None:
-        auto = adaptive_band_config(emb.count())
+        auto = adaptive_band_config(fp[0])
         n_bands = auto[0] if n_bands is None else n_bands
         band_planes = auto[1] if band_planes is None else band_planes
-    eb = band_table(emb, n_bands, band_planes)
+    if band_cache is not None and fp[0] > 0:
+        root = None if band_cache == "auto" else band_cache
+        eb = _explode_bands(
+            cached_band_bits(
+                emb, n_bands, band_planes, root=root, fingerprint=fp
+            ),
+            n_bands,
+            band_planes,
+        )
+    else:
+        eb = band_table(emb, n_bands, band_planes)
     a = eb.alias("a")
     b = eb.alias("b")
     # keep a pair only at its FIRST matching band: for band i, all
