@@ -518,6 +518,89 @@ def cosine_topk(
     )
 
 
+# corpus-size bound for the gather-verify tier of cosine_neardup_pairs:
+# the fixed-point matrix is 512 B/vector (64-dim int64) and every
+# reused Python worker holds a deserialized copy, so 500k vectors keeps
+# the executor-side footprint at ~256 MB x workers; beyond it the
+# embedding-riding join (no driver collect) takes over.
+_GATHER_VERIFY_MAX = 500_000
+
+
+def _slim_band_rows(
+    bt: DataFrame, n_bands: int, band_planes: int
+) -> DataFrame:
+    """band_bits rows -> (vec_id, buckets, band_idx, bucket) WITHOUT
+    n2/embedding riding: the gather-verify tier resolves those from the
+    broadcast matrix, so the candidate self-join shuffles ~330 B/row
+    of bucket strings instead of +300 B of embedding per exploded row.
+    Not persisted: the artifact parquet (or persisted inline band_bits)
+    is the materialization, and scanning a columnar-cached explode of
+    wide array rows measured SLOWER than re-deriving it."""
+    buckets = F.array(
+        *[
+            F.substring("bits", b * band_planes + 1, band_planes)
+            for b in range(n_bands)
+        ]
+    )
+    return bt.withColumn("buckets", buckets).select(
+        "vec_id",
+        "buckets",
+        F.posexplode("buckets").alias("band_idx", "bucket"),
+    )
+
+
+def _gather_dots(cand: DataFrame, bt: DataFrame) -> DataFrame:
+    """(vec_a, vec_b) candidates -> (vec_a, vec_b, dot, n2_a, n2_b)
+    via one broadcast of the corpus's fixed-point matrix: ids sorted
+    once on the driver, each Arrow batch resolved with searchsorted +
+    an int64 einsum — exact integer math, value-identical to
+    :func:`_dot_fixed_point` and the DuckDB oracle, without shipping
+    two embedding arrays per candidate pair through the shuffle and
+    Arrow. The matrix is a bounded driver-side model artifact (sim1's
+    query-matrix precedent), gated by ``_GATHER_VERIFY_MAX``."""
+    import numpy as np
+
+    pdf = bt.select("vec_id", "n2", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    ids_sorted = ids[order]
+    x = (
+        np.vstack(pdf["embedding"].map(np.asarray).values).astype(
+            np.float64
+        )
+        * SCALE
+    )
+    mat = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+        np.int64
+    )[order]
+    n2 = pdf["n2"].to_numpy(np.int64)[order]
+    bc = cand.sparkSession.sparkContext.broadcast((ids_sorted, mat, n2))
+
+    def verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_s, m, nn = bc.value
+        for p in batches:
+            if len(p) == 0:
+                continue
+            ia = np.searchsorted(ids_s, p["vec_a"].to_numpy(np.int64))
+            ib = np.searchsorted(ids_s, p["vec_b"].to_numpy(np.int64))
+            yield pd.DataFrame(
+                {
+                    "vec_a": p["vec_a"].values,
+                    "vec_b": p["vec_b"].values,
+                    "dot": np.einsum("ij,ij->i", m[ia], m[ib]),
+                    "n2_a": nn[ia],
+                    "n2_b": nn[ib],
+                }
+            )
+
+    return cand.mapInPandas(
+        verify, "vec_a long, vec_b long, dot long, n2_a long, n2_b long"
+    )
+
+
 def cosine_neardup_allpairs(
     emb: DataFrame, threshold: float = 0.3
 ) -> DataFrame:
@@ -594,23 +677,47 @@ def cosine_neardup_pairs(
     pure function of the vectors, so cached and inline plans yield
     byte-identical pairs (law-tested) and a cold session skips the
     pipeline's most expensive stage. None disables (always recompute
-    inline); any other string is used as the cache root."""
+    inline); any other string is used as the cache root.
+
+    Verification is TIERED by corpus size (both tiers byte-identical,
+    law-tested):
+
+    - ``n <= _GATHER_VERIFY_MAX``: the candidate self-join carries
+      only (vec_id, buckets) — no embeddings through the shuffle — and
+      the exact int64 dot is a vectorized numpy GATHER against a
+      broadcast fixed-point matrix (einsum over M[ia], M[ib]). The
+      per-pair Arrow transfer of two 64-float arrays was the measured
+      wall: at sf10 (200k vectors, 46M candidates) the embedding-
+      riding join verified in ~56 s; slim join + gather verify runs
+      ~22 s with identical pairs. The matrix is a bounded model-style
+      driver artifact (the sim1 query-matrix precedent): 64-dim int64
+      is 512 B/vector, and reused Python workers each hold a copy, so
+      the bound keeps executor-side footprint ~copies x matrix.
+    - above the bound: the original embedding-riding join (iv/n2
+      travel on the band rows; dot per pair in Arrow batches) — no
+      driver-side collect at any corpus size, the true 100 TB path.
+    """
     fp = corpus_fingerprint(emb)
     if n_bands is None or band_planes is None:
         auto = adaptive_band_config(fp[0])
         n_bands = auto[0] if n_bands is None else n_bands
         band_planes = auto[1] if band_planes is None else band_planes
+    gather = 0 < fp[0] <= _GATHER_VERIFY_MAX
     if band_cache is not None and fp[0] > 0:
         root = None if band_cache == "auto" else band_cache
-        eb = _explode_bands(
-            cached_band_bits(
-                emb, n_bands, band_planes, root=root, fingerprint=fp
-            ),
-            n_bands,
-            band_planes,
+        bt = cached_band_bits(
+            emb, n_bands, band_planes, root=root, fingerprint=fp
         )
     else:
-        eb = band_table(emb, n_bands, band_planes)
+        # inline projection; persisted because the self-join reads it
+        # twice (and the gather tier a third time for the matrix)
+        bt = band_bits(emb, n_bands * band_planes).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    if gather:
+        eb = _slim_band_rows(bt, n_bands, band_planes)
+    else:
+        eb = _explode_bands(bt, n_bands, band_planes)
     a = eb.alias("a")
     b = eb.alias("b")
     # keep a pair only at its FIRST matching band: for band i, all
@@ -628,25 +735,39 @@ def cosine_neardup_pairs(
             if first_match is None
             else first_match.when(F.col("a.band_idx") == i, mism)
         )
-    # exact integer dot per candidate via an Arrow-batched numpy UDF —
-    # the zip_with form is interpreted (~0.8 ms/pair: 29 s of CPU at
-    # 36k candidates). Embeddings ride on the band rows, so the verify
-    # reads them straight off the self-join output: no dimension joins.
-    dots = a.join(
-        b,
+    # SHUFFLE_HASH: both sides are the same bounded band projection —
+    # hash-building one side beats sorting 2x(n_bands * n) rows, and
+    # the skew-handling story stays with AQE (measured 35 s -> 22 s
+    # join+verify at sf10)
+    cand = a.join(
+        b.hint("shuffle_hash"),
         (F.col("a.band_idx") == F.col("b.band_idx"))
         & (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id"))
         & first_match,
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        F.col("a.n2").alias("n2_a"),
-        F.col("b.n2").alias("n2_b"),
-        _dot_fixed_point(
-            F.col("a.embedding"), F.col("b.embedding")
-        ).alias("dot"),
     )
+    if gather:
+        dots = _gather_dots(
+            cand.select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+            ),
+            bt,
+        )
+    else:
+        # exact integer dot per candidate via an Arrow-batched numpy
+        # UDF — the zip_with form is interpreted (~0.8 ms/pair: 29 s
+        # of CPU at 36k candidates). Embeddings ride on the band rows,
+        # so the verify reads them off the self-join output directly.
+        dots = cand.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.n2").alias("n2_a"),
+            F.col("b.n2").alias("n2_b"),
+            _dot_fixed_point(
+                F.col("a.embedding"), F.col("b.embedding")
+            ).alias("dot"),
+        )
     cos = F.col("dot").cast("double") / (
         F.sqrt(F.col("n2_a").cast("double"))
         * F.sqrt(F.col("n2_b").cast("double"))

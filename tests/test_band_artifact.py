@@ -116,3 +116,25 @@ def test_artifact_dirname_encodes_width(tmp_path, emb):
     )
     assert similarity.artifact_n_planes(path) == 64
     assert glob.glob(os.path.join(str(tmp_path), "n*_h*_p64"))
+
+
+def test_gather_and_wide_verify_tiers_identical(spark, emb, monkeypatch):
+    """The two verification tiers of cosine_neardup_pairs are exact
+    stand-ins for each other: forcing the embedding-riding join (by
+    shrinking the gather bound to 0) yields byte-identical pairs to
+    the broadcast-gather tier — both are the same int64 fixed-point
+    dot, only the transport differs."""
+    gathered = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.cosine_neardup_pairs(
+            emb, 0.3, band_cache=None
+        ).collect()
+    }
+    monkeypatch.setattr(similarity, "_GATHER_VERIFY_MAX", 0)
+    wide = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.cosine_neardup_pairs(
+            emb, 0.3, band_cache=None
+        ).collect()
+    }
+    assert gathered == wide and len(gathered) > 0

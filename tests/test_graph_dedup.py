@@ -118,6 +118,42 @@ def test_star_equals_labelprop_on_corpus(spark):
     assert star, "empty near-dup graph at sf0.001"
 
 
+def test_cc_tiers_agree_on_synthetic_and_corpus(spark, monkeypatch):
+    """The r8 bounded-graph driver tier (numpy min-label loop on the
+    collected edge set) and the distributed star loop are exact
+    stand-ins: forcing each tier (via _DRIVER_CC_MAX) yields identical
+    label maps on the synthetic suite — incl self-loops — and on the
+    real sim2 near-dup graph, so the tier cut-over can never change an
+    answer."""
+    from serverless_smurf_etl_and_analytics_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    cases = [
+        [(1, 2), (2, 3), (3, 4)],
+        [(10, 2), (9, 10), (4, 9), (20, 4)],
+        [(5, 5)],  # self-loop-only singleton
+        [(1, 2), (3, 3)],  # mixed component + self-loop singleton
+        [(i, i + 1) for i in range(1, 40)] + [(100, 101), (101, 103)],
+    ]
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    pairs = cosine_neardup_pairs(emb, 0.4)
+    results = []
+    for bound in (0, dedup._DRIVER_CC_MAX):
+        monkeypatch.setattr(dedup, "_DRIVER_CC_MAX", bound)
+        results.append(
+            [
+                _labels(
+                    dedup.connected_components_star(_edges(spark, e))
+                )
+                for e in cases
+            ]
+            + [_labels(dedup.connected_components_star(pairs))]
+        )
+    assert results[0] == results[1]
+    assert results[0][-1], "empty near-dup graph at sf0.001"
+
+
 def test_pagerank_partition_invariance_and_laws(spark):
     """Fixed-point PageRank: identical output under repartitioning
     (integer arithmetic leaves no room for float drift), ranks
