@@ -280,14 +280,9 @@ def corpus_fingerprint(emb: DataFrame) -> tuple[int, int]:
 
 
 def _band_cache_root(root: str | None) -> str:
-    import os
-    import tempfile
+    from .artifacts import cache_root
 
-    return (
-        root
-        or os.environ.get("SMURF_BAND_CACHE")
-        or os.path.join(tempfile.gettempdir(), "smurf_band_cache")
-    )
+    return cache_root(root)
 
 
 def artifact_n_planes(path: str) -> int:
@@ -322,26 +317,18 @@ def materialize_band_artifact(
     concurrent or crashed builder can never expose a partial artifact.
     """
     import os
-    import shutil
-    import uuid
+
+    from .artifacts import atomic_write_parquet
 
     root = _band_cache_root(root)
     n, h = fingerprint or corpus_fingerprint(emb)
     if n_planes is None:
         nb, bp = adaptive_band_config(n)
         n_planes = ((nb * bp + 31) // 32) * 32
-    path = os.path.join(root, f"n{n}_h{h}_p{n_planes}")
-    if os.path.exists(path):
-        return path
-    os.makedirs(root, exist_ok=True)
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    band_bits(emb, n_planes).write.mode("overwrite").parquet(tmp)
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        # lost a build race: the winner's artifact is equally valid
-        shutil.rmtree(tmp, ignore_errors=True)
-    return path
+    return atomic_write_parquet(
+        band_bits(emb, n_planes),
+        os.path.join(root, f"n{n}_h{h}_p{n_planes}"),
+    )
 
 
 def append_band_artifact(new_emb: DataFrame, path: str) -> None:

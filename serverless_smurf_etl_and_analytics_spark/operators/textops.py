@@ -188,8 +188,76 @@ def rolling_fingerprint(docs: DataFrame, n: int = 4) -> DataFrame:
     )
 
 
+def text_corpus_fingerprint(docs: DataFrame) -> tuple[int, int]:
+    """(n_docs, order-insensitive content hash) of a document corpus —
+    the staleness key for cached winnow-fingerprint artifacts, the
+    textops twin of similarity.corpus_fingerprint. One aggregate scan;
+    the hash sum rides in decimal(38,0) (a long sum of uniform 64-bit
+    hashes overflows ANSI mode) and folds to 64 bits for the key."""
+    row = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("doc_id", "text").cast("decimal(38,0)"))
+        .alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"] or 0) % (1 << 64)
+
+
+def materialize_winnow_artifact(
+    docs: DataFrame,
+    root: str | None = None,
+    k: int = 4,
+    w: int = 4,
+    fingerprint: tuple[int, int] | None = None,
+) -> str:
+    """Write the winnow fingerprint table as an on-disk corpus
+    artifact and return its path — the across-session form of the
+    wn1/wn2 pipeline's dominant stage (the md5-per-gram pass). The
+    fingerprint set is a row-wise pure function of each document, so
+    the table merges by plain union: :func:`append_winnow_artifact`
+    computes fingerprints only for a NEW corpus shard and appends,
+    keeping 100 TB decontamination maintenance proportional to the
+    delta (the same algebra as the LSH band artifact and the
+    daily-sketch layers). Dirname carries the corpus content key and
+    the (k, w) config; writes are atomic."""
+    import os
+
+    from .artifacts import atomic_write_parquet, cache_root
+
+    n, h = fingerprint or text_corpus_fingerprint(docs)
+    return atomic_write_parquet(
+        _winnow_fps_inline(docs, k, w),
+        os.path.join(cache_root(root), f"wn_n{n}_h{h}_k{k}_w{w}"),
+    )
+
+
+def append_winnow_artifact(
+    new_docs: DataFrame, path: str, k: int = 4, w: int = 4
+) -> None:
+    """Merge a NEW document shard into a pipeline-managed winnow
+    artifact (pipeline-managed paths only — the fingerprint-keyed
+    cache dirs are immutable; a grown corpus gets a new key)."""
+    _winnow_fps_inline(new_docs, k, w).write.mode("append").parquet(
+        path
+    )
+
+
+def cached_winnow_fps(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    root: str | None = None,
+) -> DataFrame:
+    """find-or-build: the (doc_id, fp) winnow table for ``docs`` from
+    the artifact cache, building (and caching) on first contact."""
+    from .artifacts import cache_root
+
+    return docs.sparkSession.read.parquet(
+        materialize_winnow_artifact(docs, cache_root(root), k, w)
+    ).select("doc_id", "fp")
+
+
 def winnow_fingerprints(
-    docs: DataFrame, k: int = 4, w: int = 4
+    docs: DataFrame, k: int = 4, w: int = 4, cache: str | None = "auto"
 ) -> DataFrame:
     """(doc_id, fp) — MOSS winnowing (Schleimer et al. 2003, "Winnowing:
     Local Algorithms for Document Fingerprinting"): hash every k-token
@@ -216,9 +284,30 @@ def winnow_fingerprints(
     wn2's bench/train split) reads it several times — lifetime is
     caller-owned (``session.clear_operator_caches``), and the cache
     manager substitutes the materialization into any logically-equal
-    subtree across queries."""
+    subtree across queries.
+
+    ``cache`` (default "auto") reads the table from the
+    fingerprint-keyed winnow artifact instead (building and caching on
+    first contact with a corpus — :func:`materialize_winnow_artifact`)
+    so a cold session skips the md5-per-gram pass; the rows are a
+    deterministic pure function of each document, so cached and inline
+    forms are row-identical (law-tested). None forces inline; any
+    other string is the cache root."""
     from pyspark.storagelevel import StorageLevel
 
+    if cache is not None:
+        root = None if cache == "auto" else cache
+        return cached_winnow_fps(docs, k, w, root=root).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    return _winnow_fps_inline(docs, k, w).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+
+def _winnow_fps_inline(docs: DataFrame, k: int, w: int) -> DataFrame:
+    """The inline (recompute) winnow plan — see
+    :func:`winnow_fingerprints` for semantics and design notes."""
     wl = Window.partitionBy("doc_id").orderBy("pos")
     # a gram at pos is full iff its (k-1)-ahead token exists; valid
     # gram positions are contiguous so the winnow window needs no
@@ -249,7 +338,7 @@ def winnow_fingerprints(
         .select("doc_id", "fp")
         .distinct()
     )
-    return fps.persist(StorageLevel.MEMORY_AND_DISK)
+    return fps
 
 
 def winnow_overlap(

@@ -127,3 +127,43 @@ def test_winnow_decontaminate_catches_copied_run(spark):
     assert [r["doc_id"] for r in out] == [1]
     r = out[0]
     assert r["n_hit"] >= 1 and 0 < r["hit_pm"] <= 1000
+
+
+def test_winnow_artifact_merge_and_cache_laws(spark, tmp_path):
+    """r8 winnow artifact laws, mirroring the LSH band artifact:
+    (a) merge — materialize shard A, append shard B, loaded table
+    equals the one-shot inline build row-for-row (per-doc pure
+    function => union merge); (b) cached wn1 output is byte-identical
+    to the inline form; (c) same corpus reuses the one artifact, a
+    changed corpus misses to a fresh key."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    root = str(tmp_path)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    path = textops.materialize_winnow_artifact(a, root=root)
+    textops.append_winnow_artifact(b, path)
+    merged = {
+        (r["doc_id"], r["fp"])
+        for r in spark.read.parquet(path).collect()
+    }
+    direct = {
+        (r["doc_id"], r["fp"])
+        for r in textops._winnow_fps_inline(docs, 4, 4).collect()
+    }
+    assert merged == direct and len(merged) > 0
+
+    got_cached = {
+        (r["doc_id"], r["fp"])
+        for r in textops.winnow_fingerprints(docs, cache=root).collect()
+    }
+    assert got_cached == direct
+    n_before = len(os.listdir(root))
+    textops.winnow_fingerprints(docs, cache=root).count()
+    assert len(os.listdir(root)) == n_before
+    shrunk = docs.filter(F.col("doc_id") != 0)
+    textops.winnow_fingerprints(shrunk, cache=root).count()
+    assert len(os.listdir(root)) == n_before + 1
