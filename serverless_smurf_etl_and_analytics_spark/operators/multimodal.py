@@ -11,10 +11,13 @@ feature-extract steps are Arrow-batched ``mapInPandas`` plumbing with
 a DETERMINISTIC FAKE decoder: this container has no codec libraries,
 so the real-decoder slots for COMPRESSED formats are clearly stubbed
 (NotImplementedError) while the Spark-side schema, batch shape, and
-UDF signature are real and tested. One format is decoded for REAL
-with zero dependencies: binary PPM (P6) images — see
-:func:`decode_ppm` / :func:`resize_ppm_images`, an actual
-decode/resample/re-encode/fingerprint path exercised by the tests.
+UDF signature are real and tested. Two image formats decode for REAL
+with zero dependencies: binary PPM (P6) and — since r8 — PNG (stdlib
+zlib inflate + scanline unfilter); see :func:`decode_raster` /
+:func:`resize_raster_images`, an actual decode/resample/re-encode/
+fingerprint path exercised by the tests and reachable through
+``resize_images(use_real_decoder=True)``. JPEG/webp/video/compressed
+audio stay honestly stubbed — those genuinely require PIL/ffmpeg.
 
 The corpus itself has no binary column, so ``with_binary_payload``
 derives one deterministically from the documents table (payload =
@@ -150,15 +153,27 @@ def resize_images(
     """Resize plumbing over decoded image metadata: aspect-preserving
     fit into a ``max_side`` box. The geometry is real; the pixel
     resample is the DETERMINISTIC FAKE (output fingerprint = md5 of
-    the identity + target geometry) with the real resampler slot
-    stubbed — same pattern as decode_assets."""
+    the identity + target geometry) with the real resampler as the
+    opt-in path — same pattern as decode_assets.
+
+    ``use_real_decoder=True`` (r8): if the input carries a ``payload``
+    column, real pixels are decoded and resampled via
+    :func:`resize_raster_images` — genuinely real for binary PPM and
+    PNG payloads (the zero-dependency codecs below); other formats
+    (JPEG, webp, ...) fail loudly per payload, because they truly
+    need PIL, which this environment does not ship."""
     if use_real_decoder:
-        raise NotImplementedError(
-            "real resampling of COMPRESSED formats requires codec "
-            "libraries (PIL) not available in this environment; for "
-            "binary PPM payloads use resize_ppm_images — a real "
-            "zero-dependency decode/resample/re-encode path"
-        )
+        if "payload" not in decoded.columns:
+            raise NotImplementedError(
+                "real resampling needs raw payloads: pass rows with a "
+                "binary `payload` column (PPM/PNG decode is real; "
+                "compressed formats beyond PNG require PIL, not "
+                "available in this environment)"
+            )
+        imgs = decoded
+        if "modality" in decoded.columns:
+            imgs = decoded.filter(F.col("modality") == "image")
+        return resize_raster_images(imgs, max_side)
     imgs = decoded.filter(F.col("modality") == "image")
     ms = max_side
 
@@ -360,6 +375,160 @@ def decode_ppm(payload: bytes):
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
 
 
+# ---- real zero-dependency image codec (PNG, stdlib zlib) ------------------
+# The one compressed raster format that needs NO codec library: PNG's
+# pixel stream is zlib (stdlib) + five byte-level scanline filters.
+# Critical-chunk decode below covers the common web/PIL output space —
+# bit depth 8, color types 0/2/3/4/6, non-interlaced — making the
+# real-resampler slot genuinely real for PNG payloads too. Correctness-
+# grade, not throughput-grade: Sub/Average/Paeth unfiltering is a
+# sequential per-byte recurrence (spec-mandated), so a real pipeline
+# hands bulk decode to PIL; the plumbing, schema, and fingerprints here
+# are what the tests pin.
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 array as a non-interlaced 8-bit
+    truecolor PNG (filter 0 scanlines, stdlib zlib)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) pixels, got {px.shape}")
+    h, w = px.shape[:2]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Decode a PNG payload to an (H, W, 3) uint8 array: critical
+    chunks (IHDR/PLTE/IDAT/IEND), zlib inflate, scanline unfilter
+    (all five filter types), channel mapping (gray/RGB/palette/
+    gray+alpha/RGBA — alpha dropped, gray replicated). Raises
+    ValueError for bit depths != 8 and Adam7 interlace (rare in
+    pipeline data; PIL territory)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    buf = bytes(payload)
+    if buf[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG (missing signature)")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(buf):
+        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        typ = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise ValueError(f"bit depth {depth} not supported (8 only)")
+    if interlace != 0:
+        raise ValueError("Adam7 interlace not supported")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel stream length mismatch")
+    out = np.empty((h, stride), np.uint16)
+    prev = np.zeros(stride, np.uint16)
+    for y in range(h):
+        o = y * (stride + 1)
+        ftype = raw[o]
+        line = np.frombuffer(
+            raw[o + 1 : o + 1 + stride], np.uint8
+        ).astype(np.uint16)
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up — no intra-row recurrence: vectorized
+            line = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential
+            for i in range(stride):
+                a = int(line[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a
+                        if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
+                    )
+                line[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y] = line
+        prev = line
+    px = out.astype(np.uint8).reshape(h, w, nch)
+    if ctype == 2:
+        return px
+    if ctype == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    return plte[px[:, :, 0]]
+
+
+def decode_raster(payload: bytes):
+    """Sniff-and-decode a raster payload to (H, W, 3) uint8: binary
+    PPM (P6) or PNG via the zero-dependency codecs above; anything
+    else (JPEG, webp, ...) raises NotImplementedError — those formats
+    genuinely need PIL, which this environment does not ship."""
+    buf = bytes(payload)
+    if buf[:2] == b"P6":
+        return decode_ppm(buf)
+    if buf[:8] == PNG_MAGIC:
+        return decode_png(buf)
+    raise NotImplementedError(
+        "real decode implemented for PPM(P6) and PNG payloads; other "
+        "formats require codec libraries (PIL) not in this environment"
+    )
+
+
 def _resize_nearest(px, ow: int, oh: int):
     """Nearest-neighbor resample of (H, W, 3) to (oh, ow, 3) — pure
     integer index mapping, deterministic across platforms (no float
@@ -372,13 +541,18 @@ def _resize_nearest(px, ow: int, oh: int):
     return px[yi][:, xi]
 
 
-def resize_ppm_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
-    """REAL image resize over binary PPM payloads: decode actual
-    pixels, aspect-preserving nearest-neighbor fit into a ``max_side``
-    box, fingerprint = md5 of the re-encoded P6 bytes. Same output
-    schema and batch shape as the fake-path :func:`resize_images`, so
-    callers swap paths without plan changes; rows whose payload is not
-    a valid P6 image fail the job loudly (feed this operator from a
+def resize_raster_images(
+    assets: DataFrame, max_side: int = 256
+) -> DataFrame:
+    """REAL image resize over raster payloads (binary PPM *and* PNG,
+    r8): decode actual pixels via :func:`decode_raster`,
+    aspect-preserving nearest-neighbor fit into a ``max_side`` box,
+    fingerprint = md5 of the re-encoded P6 bytes (P6 regardless of
+    input format, so a PNG and a PPM of the same pixels resize to the
+    SAME fingerprint — law-tested). Same output schema and batch shape
+    as the fake-path :func:`resize_images`, so callers swap paths
+    without plan changes; rows whose payload is neither a valid P6 nor
+    a supported PNG fail the job loudly (feed this operator from a
     format-validated ingest, or pre-filter).
 
     Input: (doc_id, payload) rows. Scale notes match decode_assets:
@@ -400,7 +574,7 @@ def resize_ppm_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
                 "out_width": [], "out_height": [], "resized_fp": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                px = decode_ppm(payload)
+                px = decode_raster(payload)
                 h, w = px.shape[:2]
                 scale = min(1.0, ms / max(w, h))
                 ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
@@ -418,6 +592,10 @@ def resize_ppm_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
     return assets.select("doc_id", "payload").mapInPandas(
         real_resize, RESIZE_SCHEMA
     )
+
+
+# backward-compatible name from r7, when the real path was PPM-only
+resize_ppm_images = resize_raster_images
 
 
 # ---- real zero-dependency audio codec (RIFF/WAVE PCM) ---------------------
