@@ -466,6 +466,16 @@ def token_budget_select(docs: DataFrame, budget: int = 20000) -> DataFrame:
     j = d.join(F.broadcast(buckets), "weight_bp")
     out_cols = ["doc_id", "lang", "weight_bp", "n_tokens"]
     full = j.filter("full_in").select(*out_cols)
+    # DEGENERATE CORNER (documented, property-tested): the boundary
+    # window partitions by the single boundary bucket's weight value,
+    # so an adversarial corpus where EVERY doc shares one weight (e.g.
+    # identical docs) runs this running sum over the whole corpus in
+    # one task. Results stay exact (law: equality with the naive
+    # global rule, incl. this corner — test_curate); the scale escape
+    # hatch is a doc_id repartitionByRange + per-range offset pass,
+    # deliberately not built until a real corpus needs it: genuine
+    # weight collisions at corpus scale mean the weighting signal
+    # itself has collapsed.
     wgrp = Window.partitionBy("weight_bp").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, 0
     )

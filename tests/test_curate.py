@@ -239,3 +239,30 @@ def test_source_cap_keeps_at_most_cap_per_source(spark):
     for src, ranks in per.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 10
+
+
+def test_token_budget_all_equal_weight_corpus_property(spark):
+    """VERDICT r7 item 8: the adversarial all-equal-weight corpus puts
+    EVERY doc in the single boundary bucket (one window partition —
+    documented scale corner). The selection must still equal the naive
+    global prefix rule at every budget around the doc-size boundaries:
+    exact multiples (boundary lands on a doc edge), off-by-one either
+    side, zero, and beyond-corpus."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n, ntok = 40, 3
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma", "en", "s", 16) for i in range(n)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    budgets = [0, 1, ntok - 1, ntok, ntok + 1, ntok * 7, ntok * 7 + 1,
+               ntok * n - 1, ntok * n, ntok * n + 5]
+    for budget in budgets:
+        got = {
+            r["doc_id"]
+            for r in curate.token_budget_select(docs, budget).collect()
+        }
+        naive = set(range(min(n, budget // ntok)))
+        assert got == naive, f"budget={budget}: {sorted(got)[:5]}..."
