@@ -24,10 +24,19 @@ Scale design:
   pandas_udf) because higher-order array functions are CodegenFallback
   (interpreted, ~1 ms/row at dim 64 — measured); all of it is exact
   int64, so results stay hash-identical to the DuckDB oracles.
+- the LSH projection persists ACROSS sessions as a mergeable on-disk
+  corpus artifact (r8): one prefix-stable plane-bit string per vector,
+  fingerprint-keyed so staleness is impossible, appended shard-by-
+  shard by the pipeline (plain-union merge law). Queries read it
+  instead of re-running the matmul stage — measured sf10 cold sim2
+  62.5 s -> 24.9 s.
+- near-dup verification is tiered (r8): below 500k vectors the
+  candidate join is slim (bucket keys only) and the exact dot is a
+  broadcast-matrix numpy gather; above, embeddings ride the band rows
+  and the dot runs per pair — both byte-identical, law-tested.
 - at 100 TB: band/list keys are computed in the scan-side Python
   stage; joins shuffle by bucket/centroid key; skewed buckets are
-  handled by AQE skew-join; persisted band tables are explicitly
-  repartitioned so match-heavy probes keep full parallelism.
+  handled by AQE skew-join.
 """
 
 from __future__ import annotations
@@ -505,12 +514,22 @@ def cosine_topk(
     )
 
 
-# corpus-size bound for the gather-verify tier of cosine_neardup_pairs:
-# the fixed-point matrix is 512 B/vector (64-dim int64) and every
-# reused Python worker holds a deserialized copy, so 500k vectors keeps
-# the executor-side footprint at ~256 MB x workers; beyond it the
-# embedding-riding join (no driver collect) takes over.
+# corpus-size floor below which "auto" band caching is skipped: the
+# fingerprint hash scan costs more than recomputing the projection on
+# dimension-table corpora (all driver-verified scales are below this;
+# the sf1/sf10 rehearsal corpora are above).
+_BAND_CACHE_MIN = 10_000
+
+# corpus-size window for the gather-verify tier of cosine_neardup_pairs.
+# Upper bound: the fixed-point matrix is 512 B/vector (64-dim int64)
+# and every reused Python worker holds a deserialized copy, so 500k
+# vectors keeps the executor-side footprint at ~256 MB x workers;
+# beyond it the embedding-riding join (no driver collect) takes over.
+# Lower bound: below 10k vectors the driver matrix build costs more
+# than riding embeddings through the tiny join (measured +0.2 s on the
+# sf0.1 pin), so dimension-scale corpora keep the wide join.
 _GATHER_VERIFY_MAX = 500_000
+_GATHER_VERIFY_MIN = 10_000
 
 
 def _slim_band_rows(
@@ -663,8 +682,11 @@ def cosine_neardup_pairs(
     :func:`materialize_band_artifact`) — the bits are a deterministic
     pure function of the vectors, so cached and inline plans yield
     byte-identical pairs (law-tested) and a cold session skips the
-    pipeline's most expensive stage. None disables (always recompute
-    inline); any other string is used as the cache root.
+    pipeline's most expensive stage. "auto" engages only at
+    ``_BAND_CACHE_MIN`` (10k) vectors and above — below that the
+    fingerprint scan outweighs the recompute. None disables (always
+    recompute inline); any other string is used as the cache root
+    unconditionally.
 
     Verification is TIERED by corpus size (both tiers byte-identical,
     law-tested):
@@ -684,16 +706,31 @@ def cosine_neardup_pairs(
       travel on the band rows; dot per pair in Arrow batches) — no
       driver-side collect at any corpus size, the true 100 TB path.
     """
-    fp = corpus_fingerprint(emb)
+    n = emb.count()
     if n_bands is None or band_planes is None:
-        auto = adaptive_band_config(fp[0])
+        auto = adaptive_band_config(n)
         n_bands = auto[0] if n_bands is None else n_bands
         band_planes = auto[1] if band_planes is None else band_planes
-    gather = 0 < fp[0] <= _GATHER_VERIFY_MAX
-    if band_cache is not None and fp[0] > 0:
+    gather = _GATHER_VERIFY_MIN <= n <= _GATHER_VERIFY_MAX
+    # "auto" caching gates on corpus size: the content fingerprint is
+    # a full hash scan, which at dimension-table scales costs more
+    # than recomputing the projection (measured +0.2 s on the sf0.1
+    # bench pin for zero cold-path benefit). An EXPLICIT root is
+    # caller intent and always caches (the law tests run tiny corpora
+    # through the artifact path on purpose).
+    use_cache = (
+        band_cache is not None
+        and n > 0
+        and (band_cache != "auto" or n >= _BAND_CACHE_MIN)
+    )
+    if use_cache:
         root = None if band_cache == "auto" else band_cache
         bt = cached_band_bits(
-            emb, n_bands, band_planes, root=root, fingerprint=fp
+            emb,
+            n_bands,
+            band_planes,
+            root=root,
+            fingerprint=corpus_fingerprint(emb),
         )
     else:
         # inline projection; persisted because the self-join reads it

@@ -120,18 +120,18 @@ def test_artifact_dirname_encodes_width(tmp_path, emb):
 
 def test_gather_and_wide_verify_tiers_identical(spark, emb, monkeypatch):
     """The two verification tiers of cosine_neardup_pairs are exact
-    stand-ins for each other: forcing the embedding-riding join (by
-    shrinking the gather bound to 0) yields byte-identical pairs to
-    the broadcast-gather tier — both are the same int64 fixed-point
-    dot, only the transport differs."""
-    gathered = {
+    stand-ins for each other: forcing the broadcast-gather tier (by
+    dropping its corpus-size floor to 0) yields byte-identical pairs
+    to the default wide (embedding-riding) join at this scale — both
+    are the same int64 fixed-point dot, only the transport differs."""
+    wide = {
         (r["vec_a"], r["vec_b"], r["cosine"])
         for r in similarity.cosine_neardup_pairs(
             emb, 0.3, band_cache=None
         ).collect()
     }
-    monkeypatch.setattr(similarity, "_GATHER_VERIFY_MAX", 0)
-    wide = {
+    monkeypatch.setattr(similarity, "_GATHER_VERIFY_MIN", 0)
+    gathered = {
         (r["vec_a"], r["vec_b"], r["cosine"])
         for r in similarity.cosine_neardup_pairs(
             emb, 0.3, band_cache=None
