@@ -48,10 +48,100 @@ HEX = "0123456789abcdef"
 BROADCAST_MAX_BAND_ROWS = 2_000_000
 
 
-def shingle_rows(docs: DataFrame, n: int = 2) -> DataFrame:
+# corpus-size floor below which "auto" artifact caching of the per-doc
+# pure stages (shingles, MinHash signatures, SimHash signatures) is
+# skipped: under it the fingerprint scan costs more than recomputing,
+# and — deliberately — every driver-verified scale (<= ~6k docs) and
+# the pinned sf0.1 bench build the SAME inline plans as before, so the
+# gated default changes no verified plan. Explicit cache roots bypass
+# the gate (the law tests push tiny corpora through the artifact path
+# on purpose). Same tiering rationale as similarity._BAND_CACHE_MIN.
+_DOC_ARTIFACT_MIN = 10_000
+
+
+def _doc_artifact(
+    docs: DataFrame,
+    cache: str | None,
+    key_fmt: str,
+    build,
+    select_cols: list[str],
+) -> DataFrame | None:
+    """Shared find-or-build for per-doc pure-stage artifacts: returns
+    the artifact-backed frame, or None when caching is disabled/gated
+    off (caller falls back to its inline plan). ``key_fmt`` formats
+    (n_docs, content_hash) into the dirname; ``build`` is a thunk
+    producing the full table for the corpus."""
+    import os
+
+    from .artifacts import atomic_write_parquet, cache_root
+    from .textops import text_corpus_fingerprint
+
+    if cache is None:
+        return None
+    if cache == "auto" and docs.count() < _DOC_ARTIFACT_MIN:
+        return None
+    root = cache_root(None if cache == "auto" else cache)
+    n, h = text_corpus_fingerprint(docs)
+    path = atomic_write_parquet(
+        build(), os.path.join(root, key_fmt.format(n=n, h=h))
+    )
+    return docs.sparkSession.read.parquet(path).select(*select_cols)
+
+
+def shingle_rows(
+    docs: DataFrame, n: int = 2, cache: str | None = "auto"
+) -> DataFrame:
     """(doc_id, sh) distinct word n-gram shingles (default bigrams) via
     a lead() window over exploded tokens — one shuffle by doc_id, no
-    O(T^2) array building."""
+    O(T^2) array building.
+
+    Per-doc pure function, so (r8) it persists across sessions as a
+    fingerprint-keyed corpus artifact exactly like the LSH band bits
+    and winnow fingerprints: ``cache="auto"`` reads the artifact at
+    ``_DOC_ARTIFACT_MIN``+ docs (building on first contact), shards
+    merge by plain union (:func:`append_shingle_artifact`, law-tested),
+    and every consumer — MinHash signatures, Jaccard verify sets, d8
+    decontamination, d11 containment — shares ONE artifact per (corpus,
+    n). Below the gate (all driver scales, the pinned bench) the plan
+    is byte-identical to the r7 inline form."""
+    backed = _doc_artifact(
+        docs,
+        cache,
+        f"sh_n{{n}}_h{{h}}_g{n}",
+        lambda: _shingle_rows_inline(docs, n),
+        ["doc_id", "sh"],
+    )
+    return backed if backed is not None else _shingle_rows_inline(docs, n)
+
+
+def materialize_shingle_artifact(
+    docs: DataFrame, root: str | None = None, n: int = 2
+) -> str:
+    """Pipeline-managed build of the shingle artifact; see
+    :func:`shingle_rows`. Returns the artifact path."""
+    import os
+
+    from .artifacts import atomic_write_parquet, cache_root
+    from .textops import text_corpus_fingerprint
+
+    nn, h = text_corpus_fingerprint(docs)
+    return atomic_write_parquet(
+        _shingle_rows_inline(docs, n),
+        os.path.join(cache_root(root), f"sh_n{nn}_h{h}_g{n}"),
+    )
+
+
+def append_shingle_artifact(
+    new_docs: DataFrame, path: str, n: int = 2
+) -> None:
+    """Merge a NEW document shard into a pipeline-managed shingle
+    artifact (per-doc pure function => plain union; fingerprint-keyed
+    auto-cache dirs are immutable — a grown corpus gets a new key)."""
+    _shingle_rows_inline(new_docs, n).write.mode("append").parquet(path)
+
+
+def _shingle_rows_inline(docs: DataFrame, n: int) -> DataFrame:
+    """The inline (recompute) shingle plan — see :func:`shingle_rows`."""
     t = token_rows(docs)
     w = Window.partitionBy("doc_id").orderBy("pos")
     # lead columns are materialized BEFORE the row filter — a window
@@ -100,14 +190,55 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    cache: str | None = "auto",
+) -> DataFrame:
     """Per-doc MinHash signature over bigram shingles: seed-prefixed md5
     per shingle (computed once per (doc, shingle, seed)), min per seed
     via hash aggregation — one lexicographic-min permutation per seed —
     plus banded hashes for LSH. Docs with no shingles keep null
     signatures (and null bands), same as array_min over an empty array.
-    """
-    sh = shingle_rows(docs)
+
+    Per-doc pure function of the corpus, so (r8) the COMPLETE signature
+    table (including null rows for shingle-less docs) persists as a
+    fingerprint-keyed artifact at scale, CHAINED on the shingle
+    artifact: a cold miss builds signatures from the cached shingle
+    rows, so the tokenize stage is never repeated either way. Same
+    gate/merge/staleness rules as :func:`shingle_rows`."""
+    backed = _doc_artifact(
+        docs,
+        cache,
+        f"mh_n{{n}}_h{{h}}_g2_k{n_hashes}b{BAND_SIZE}",
+        lambda: _minhash_signatures_from(
+            docs, shingle_rows(docs, 2, cache), n_hashes
+        ),
+        ["doc_id"]
+        + [f"mh_{i}" for i in range(n_hashes)]
+        + [f"band_{b}" for b in range(n_hashes // BAND_SIZE)],
+    )
+    if backed is not None:
+        return backed
+    return _minhash_signatures_from(docs, shingle_rows(docs, 2, cache), n_hashes)
+
+
+def append_minhash_artifact(
+    new_docs: DataFrame, path: str, n_hashes: int = N_MINHASH
+) -> None:
+    """Merge a NEW document shard's signature rows into a
+    pipeline-managed signature artifact (per-doc rows => plain union).
+    Computes shingles only for the new shard."""
+    _minhash_signatures_from(
+        new_docs, _shingle_rows_inline(new_docs, 2), n_hashes
+    ).write.mode("append").parquet(path)
+
+
+def _minhash_signatures_from(
+    docs: DataFrame, sh: DataFrame, n_hashes: int
+) -> DataFrame:
+    """Signature plan over a given shingle frame — see
+    :func:`minhash_signatures`."""
     mins = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(
@@ -242,7 +373,9 @@ _PACK = [
 _MAX_DOC_TOKENS = (1 << 15) - 1
 
 
-def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+def simhash(
+    docs: DataFrame, bits: int = 32, cache: str | None = "auto"
+) -> DataFrame:
     """SimHash: per distinct token, take ``bits`` bits of md5 (nibble
     parity scheme: bit b = bit b%4 of hex nibble b//4); signature bit is
     the majority vote across tokens. Each token is hashed ONCE (exploded
@@ -265,7 +398,34 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     count. A doc over the bound fails the job loudly — the formatted
     raise_error when the sum stays in range, Spark's ANSI
     ARITHMETIC_OVERFLOW when it doesn't — never a silently corrupted
-    signature; split such docs upstream."""
+    signature; split such docs upstream.
+
+    Per-doc pure function, so (r8) the signature table persists as a
+    fingerprint-keyed corpus artifact per ``bits`` tier — both d6
+    packing tiers read it instead of re-running the tokenize + vote
+    aggregation cold. Same gate/merge/staleness rules as
+    :func:`shingle_rows`; :func:`append_simhash_artifact` merges new
+    shards by union."""
+    backed = _doc_artifact(
+        docs,
+        cache,
+        f"simh_n{{n}}_h{{h}}_b{bits}",
+        lambda: _simhash_inline(docs, bits),
+        ["doc_id", "simhash", "block"],
+    )
+    return backed if backed is not None else _simhash_inline(docs, bits)
+
+
+def append_simhash_artifact(
+    new_docs: DataFrame, path: str, bits: int = 32
+) -> None:
+    """Merge a NEW document shard's SimHash rows into a
+    pipeline-managed signature artifact (per-doc rows => union)."""
+    _simhash_inline(new_docs, bits).write.mode("append").parquet(path)
+
+
+def _simhash_inline(docs: DataFrame, bits: int) -> DataFrame:
+    """The inline (recompute) SimHash plan — see :func:`simhash`."""
     # explicit repartition after the distinct: the packed vote
     # projection + aggregation is CPU-dense but byte-small, and AQE
     # would coalesce the distinct's shuffle output to one task
