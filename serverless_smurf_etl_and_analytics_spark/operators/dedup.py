@@ -80,12 +80,20 @@ def _doc_artifact(
         return None
     if cache == "auto" and docs.count() < _DOC_ARTIFACT_MIN:
         return None
-    root = cache_root(None if cache == "auto" else cache)
-    n, h = text_corpus_fingerprint(docs)
-    path = atomic_write_parquet(
-        build(), os.path.join(root, key_fmt.format(n=n, h=h))
-    )
-    return docs.sparkSession.read.parquet(path).select(*select_cols)
+    # the artifact is an OPTIMIZATION: if the cache root is unwritable,
+    # the disk is full, or a read-back fails at plan time, fall back to
+    # the inline plan rather than failing the query (atomic writes mean
+    # a half-built artifact is never visible, so the only errors here
+    # are environmental)
+    try:
+        root = cache_root(None if cache == "auto" else cache)
+        n, h = text_corpus_fingerprint(docs)
+        path = atomic_write_parquet(
+            build(), os.path.join(root, key_fmt.format(n=n, h=h))
+        )
+        return docs.sparkSession.read.parquet(path).select(*select_cols)
+    except Exception:
+        return None
 
 
 def shingle_rows(

@@ -723,16 +723,23 @@ def cosine_neardup_pairs(
         and n > 0
         and (band_cache != "auto" or n >= _BAND_CACHE_MIN)
     )
+    bt = None
     if use_cache:
-        root = None if band_cache == "auto" else band_cache
-        bt = cached_band_bits(
-            emb,
-            n_bands,
-            band_planes,
-            root=root,
-            fingerprint=corpus_fingerprint(emb),
-        )
-    else:
+        # optimization only: an unwritable cache root / full disk /
+        # failed read-back falls back to the inline plan (atomic
+        # writes mean a partial artifact is never visible)
+        try:
+            root = None if band_cache == "auto" else band_cache
+            bt = cached_band_bits(
+                emb,
+                n_bands,
+                band_planes,
+                root=root,
+                fingerprint=corpus_fingerprint(emb),
+            )
+        except Exception:
+            bt = None
+    if bt is None:
         # inline projection; persisted because the self-join reads it
         # twice (and the gather tier a third time for the matrix)
         bt = band_bits(emb, n_bands * band_planes).persist(

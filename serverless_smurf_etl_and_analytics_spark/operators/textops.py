@@ -296,10 +296,15 @@ def winnow_fingerprints(
     from pyspark.storagelevel import StorageLevel
 
     if cache is not None:
-        root = None if cache == "auto" else cache
-        return cached_winnow_fps(docs, k, w, root=root).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        # optimization only: environmental failures (unwritable root,
+        # full disk, failed read-back) fall back to the inline plan
+        try:
+            root = None if cache == "auto" else cache
+            return cached_winnow_fps(docs, k, w, root=root).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        except Exception:
+            pass
     return _winnow_fps_inline(docs, k, w).persist(
         StorageLevel.MEMORY_AND_DISK
     )

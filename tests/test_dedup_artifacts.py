@@ -142,3 +142,37 @@ def test_d4_and_d6_pipelines_unchanged_by_gate(spark, docs, tmp_path):
         del os.environ["SMURF_ARTIFACT_CACHE"]
     assert arte_pairs == inline_pairs and len(inline_pairs) > 0
     assert arte_d6 == inline_d6 and len(inline_d6) > 0
+
+
+def test_unwritable_cache_root_falls_back_inline(spark, docs, tmp_path):
+    """The artifact layer is an optimization, never a failure mode: an
+    unwritable cache root makes shingle_rows / winnow_fingerprints /
+    cosine_neardup_pairs silently build their inline plans."""
+    from serverless_smurf_etl_and_analytics_spark.operators import (
+        similarity,
+        textops,
+    )
+
+    ro = tmp_path / "ro"
+    ro.mkdir()
+    os.chmod(ro, 0o555)
+    bad = str(ro / "cache")
+    try:
+        assert _rows(dedup.shingle_rows(docs, 2, cache=bad)) == _rows(
+            dedup._shingle_rows_inline(docs, 2)
+        )
+        assert (
+            textops.winnow_fingerprints(docs, cache=bad).count()
+            == textops._winnow_fps_inline(docs, 4, 4).count()
+        )
+        emb = tables.load(spark, SF_DIR, "embeddings")
+        assert (
+            similarity.cosine_neardup_pairs(
+                emb, 0.3, band_cache=bad
+            ).count()
+            == similarity.cosine_neardup_pairs(
+                emb, 0.3, band_cache=None
+            ).count()
+        )
+    finally:
+        os.chmod(ro, 0o755)
