@@ -97,8 +97,24 @@ def _make_helpers(scale: int):
     return to_fixed, nearest
 
 
+# corpus-size floor for "auto" model-artifact caching of the trained
+# clustering/PQ models — same rationale and driver-scale safety as
+# dedup._DOC_ARTIFACT_MIN (every driver-verified scale is below it, so
+# the gated default changes no verified plan; explicit roots bypass).
+_MODEL_ARTIFACT_MIN = 10_000
+
+
+def _model_paths_ok(*paths: str) -> bool:
+    import os
+
+    return all(os.path.exists(p) for p in paths)
+
+
 def kmeans_train(
-    emb: DataFrame, k: int = 16, n_iter: int = 5
+    emb: DataFrame,
+    k: int = 16,
+    n_iter: int = 5,
+    cache: str | None = "auto",
 ) -> tuple[DataFrame, list[list[int]], list[float]]:
     """Train k-means and return ``(assignments, centroids, costs)``:
     assignments = (vec_id, cluster_id, dist2) labeled against the
@@ -107,7 +123,82 @@ def kmeans_train(
     sum of squared distance (float, monitoring only).
 
     Init follows the IVF convention: the first ``k`` vec_ids are the
-    seed centroids. Empty clusters keep their previous centroid."""
+    seed centroids. Empty clusters keep their previous centroid.
+
+    The trained model is DETERMINISTIC (int64 fixed point, documented
+    tie rules), so (r8) it persists as a fingerprint-keyed MODEL
+    artifact — three parquet dirs (assignments / centroids /
+    per-iteration costs) under one ``km_*`` key — and c1/ivfpq1/pq3
+    cold sessions read the model instead of re-running ``n_iter``
+    corpus passes. Gate/staleness/fallback rules match the dedup
+    artifacts; a half-written artifact self-heals (the trainer is
+    deterministic, so re-writing any missing dir reproduces identical
+    content and `atomic_write_parquet` keeps whatever already
+    committed)."""
+    if cache is not None:
+        try:
+            if cache != "auto" or emb.count() >= _MODEL_ARTIFACT_MIN:
+                import os
+
+                from .artifacts import atomic_write_parquet, cache_root
+                from .similarity import corpus_fingerprint
+
+                root = cache_root(None if cache == "auto" else cache)
+                n, h = corpus_fingerprint(emb)
+                base = os.path.join(
+                    root, f"km_n{n}_h{h}_k{k}_i{n_iter}"
+                )
+                spark = emb.sparkSession
+                paths = (base + "_asg", base + "_cent", base + "_meta")
+                if not _model_paths_ok(*paths):
+                    asg, cent, costs = _kmeans_train_inline(
+                        emb, k, n_iter
+                    )
+                    atomic_write_parquet(asg, paths[0])
+                    atomic_write_parquet(
+                        spark.createDataFrame(
+                            [
+                                (i, [int(x) for x in c])
+                                for i, c in enumerate(cent)
+                            ],
+                            "cluster_id long, c array<long>",
+                        ),
+                        paths[1],
+                    )
+                    atomic_write_parquet(
+                        spark.createDataFrame(
+                            [(i, float(c)) for i, c in enumerate(costs)],
+                            "iter long, cost double",
+                        ),
+                        paths[2],
+                    )
+                asg = spark.read.parquet(paths[0]).select(
+                    "vec_id", "cluster_id", "dist2"
+                )
+                cent = [
+                    list(r["c"])
+                    for r in sorted(
+                        spark.read.parquet(paths[1]).collect(),
+                        key=lambda r: r["cluster_id"],
+                    )
+                ]
+                costs = [
+                    r["cost"]
+                    for r in sorted(
+                        spark.read.parquet(paths[2]).collect(),
+                        key=lambda r: r["iter"],
+                    )
+                ]
+                return asg, cent, costs
+        except Exception:
+            pass
+    return _kmeans_train_inline(emb, k, n_iter)
+
+
+def _kmeans_train_inline(
+    emb: DataFrame, k: int, n_iter: int
+) -> tuple[DataFrame, list[list[int]], list[float]]:
+    """The inline (retrain) k-means plan — see :func:`kmeans_train`."""
     import numpy as np
     import pandas as pd
 
@@ -213,7 +304,11 @@ _PQ_CODE_SCHEMA = StructType(
 
 
 def pq_train_encode(
-    emb: DataFrame, m: int = 8, ksub: int = 16, n_iter: int = 3
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 3,
+    cache: str | None = "auto",
 ) -> tuple[DataFrame, list]:
     """pq1: product quantization — split each embedding into ``m``
     subvectors, train a ``ksub``-centroid codebook per subspace
@@ -243,7 +338,70 @@ def pq_train_encode(
     half-away-from-zero; empty clusters keep their centroid. Seeds
     follow the c1/IVF convention: the first ksub vec_ids, sliced per
     subspace.
+
+    Deterministic => (r8) the trained model persists as a
+    fingerprint-keyed MODEL artifact (``pq_*_codes`` +
+    ``pq_*_cb`` parquet dirs), exactly like :func:`kmeans_train`;
+    pq1/pq2/pq4/ivfpq1 cold sessions read codes + codebooks instead
+    of retraining, and pq3's residual path composes (its input frame
+    is fingerprinted like any corpus). Gate/fallback/self-healing
+    rules match kmeans_train.
     """
+    if cache is not None:
+        try:
+            if cache != "auto" or emb.count() >= _MODEL_ARTIFACT_MIN:
+                import os
+
+                from .artifacts import atomic_write_parquet, cache_root
+                from .similarity import corpus_fingerprint
+
+                root = cache_root(None if cache == "auto" else cache)
+                n, h = corpus_fingerprint(emb)
+                base = os.path.join(
+                    root, f"pq_n{n}_h{h}_m{m}_k{ksub}_i{n_iter}"
+                )
+                spark = emb.sparkSession
+                paths = (base + "_codes", base + "_cb")
+                if not _model_paths_ok(*paths):
+                    codes_df, cbs = _pq_train_encode_inline(
+                        emb, m, ksub, n_iter
+                    )
+                    atomic_write_parquet(codes_df, paths[0])
+                    atomic_write_parquet(
+                        spark.createDataFrame(
+                            [
+                                (s, c, [int(x) for x in vec])
+                                for s, book in enumerate(cbs)
+                                for c, vec in enumerate(book)
+                            ],
+                            "subspace long, cluster_id long,"
+                            " c array<long>",
+                        ),
+                        paths[1],
+                    )
+                codes_df = spark.read.parquet(paths[0]).select(
+                    "vec_id", "codes", "qerr"
+                )
+                rows = spark.read.parquet(paths[1]).collect()
+                books: dict = {}
+                for r in rows:
+                    books.setdefault(r["subspace"], {})[
+                        r["cluster_id"]
+                    ] = list(r["c"])
+                cbs = [
+                    [books[s][c] for c in sorted(books[s])]
+                    for s in sorted(books)
+                ]
+                return codes_df, cbs
+        except Exception:
+            pass
+    return _pq_train_encode_inline(emb, m, ksub, n_iter)
+
+
+def _pq_train_encode_inline(
+    emb: DataFrame, m: int, ksub: int, n_iter: int
+) -> tuple[DataFrame, list]:
+    """The inline (retrain) PQ plan — see :func:`pq_train_encode`."""
     import numpy as np
     import pandas as pd
 

@@ -297,3 +297,45 @@ def test_adc_rerank_recovers_recall_and_exact_distances(spark):
         rec_adc.append(len(got_adc[q] & truth) / len(truth))
     assert sum(rec_rr) >= sum(rec_adc), (rec_rr, rec_adc)
     assert sum(rec_rr) / len(rec_rr) >= 0.2, rec_rr
+
+
+def test_model_artifacts_equal_inline_training(spark, tmp_path):
+    """r8 model artifacts: the cached k-means and PQ models (explicit
+    root bypasses the 10k gate) are value-identical to inline
+    training — assignments/centroids/costs and codes/codebooks — and
+    a second lookup is a pure hit (no new cache entries). The
+    deterministic trainers make the artifact a faithful model store,
+    so c1/pq1-pq4/ivfpq1 cold sessions skip every training pass."""
+    import os
+
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    root = str(tmp_path)
+    ia, ic, icost = clustering._kmeans_train_inline(emb, 16, 5)
+    ca, cc, ccost = clustering.kmeans_train(emb, cache=root)
+    assert ic == cc and icost == ccost
+    assert {tuple(r) for r in ia.collect()} == {
+        tuple(r) for r in ca.collect()
+    }
+    icodes, icb = clustering._pq_train_encode_inline(emb, 8, 16, 3)
+    ccodes, ccb = clustering.pq_train_encode(emb, cache=root)
+    assert icb == ccb
+    assert {
+        (r["vec_id"], tuple(r["codes"]), r["qerr"])
+        for r in icodes.collect()
+    } == {
+        (r["vec_id"], tuple(r["codes"]), r["qerr"])
+        for r in ccodes.collect()
+    }
+    n_entries = len(os.listdir(root))
+    _, cc2, _ = clustering.kmeans_train(emb, cache=root)
+    assert cc2 == ic and len(os.listdir(root)) == n_entries
+
+
+def test_model_artifact_gate_keeps_inline_below_min(spark):
+    """cache="auto" below _MODEL_ARTIFACT_MIN must train inline —
+    identical model, no artifact side effects (driver scales and the
+    pinned bench rely on the unchanged plans)."""
+    emb = tables.load(spark, SF_DIR, "embeddings")
+    _, auto_c, _ = clustering.kmeans_train(emb, cache="auto")
+    _, inline_c, _ = clustering._kmeans_train_inline(emb, 16, 5)
+    assert auto_c == inline_c
