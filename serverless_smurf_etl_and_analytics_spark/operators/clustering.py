@@ -107,7 +107,13 @@ _MODEL_ARTIFACT_MIN = 10_000
 def _model_paths_ok(*paths: str) -> bool:
     import os
 
-    return all(os.path.exists(p) for p in paths)
+    from .artifacts import touch
+
+    if all(os.path.exists(p) for p in paths):
+        for p in paths:
+            touch(p)
+        return True
+    return False
 
 
 def kmeans_train(

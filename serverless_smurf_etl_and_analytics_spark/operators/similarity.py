@@ -381,6 +381,9 @@ def cached_band_bits(
     need = n_bands * band_planes
     for p in sorted(glob.glob(os.path.join(root, f"n{n}_h{h}_p*"))):
         if artifact_n_planes(p) >= need:
+            from .artifacts import touch
+
+            touch(p)
             return load_band_bits(emb.sparkSession, p)
     nb, bp = adaptive_band_config(n)
     width = ((max(need, nb * bp) + 31) // 32) * 32
