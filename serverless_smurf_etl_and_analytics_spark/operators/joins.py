@@ -279,6 +279,10 @@ def sku_copurchase_topk(txns: DataFrame, k: int = 3) -> DataFrame:
     co = pairs.groupBy("item_sku", "partner_sku").agg(
         F.count(F.lit(1)).cast("long").alias("co_count")
     )
+    return _co_topk(co, k)
+
+
+def _co_topk(co: DataFrame, k: int) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("item_sku").orderBy(
@@ -289,3 +293,55 @@ def sku_copurchase_topk(txns: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("item_sku", "rank", "partner_sku", "co_count")
     )
+
+
+def co_pair_daily(txns: DataFrame) -> DataFrame:
+    """Per-day co-purchase partials — the MATERIALIZABLE layer under
+    co1, extending the daily-sketch family (kmv/hll/histograms) to the
+    item-item CF matrix: one bounded row per (order_date, sku pair).
+
+    The sharding key is the ORDER's date (min sale_date over its
+    lines), not the line date: a transaction's lines ship on several
+    dates, and co-occurrence is defined within the whole basket, so
+    pair counts are additive only over a partition of ORDERS. Each
+    order falls in exactly one order_date shard, so merge-over-all ==
+    the direct co table exactly, shards are disjoint row sets, and a
+    range query answers "customers also bought, for orders started in
+    [a, b]" without rescanning facts (laws tested). Incremental
+    caveat, inherent to basket semantics: a late line appended to an
+    old order changes that order's basket, so its (single) shard must
+    be recomputed — pipelines seal baskets after a grace window, the
+    same late-data discipline as the streaming watermark layer."""
+    ts = txns.select("transaction_id", "item_sku").distinct()
+    odate = txns.groupBy("transaction_id").agg(
+        F.min("sale_date").alias("order_date")
+    )
+    pairs = (
+        ts.alias("a")
+        .join(
+            ts.alias("b"),
+            (F.col("a.transaction_id") == F.col("b.transaction_id"))
+            & (F.col("a.item_sku") != F.col("b.item_sku")),
+        )
+        .select(
+            F.col("a.transaction_id").alias("transaction_id"),
+            F.col("a.item_sku").alias("item_sku"),
+            F.col("b.item_sku").alias("partner_sku"),
+        )
+        .join(odate, "transaction_id")
+    )
+    return pairs.groupBy(
+        "order_date", "item_sku", "partner_sku"
+    ).agg(F.count(F.lit(1)).cast("long").alias("co_count"))
+
+
+def co_merge_topk(daily: DataFrame, k: int = 3) -> DataFrame:
+    """Merge per-day co-purchase partials (pre-filtered to whatever
+    date range the caller wants) into the co1 top-k shape: one
+    bounded re-aggregation over pair rows + the per-SKU top-k window —
+    identical output to :func:`sku_copurchase_topk` over the same
+    transactions (the additivity law, tested)."""
+    co = daily.groupBy("item_sku", "partner_sku").agg(
+        F.sum("co_count").cast("long").alias("co_count")
+    )
+    return _co_topk(co, k)
