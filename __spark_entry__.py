@@ -75,6 +75,13 @@ _VERIFY_FIRST = [
     # (sim3 rides the band_table bits-string refactor — 12th changed
     # plan, taking the window's 50th slot.)
     # ================= past the 50-window =================
+    # r9 ROTATION PREP: the r9 window should lead with (a) any r9
+    # plan changes, (b) the co2 co-purchase range-merge twin once
+    # registered (joins.co_pair_daily/co_merge_topk landed in r8 with
+    # pytest laws, registration deferred to keep all 38 r4-stale
+    # entries inside the r8 window), then (c) this r6-green tail,
+    # which will be 3 rounds stale by r9 — 46 entries, so it fills
+    # the rest of the window across r9/r10.
     # r6/r7-green tail in least-recently-verified order: the r6-green
     # block next round's rotation candidates, then the r7 window. Any
     # query whose plan changes in r9 moves to the head.

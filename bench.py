@@ -66,9 +66,19 @@ def main() -> None:
     # queries once, then again) decorrelates a load spike from any one
     # query's N samples, where back-to-back repeats would eat it whole.
     runs = int(os.environ.get("SMURF_BENCH_RUNS", "3"))
+    # SMURF_BENCH_COLD=1 (opt-in; default off, driver-contract
+    # unchanged): clear the session's persisted operator caches before
+    # EVERY sample so min-of-N measures the cold plan instead of the
+    # warm-cache incremental cost — the scale rehearsals' semantics
+    # (r7 established that a cold-path optimization may not move the
+    # warm minimum at all). On-disk corpus artifacts are NOT cleared:
+    # cold-with-maintained-artifacts is the number that matters.
+    cold = os.environ.get("SMURF_BENCH_COLD", "") == "1"
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(runs):
         for name in names:
+            if cold:
+                spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = registry.QUERIES[name](spark, sf_dir)
             df.count()
@@ -115,7 +125,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "timing": f"min_of_{runs}_interleaved",
+        "timing": f"min_of_{runs}_interleaved"
+        + ("_cold" if cold else ""),
     }
     if regressions:
         out["regressions_vs_baseline"] = regressions
@@ -155,7 +166,8 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(names),
-        "timing": f"min_of_{runs}_interleaved",
+        "timing": f"min_of_{runs}_interleaved"
+        + ("_cold" if cold else ""),
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "detail": "benchmarks/bench_last_detail.json",
     }
