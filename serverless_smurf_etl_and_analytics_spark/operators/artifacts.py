@@ -6,6 +6,13 @@ the stage config), so lookups are exact-match and a changed corpus
 simply misses: no invalidation protocol, no way to silently reuse
 stale rows. Writes are atomic (tmp dir + os.rename) so a concurrent
 or crashed builder can never expose a partial artifact.
+
+Key versioning: every stage embeds a version token in its key format
+(``sh_v1_``, ``mh_v1_``, ``simh_v1_``, ``wn_v1_``, ``band_v1_``,
+``km_v1_``, ``pq_v1_``). The corpus fingerprint catches data changes
+but not CODE changes — if a stage's output definition ever changes
+(a shingle bugfix, a trainer tweak), bump its token so old artifacts
+miss instead of being silently read by new code.
 """
 
 from __future__ import annotations
@@ -20,29 +27,47 @@ from pyspark.sql import DataFrame
 
 def cache_root(root: str | None = None) -> str:
     """Resolve the artifact cache root: explicit arg, else the
-    ``SMURF_ARTIFACT_CACHE`` env var, else a stable tempdir path that
-    survives across sessions on one machine."""
-    return (
-        root
-        or os.environ.get("SMURF_ARTIFACT_CACHE")
-        or os.path.join(tempfile.gettempdir(), "smurf_artifact_cache")
+    ``SMURF_ARTIFACT_CACHE`` env var, else a stable per-USER tempdir
+    path that survives across sessions on one machine. The default is
+    uid-suffixed and created 0o700: the system tempdir is shared and
+    world-writable, so an unscoped fixed path would let another local
+    user pre-create the dir (breaking writes) or plant parquet under
+    a predictable key that queries would silently trust."""
+    if root or os.environ.get("SMURF_ARTIFACT_CACHE"):
+        return root or os.environ["SMURF_ARTIFACT_CACHE"]
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    path = os.path.join(
+        tempfile.gettempdir(), f"smurf_artifact_cache_{uid}"
     )
+    try:
+        os.makedirs(path, mode=0o700, exist_ok=True)
+    except OSError:
+        pass
+    return path
 
 
 def vacuum_cache(
     root: str | None = None,
     max_age_days: float = 14.0,
     max_total_bytes: int | None = None,
+    min_age_seconds: float = 3600.0,
 ) -> list[str]:
     """Garbage-collect the artifact cache: remove entries whose LAST
     USE (dir mtime — refreshed by :func:`touch` on every cache hit) is
     older than ``max_age_days``, then — oldest-first — entries beyond
-    ``max_total_bytes``. Stale ``.tmp-*`` build leftovers (a crashed
-    builder) older than one hour go unconditionally. Returns the
-    removed paths. Safe against concurrent readers the same way
-    atomic builds are: an entry is removed wholesale, and a racing
-    find-or-build that just lost its entry rebuilds identical content
-    under the same key (deterministic stages)."""
+    ``max_total_bytes``, EXCEPT entries used within the last
+    ``min_age_seconds`` (grace window, default 1h). Stale ``.tmp-*``
+    build leftovers (a crashed builder) older than one hour go
+    unconditionally. Returns the removed paths.
+
+    Concurrency caveat: :func:`touch` refreshes mtime at PLAN time,
+    but a live DataFrame can execute much later — a vacuum racing an
+    active session can delete a parquet dir that session still lazily
+    references, surfacing as FileNotFoundException at action time
+    (the find-or-build fallback only guards plan-time reads). The
+    grace window makes that unlikely for the size-cap pass; for hard
+    safety run vacuum only when no session is mid-query, and keep
+    ``min_age_seconds`` above your longest plan-to-action gap."""
     import shutil
     import time
 
@@ -75,9 +100,14 @@ def vacuum_cache(
             continue
     if max_total_bytes is not None:
         total = sum(s for _, s, _ in entries)
-        for _, size, p in sorted(entries):  # oldest first
+        for mtime, size, p in sorted(entries):  # oldest first
             if total <= max_total_bytes:
                 break
+            if now - mtime < min_age_seconds:
+                # grace window: recently-used entries survive the
+                # size cap even when the cache is over budget — a
+                # racing session's lazy plan likely references them
+                continue
             shutil.rmtree(p, ignore_errors=True)
             removed.append(p)
             total -= size

@@ -152,7 +152,7 @@ def kmeans_train(
                 root = cache_root(None if cache == "auto" else cache)
                 n, h = corpus_fingerprint(emb)
                 base = os.path.join(
-                    root, f"km_n{n}_h{h}_k{k}_i{n_iter}"
+                    root, f"km_v1_n{n}_h{h}_k{k}_i{n_iter}"
                 )
                 spark = emb.sparkSession
                 paths = (base + "_asg", base + "_cent", base + "_meta")
@@ -364,7 +364,7 @@ def pq_train_encode(
                 root = cache_root(None if cache == "auto" else cache)
                 n, h = corpus_fingerprint(emb)
                 base = os.path.join(
-                    root, f"pq_n{n}_h{h}_m{m}_k{ksub}_i{n_iter}"
+                    root, f"pq_v1_n{n}_h{h}_m{m}_k{ksub}_i{n_iter}"
                 )
                 spark = emb.sparkSession
                 paths = (base + "_codes", base + "_cb")

@@ -115,7 +115,7 @@ def shingle_rows(
     backed = _doc_artifact(
         docs,
         cache,
-        f"sh_n{{n}}_h{{h}}_g{n}",
+        f"sh_v1_n{{n}}_h{{h}}_g{n}",
         lambda: _shingle_rows_inline(docs, n),
         ["doc_id", "sh"],
     )
@@ -135,7 +135,7 @@ def materialize_shingle_artifact(
     nn, h = text_corpus_fingerprint(docs)
     return atomic_write_parquet(
         _shingle_rows_inline(docs, n),
-        os.path.join(cache_root(root), f"sh_n{nn}_h{h}_g{n}"),
+        os.path.join(cache_root(root), f"sh_v1_n{nn}_h{h}_g{n}"),
     )
 
 
@@ -218,7 +218,7 @@ def minhash_signatures(
     backed = _doc_artifact(
         docs,
         cache,
-        f"mh_n{{n}}_h{{h}}_g2_k{n_hashes}b{BAND_SIZE}",
+        f"mh_v1_n{{n}}_h{{h}}_g2_k{n_hashes}b{BAND_SIZE}",
         lambda: _minhash_signatures_from(
             docs, shingle_rows(docs, 2, cache), n_hashes
         ),
@@ -417,7 +417,7 @@ def simhash(
     backed = _doc_artifact(
         docs,
         cache,
-        f"simh_n{{n}}_h{{h}}_b{bits}",
+        f"simh_v1_n{{n}}_h{{h}}_b{bits}",
         lambda: _simhash_inline(docs, bits),
         ["doc_id", "simhash", "block"],
     )

@@ -336,7 +336,7 @@ def materialize_band_artifact(
         n_planes = ((nb * bp + 31) // 32) * 32
     return atomic_write_parquet(
         band_bits(emb, n_planes),
-        os.path.join(root, f"n{n}_h{h}_p{n_planes}"),
+        os.path.join(root, f"band_v1_n{n}_h{h}_p{n_planes}"),
     )
 
 
@@ -379,7 +379,7 @@ def cached_band_bits(
     root = _band_cache_root(root)
     n, h = fingerprint or corpus_fingerprint(emb)
     need = n_bands * band_planes
-    for p in sorted(glob.glob(os.path.join(root, f"n{n}_h{h}_p*"))):
+    for p in sorted(glob.glob(os.path.join(root, f"band_v1_n{n}_h{h}_p*"))):
         if artifact_n_planes(p) >= need:
             from .artifacts import touch
 
@@ -558,6 +558,15 @@ def _slim_band_rows(
     )
 
 
+# prior _gather_dots broadcasts, unpersisted (executor copies freed)
+# when the next call supersedes them — a long-lived session running
+# many near-dup queries would otherwise accumulate one ~fixed-point
+# matrix (up to ~256 MB at the 500k gate) per call on the executors.
+# unpersist, not destroy: an unconsumed earlier frame stays valid (the
+# driver re-ships the value if its plan executes later).
+_GATHER_BC: list = []
+
+
 def _gather_dots(cand: DataFrame, bt: DataFrame) -> DataFrame:
     """(vec_a, vec_b) candidates -> (vec_a, vec_b, dot, n2_a, n2_b)
     via one broadcast of the corpus's fixed-point matrix: ids sorted
@@ -584,6 +593,12 @@ def _gather_dots(cand: DataFrame, bt: DataFrame) -> DataFrame:
     )[order]
     n2 = pdf["n2"].to_numpy(np.int64)[order]
     bc = cand.sparkSession.sparkContext.broadcast((ids_sorted, mat, n2))
+    while _GATHER_BC:
+        try:
+            _GATHER_BC.pop().unpersist(False)
+        except Exception:
+            pass
+    _GATHER_BC.append(bc)
 
     def verify(batches):
         import numpy as np

@@ -188,6 +188,18 @@ def rolling_fingerprint(docs: DataFrame, n: int = 4) -> DataFrame:
     )
 
 
+# corpus-size floor below which "auto" winnow-artifact caching is
+# skipped — the textops twin of dedup._DOC_ARTIFACT_MIN /
+# similarity._BAND_CACHE_MIN / clustering._MODEL_ARTIFACT_MIN (all
+# 10k): under the floor the fingerprint scan costs more than the
+# md5-per-gram recompute, every driver-verified scale keeps the
+# inline plan, and tiny test/bench corpora stop leaving one artifact
+# dir per content fingerprint in the shared cache. Explicit cache
+# roots bypass the gate (law tests push tiny corpora through the
+# artifact path on purpose).
+_WINNOW_ARTIFACT_MIN = 10_000
+
+
 def text_corpus_fingerprint(docs: DataFrame) -> tuple[int, int]:
     """(n_docs, order-insensitive content hash) of a document corpus —
     the staleness key for cached winnow-fingerprint artifacts, the
@@ -226,7 +238,7 @@ def materialize_winnow_artifact(
     n, h = fingerprint or text_corpus_fingerprint(docs)
     return atomic_write_parquet(
         _winnow_fps_inline(docs, k, w),
-        os.path.join(cache_root(root), f"wn_n{n}_h{h}_k{k}_w{w}"),
+        os.path.join(cache_root(root), f"wn_v1_n{n}_h{h}_k{k}_w{w}"),
     )
 
 
@@ -291,11 +303,16 @@ def winnow_fingerprints(
     first contact with a corpus — :func:`materialize_winnow_artifact`)
     so a cold session skips the md5-per-gram pass; the rows are a
     deterministic pure function of each document, so cached and inline
-    forms are row-identical (law-tested). None forces inline; any
-    other string is the cache root."""
+    forms are row-identical (law-tested). "auto" only engages at
+    ``_WINNOW_ARTIFACT_MIN``+ docs — below the gate (all
+    driver-verified scales, the pinned bench) the plan is the inline
+    form, identical to the pre-artifact rounds. None forces inline;
+    any other string is the cache root (bypassing the gate)."""
     from pyspark.storagelevel import StorageLevel
 
-    if cache is not None:
+    if cache is not None and (
+        cache != "auto" or docs.count() >= _WINNOW_ARTIFACT_MIN
+    ):
         # optimization only: environmental failures (unwritable root,
         # full disk, failed read-back) fall back to the inline plan
         try:

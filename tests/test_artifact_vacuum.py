@@ -56,3 +56,30 @@ def test_vacuum_age_size_and_tmp_policies(spark, tmp_path):
     assert again == {
         tuple(r) for r in dedup._shingle_rows_inline(docs, 2).collect()
     }
+
+
+def test_size_cap_grace_window_spares_recent_entries(spark, tmp_path):
+    """ADVICE r9: the size-cap pass must not evict an entry used
+    within min_age_seconds — a concurrent session's lazy plan likely
+    still references it (touch happens at plan time, execution can
+    come much later)."""
+    docs = tables.load(spark, SF_DIR, "documents")
+    root = str(tmp_path)
+    dedup.shingle_rows(docs, 2, cache=root).count()
+    dedup.shingle_rows(docs, 3, cache=root).count()
+    old, recent = sorted(
+        os.listdir(root),
+        key=lambda n: os.path.getmtime(os.path.join(root, n)),
+    )
+    _age(os.path.join(root, old), 2)
+    removed = artifacts.vacuum_cache(
+        root, max_age_days=14, max_total_bytes=1
+    )
+    # over budget either way, but only the aged entry is evictable
+    assert os.path.join(root, old) in removed
+    assert sorted(os.listdir(root)) == [recent]
+    # with the grace disabled the recent entry goes too
+    removed = artifacts.vacuum_cache(
+        root, max_age_days=14, max_total_bytes=1, min_age_seconds=0.0
+    )
+    assert os.listdir(root) == []

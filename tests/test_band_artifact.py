@@ -115,7 +115,7 @@ def test_artifact_dirname_encodes_width(tmp_path, emb):
         emb, root=str(tmp_path), n_planes=64
     )
     assert similarity.artifact_n_planes(path) == 64
-    assert glob.glob(os.path.join(str(tmp_path), "n*_h*_p64"))
+    assert glob.glob(os.path.join(str(tmp_path), "band_v1_n*_h*_p64"))
 
 
 def test_gather_and_wide_verify_tiers_identical(spark, emb, monkeypatch):

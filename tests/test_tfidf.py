@@ -167,3 +167,43 @@ def test_winnow_artifact_merge_and_cache_laws(spark, tmp_path):
     shrunk = docs.filter(F.col("doc_id") != 0)
     textops.winnow_fingerprints(shrunk, cache=root).count()
     assert len(os.listdir(root)) == n_before + 1
+
+
+def test_winnow_auto_gate_builds_inline_plan_below_min(spark):
+    """ADVICE r9 medium: below _WINNOW_ARTIFACT_MIN docs,
+    cache="auto" must produce the EXACT inline plan — no eager
+    fingerprint scan, no artifact write into the shared default cache
+    root — matching the dedup/band/model artifact gates. Explicit
+    roots bypass the gate (covered by the artifact-law tests)."""
+    docs = tables.load(spark, SF_DIR, "documents")
+    assert docs.count() < textops._WINNOW_ARTIFACT_MIN
+    auto = textops.winnow_fingerprints(docs, cache="auto")
+    inline = textops._winnow_fps_inline(docs, 4, 4)
+    try:
+        assert (
+            auto._jdf.queryExecution().analyzed().semanticHash()
+            == inline._jdf.queryExecution().analyzed().semanticHash()
+        )
+    finally:
+        auto.unpersist()
+
+
+def test_winnow_explicit_root_bypasses_gate(spark, tmp_path):
+    """A tiny corpus with an explicit cache root still goes through
+    the artifact path (the law tests depend on this), and the cached
+    rows equal the inline rows."""
+    import os
+
+    docs = tables.load(spark, SF_DIR, "documents")
+    root = str(tmp_path)
+    cached = textops.winnow_fingerprints(docs, cache=root)
+    try:
+        got = {tuple(r) for r in cached.collect()}
+        assert any(n.startswith("wn_") for n in os.listdir(root))
+        assert got == {
+            tuple(r)
+            for r in textops._winnow_fps_inline(docs, 4, 4).collect()
+        }
+        assert got
+    finally:
+        cached.unpersist()
