@@ -37,56 +37,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # every registered query has a driver-verified green row in at least
 # one round and nothing outside the window has a changed plan.
 _VERIFY_FIRST = [
-    # ================= r8 window (first 50) =================
-    # --- r8 changed plans, verified first:
-    # d5/d6 ride the packed-simhash overflow fix (ADVICE r7 medium:
-    # _MAX_DOC_TOKENS lowered to the real carry-free bound);
-    # bud1/rel1 ride the exact-boundary bucket predicate fix (ADVICE
-    # r7 low: cum_before <= budget); sim2/d7/src2 ride the
-    # materialized LSH band-table path; d9/d10 ride the star-CC
-    # singleton-dropout iteration; wn1/wn2 ride the per-day
-    # fingerprint materialize+merge.
-    "d5_simhash", "d6_simhash_neardup",
-    "bud1_token_budget_select", "rel1_release_order",
-    "sim2_cosine_neardup", "d7_semantic_dedup",
-    "src2_cross_source_dups", "sim3_lsh_topk",
-    "d9_semantic_dedup_cc", "d10_minhash_dup_groups",
+    # ================= r9 window (first 50) =================
+    # --- r9 changed/new plans, verified first:
+    # co2 is NEW (the co-purchase daily partial layer registered —
+    # VERDICT r8 task 2); wn1/wn2 ride the winnow artifact-gate fix
+    # (ADVICE r9 medium: cache="auto" now gates at 10k docs like the
+    # dedup/band/model artifact tiers, so the driver-scale plan is the
+    # inline form again).
+    "co2_copurchase_range_merge",
     "wn1_winnow_overlap", "wn2_winnow_decontaminate",
-    # --- the full 38-query r4-stale block (VERDICT r7 item 1: last
-    # driver-green in CORRECTNESS_r04, 3 rounds ago; local parity
-    # green every round, plans unchanged since):
-    "a19_dow_seasonality",
-    "aj1_event_order_asof", "aj2_order_next_event",
-    "co1_sku_copurchase", "coh1_cohort_retention",
-    "cp1_cusum_changepoint", "cube1_store_payment_cube",
-    "cur1_curated_corpus", "d11_containment",
-    "d12_editdist_neardup", "dq1_profile_columns",
-    "drift1_payment_tvd", "e1_embedding_dim_profile",
-    "ev_session_windows", "ev_sliding_2h_hourly", "ev_tumbling_hourly",
-    "ewma1_smoothed_sales", "f2_array_sampler", "fun1_event_funnel",
-    "gap1_missing_days", "hll1_distinct_transactions",
-    "hll2_range_merge", "mo1_zorder_codes", "pack1_sequence_packing",
-    "pr1_pagerank_stores", "q1_payment_quantiles",
-    "rj1_busy_window_events", "scd1_latest_per_key",
-    "sk1_kmv_distinct_skus", "t10_familiarity",
-    "t7_repetition_filter", "t8_doc_frequency", "tf1_tfidf_keywords",
-    "tri1_copurchase_triangles", "u2_setops_assortment",
-    "w1_weighted_sample", "w2_window_sampler", "z1_robust_zscore",
-    # (sim3 rides the band_table bits-string refactor — 12th changed
-    # plan, taking the window's 50th slot.)
-    # ================= past the 50-window =================
-    # r9 ROTATION PREP: the r9 window should lead with (a) any r9
-    # plan changes, (b) the co2 co-purchase range-merge twin once
-    # registered (joins.co_pair_daily/co_merge_topk landed in r8 with
-    # pytest laws, registration deferred to keep all 38 r4-stale
-    # entries inside the r8 window), then (c) this r6-green tail,
-    # which will be 3 rounds stale by r9 — 46 entries, so it fills
-    # the rest of the window across r9/r10.
-    # r6/r7-green tail in least-recently-verified order: the r6-green
-    # block next round's rotation candidates, then the r7 window. Any
-    # query whose plan changes in r9 moves to the head.
+    # --- the full 44-query r6-green block (VERDICT r8 task 1: last
+    # driver-green in CORRECTNESS_r06, at the 2-round staleness
+    # boundary; local parity green every round, plans unchanged):
     "a7_trailing_7day", "a10_deviation_vs_trailing",
-    "a11_trend_recent_vs_earlier", "a13_trend_first_vs_last",
+    "a11_trend_recent_vs_earlier", "a12_trend_half_vs_half",
+    "a13_trend_first_vs_last",
     "a8_company_trailing", "a9_product_trailing",
     "a16_product_range_stats", "j1_missing_stores_anti",
     "j3_brand_revenue", "j5_dense_date_store_grid",
@@ -104,6 +69,35 @@ _VERIFY_FIRST = [
     "sk2_kmv_range_merge", "sk3_kmv_set_overlap",
     "qr2_cardinality_drift", "cm1_range_heavy_users",
     "hh1_heavy_hitters", "scd2_validity_intervals",
+    # --- 3 spare slots: the head of the r7-green block (40 entries,
+    # staleness 2 this round — they ALL come due in r10, so every one
+    # verified now shrinks the r10 window pressure to 37 + changes):
+    "a1_store_day_metrics", "a2_payment_breakdown",
+    "a2_payment_per_store_day",
+    # ================= past the 50-window =================
+    # r10 ROTATION PREP: lead with any r10 plan changes, then this
+    # remaining r7-green block (37 entries, staleness 3 by r10), then
+    # the r8 window in its r8 order. 37 + changes fits one window
+    # unless r10 changes >13 plans; if it does, slip the tail of THIS
+    # list (x1-x6/r1 exports are the least scale-sensitive) and say so
+    # here.
+    "a3_top5_products_store_day", "sd_nested_store_daily",
+    "a4_payment_map_rollup", "a4_company_daily",
+    "a6_product_daily_exact", "a6_product_daily_top5_parity",
+    "j5_wide_pivot_timeseries", "j5_wide_serialized",
+    "a18_event_type_summary", "p1_store_summary_projection",
+    "p2_prefix_filter", "p3_point_lookup", "p4_range_filter_daily",
+    "p6_isin_filter", "u1_union_tagged", "f1_scalar_sampler",
+    "i1_anomaly_classify", "i2_trend_insights", "i3_recommendations",
+    "i4_combine_insights", "i5_insight_summary", "d8_decontaminate",
+    "t6_stratified_sample", "cur2_train_eval_split",
+    "mix1_source_mixing_weights", "cap1_source_cap",
+    "shuf1_deterministic_shuffle", "hist1_log2_histogram",
+    "hist2_histogram_range_merge", "qr1_quality_report",
+    "x1_export_store_summaries", "x2_export_top_products",
+    "x3_export_anomalies", "x4_export_trends",
+    "x5_export_recommendations", "x6_export_manifest",
+    "r1_daily_report_lines",
 ]
 
 

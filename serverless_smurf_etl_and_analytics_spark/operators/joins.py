@@ -345,3 +345,22 @@ def co_merge_topk(daily: DataFrame, k: int = 3) -> DataFrame:
         F.sum("co_count").cast("long").alias("co_count")
     )
     return _co_topk(co, k)
+
+
+def co_range_topk(
+    txns: DataFrame, start: str, end: str, k: int = 3
+) -> DataFrame:
+    """co2: "customers also bought", restricted to orders STARTED in
+    ``[start, end]`` — answered from the per-day partial layer
+    (:func:`co_pair_daily` filtered on order_date, merged by
+    :func:`co_merge_topk`) instead of rescanning facts, the same
+    daily-materialize + range-merge pattern as sk2/hll2/hist2. In a
+    maintained deployment the partial table persists and this is a
+    pair-rows-only query; registered over the inline build so the
+    oracle checks the whole composition (partials + range + merge)
+    against the semantic definition (co1 over exactly the qualifying
+    orders, ALL their lines kept whatever date they ship)."""
+    daily = co_pair_daily(txns)
+    return co_merge_topk(
+        daily.filter(F.col("order_date").between(start, end)), k
+    )

@@ -781,6 +781,62 @@ FROM r WHERE rank <= 3
 )
 
 
+# co2: co-purchase top-3 for orders STARTED in a date range, answered
+# by merging the per-order_date partial layer (co_pair_daily ->
+# co_merge_topk — the daily-materialize pattern of sk2/hll2 extended
+# to the item-item CF matrix; additivity laws in
+# tests/test_copurchase_daily.py). The oracle restates the SEMANTIC
+# definition instead — co1 over exactly the orders whose first line
+# date falls in the range, all their lines kept — so the check is an
+# independent cross-derivation, not an echo of the partial algebra.
+# Range: the final two years of the corpus (~15% of orders at sf0.01,
+# 918 result rows) — wide enough that the merge is a real
+# re-aggregation, narrow enough that the range filter provably bites
+# (co1 full = 6000 rows).
+CO2_START, CO2_END = "2000-01-01", "2001-12-31"
+
+register(
+    "co2_copurchase_range_merge",
+    lambda spark, sf: joins_ops.co_range_topk(
+        tables.transactions(spark, sf), CO2_START, CO2_END
+    ),
+    f"""
+WITH {TXN},
+odate AS (
+    SELECT transaction_id, min(sale_date) AS order_date
+    FROM transactions GROUP BY 1
+),
+qual AS (
+    SELECT transaction_id FROM odate
+    WHERE order_date BETWEEN '{CO2_START}' AND '{CO2_END}'
+),
+ts AS (
+    SELECT DISTINCT t.transaction_id, t.item_sku
+    FROM transactions t JOIN qual q USING (transaction_id)
+),
+pairs AS (
+    SELECT a.item_sku, b.item_sku AS partner_sku
+    FROM ts a JOIN ts b
+      ON a.transaction_id = b.transaction_id
+     AND a.item_sku != b.item_sku
+),
+co AS (
+    SELECT item_sku, partner_sku, cast(count(*) AS bigint) AS co_count
+    FROM pairs GROUP BY 1, 2
+),
+r AS (
+    SELECT item_sku, partner_sku, co_count,
+        cast(row_number() OVER (
+            PARTITION BY item_sku ORDER BY co_count DESC, partner_sku
+        ) AS bigint) AS rank
+    FROM co
+)
+SELECT item_sku, rank, partner_sku, co_count
+FROM r WHERE rank <= 3
+""",
+)
+
+
 # a19: day-of-week seasonality per store — dow 0-6 Sunday-first
 # (DuckDB strftime '%w' convention), two-step integer rounding keeps
 # the index ratio in exact double range.
