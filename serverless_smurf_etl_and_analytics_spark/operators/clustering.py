@@ -121,6 +121,7 @@ def kmeans_train(
     k: int = 16,
     n_iter: int = 5,
     cache: str | None = "auto",
+    fingerprint: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, list[list[int]], list[float]]:
     """Train k-means and return ``(assignments, centroids, costs)``:
     assignments = (vec_id, cluster_id, dist2) labeled against the
@@ -143,14 +144,16 @@ def kmeans_train(
     committed)."""
     if cache is not None:
         try:
-            if cache != "auto" or emb.count() >= _MODEL_ARTIFACT_MIN:
+            if cache != "auto" or (
+                fingerprint[0] if fingerprint else emb.count()
+            ) >= _MODEL_ARTIFACT_MIN:
                 import os
 
                 from .artifacts import atomic_write_parquet, cache_root
                 from .similarity import corpus_fingerprint
 
                 root = cache_root(None if cache == "auto" else cache)
-                n, h = corpus_fingerprint(emb)
+                n, h = fingerprint or corpus_fingerprint(emb)
                 base = os.path.join(
                     root, f"km_v1_n{n}_h{h}_k{k}_i{n_iter}"
                 )
@@ -315,6 +318,7 @@ def pq_train_encode(
     ksub: int = 16,
     n_iter: int = 3,
     cache: str | None = "auto",
+    fingerprint: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, list]:
     """pq1: product quantization — split each embedding into ``m``
     subvectors, train a ``ksub``-centroid codebook per subspace
@@ -355,14 +359,16 @@ def pq_train_encode(
     """
     if cache is not None:
         try:
-            if cache != "auto" or emb.count() >= _MODEL_ARTIFACT_MIN:
+            if cache != "auto" or (
+                fingerprint[0] if fingerprint else emb.count()
+            ) >= _MODEL_ARTIFACT_MIN:
                 import os
 
                 from .artifacts import atomic_write_parquet, cache_root
                 from .similarity import corpus_fingerprint
 
                 root = cache_root(None if cache == "auto" else cache)
-                n, h = corpus_fingerprint(emb)
+                n, h = fingerprint or corpus_fingerprint(emb)
                 base = os.path.join(
                     root, f"pq_v1_n{n}_h{h}_m{m}_k{ksub}_i{n_iter}"
                 )

@@ -65,12 +65,21 @@ def _doc_artifact(
     key_fmt: str,
     build,
     select_cols: list[str],
+    fingerprint: tuple[int, int] | None = None,
 ) -> DataFrame | None:
     """Shared find-or-build for per-doc pure-stage artifacts: returns
     the artifact-backed frame, or None when caching is disabled/gated
     off (caller falls back to its inline plan). ``key_fmt`` formats
     (n_docs, content_hash) into the dirname; ``build`` is a thunk
-    producing the full table for the corpus."""
+    producing the full table for the corpus.
+
+    ``fingerprint``: a precomputed ``(n_docs, content_hash)`` pair —
+    normally ``tablelog.ledger_fingerprint(table_dir, ["doc_id",
+    "text"])`` from a maintained corpus's commit log. When given, the
+    gate count AND the cache key come from it, so a cache HIT runs
+    zero corpus-scan jobs before the artifact read (at 100 TB the
+    per-session fingerprint scan is otherwise the dominant cost of a
+    cached cold query)."""
     import os
 
     from .artifacts import atomic_write_parquet, cache_root
@@ -78,7 +87,8 @@ def _doc_artifact(
 
     if cache is None:
         return None
-    if cache == "auto" and docs.count() < _DOC_ARTIFACT_MIN:
+    n_docs = fingerprint[0] if fingerprint else docs.count()
+    if cache == "auto" and n_docs < _DOC_ARTIFACT_MIN:
         return None
     # the artifact is an OPTIMIZATION: if the cache root is unwritable,
     # the disk is full, or a read-back fails at plan time, fall back to
@@ -87,7 +97,7 @@ def _doc_artifact(
     # are environmental)
     try:
         root = cache_root(None if cache == "auto" else cache)
-        n, h = text_corpus_fingerprint(docs)
+        n, h = fingerprint or text_corpus_fingerprint(docs)
         path = atomic_write_parquet(
             build(), os.path.join(root, key_fmt.format(n=n, h=h))
         )
@@ -97,7 +107,10 @@ def _doc_artifact(
 
 
 def shingle_rows(
-    docs: DataFrame, n: int = 2, cache: str | None = "auto"
+    docs: DataFrame,
+    n: int = 2,
+    cache: str | None = "auto",
+    fingerprint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(doc_id, sh) distinct word n-gram shingles (default bigrams) via
     a lead() window over exploded tokens — one shuffle by doc_id, no
@@ -118,6 +131,7 @@ def shingle_rows(
         f"sh_v1_n{{n}}_h{{h}}_g{n}",
         lambda: _shingle_rows_inline(docs, n),
         ["doc_id", "sh"],
+        fingerprint,
     )
     return backed if backed is not None else _shingle_rows_inline(docs, n)
 
@@ -202,6 +216,7 @@ def minhash_signatures(
     docs: DataFrame,
     n_hashes: int = N_MINHASH,
     cache: str | None = "auto",
+    fingerprint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature over bigram shingles: seed-prefixed md5
     per shingle (computed once per (doc, shingle, seed)), min per seed
@@ -220,15 +235,18 @@ def minhash_signatures(
         cache,
         f"mh_v1_n{{n}}_h{{h}}_g2_k{n_hashes}b{BAND_SIZE}",
         lambda: _minhash_signatures_from(
-            docs, shingle_rows(docs, 2, cache), n_hashes
+            docs, shingle_rows(docs, 2, cache, fingerprint), n_hashes
         ),
         ["doc_id"]
         + [f"mh_{i}" for i in range(n_hashes)]
         + [f"band_{b}" for b in range(n_hashes // BAND_SIZE)],
+        fingerprint,
     )
     if backed is not None:
         return backed
-    return _minhash_signatures_from(docs, shingle_rows(docs, 2, cache), n_hashes)
+    return _minhash_signatures_from(
+        docs, shingle_rows(docs, 2, cache, fingerprint), n_hashes
+    )
 
 
 def append_minhash_artifact(
@@ -382,7 +400,10 @@ _MAX_DOC_TOKENS = (1 << 15) - 1
 
 
 def simhash(
-    docs: DataFrame, bits: int = 32, cache: str | None = "auto"
+    docs: DataFrame,
+    bits: int = 32,
+    cache: str | None = "auto",
+    fingerprint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """SimHash: per distinct token, take ``bits`` bits of md5 (nibble
     parity scheme: bit b = bit b%4 of hex nibble b//4); signature bit is
@@ -420,6 +441,7 @@ def simhash(
         f"simh_v1_n{{n}}_h{{h}}_b{bits}",
         lambda: _simhash_inline(docs, bits),
         ["doc_id", "simhash", "block"],
+        fingerprint,
     )
     return backed if backed is not None else _simhash_inline(docs, bits)
 

@@ -663,6 +663,7 @@ def cosine_neardup_pairs(
     n_bands: int | None = None,
     band_planes: int | None = None,
     band_cache: str | None = "auto",
+    fingerprint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """LSH-bucketed cosine near-dup — the scale path, mirroring the
     MinHash d3->d4 pipeline shape: candidates are pairs sharing a
@@ -724,7 +725,11 @@ def cosine_neardup_pairs(
       travel on the band rows; dot per pair in Arrow batches) — no
       driver-side collect at any corpus size, the true 100 TB path.
     """
-    n = emb.count()
+    # a ledger-provided fingerprint answers BOTH plan-time questions
+    # (corpus size for the adaptive config/gates, content hash for the
+    # cache key) without a single corpus scan — the maintained-
+    # pipeline cold path (tablelog.ledger_fingerprint)
+    n = fingerprint[0] if fingerprint else emb.count()
     if n_bands is None or band_planes is None:
         auto = adaptive_band_config(n)
         n_bands = auto[0] if n_bands is None else n_bands
@@ -753,7 +758,7 @@ def cosine_neardup_pairs(
                 n_bands,
                 band_planes,
                 root=root,
-                fingerprint=corpus_fingerprint(emb),
+                fingerprint=fingerprint or corpus_fingerprint(emb),
             )
         except Exception:
             bt = None

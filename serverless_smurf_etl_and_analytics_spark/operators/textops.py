@@ -258,18 +258,28 @@ def cached_winnow_fps(
     k: int = 4,
     w: int = 4,
     root: str | None = None,
+    fingerprint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """find-or-build: the (doc_id, fp) winnow table for ``docs`` from
-    the artifact cache, building (and caching) on first contact."""
+    the artifact cache, building (and caching) on first contact. A
+    precomputed ``fingerprint`` (e.g. ``tablelog.ledger_fingerprint``)
+    makes a HIT zero-scan: the key is formed without touching the
+    corpus."""
     from .artifacts import cache_root
 
     return docs.sparkSession.read.parquet(
-        materialize_winnow_artifact(docs, cache_root(root), k, w)
+        materialize_winnow_artifact(
+            docs, cache_root(root), k, w, fingerprint
+        )
     ).select("doc_id", "fp")
 
 
 def winnow_fingerprints(
-    docs: DataFrame, k: int = 4, w: int = 4, cache: str | None = "auto"
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    cache: str | None = "auto",
+    fingerprint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """(doc_id, fp) — MOSS winnowing (Schleimer et al. 2003, "Winnowing:
     Local Algorithms for Document Fingerprinting"): hash every k-token
@@ -310,16 +320,19 @@ def winnow_fingerprints(
     any other string is the cache root (bypassing the gate)."""
     from pyspark.storagelevel import StorageLevel
 
+    n_docs = fingerprint[0] if fingerprint else None
     if cache is not None and (
-        cache != "auto" or docs.count() >= _WINNOW_ARTIFACT_MIN
+        cache != "auto"
+        or (n_docs if n_docs is not None else docs.count())
+        >= _WINNOW_ARTIFACT_MIN
     ):
         # optimization only: environmental failures (unwritable root,
         # full disk, failed read-back) fall back to the inline plan
         try:
             root = None if cache == "auto" else cache
-            return cached_winnow_fps(docs, k, w, root=root).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            return cached_winnow_fps(
+                docs, k, w, root=root, fingerprint=fingerprint
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         except Exception:
             pass
     return _winnow_fps_inline(docs, k, w).persist(

@@ -162,6 +162,7 @@ def commit_version(
     mode: str = "append",
     op: str = "write",
     expect_head=_ANY_HEAD,
+    fingerprint_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a new table version and atomically publish it.
     ``mode='append'`` stacks onto the previous version's files;
@@ -174,12 +175,46 @@ def commit_version(
     :class:`CommitConflict` if any other writer moved the head — the
     guard that makes read-modify-write ops (MERGE) actually
     optimistic-concurrency safe instead of silently committing a
-    stale reconcile over a concurrent commit."""
+    stale reconcile over a concurrent commit.
+
+    ``fingerprint_cols``: when set, the manifest carries the table's
+    CUMULATIVE content fingerprint over those columns — the same
+    ``(count, sum(xxhash64(cols)) mod 2^64)`` pair the artifact cache
+    keys on (``similarity.corpus_fingerprint`` /
+    ``textops.text_corpus_fingerprint``). Both components are
+    mergeable sums, so an append scans ONLY the staged shard and adds
+    onto the previous head's pair; an overwrite resets to the shard's
+    own pair. :func:`ledger_fingerprint` then answers the cache-key
+    question in O(1) manifest reads with ZERO fact scans — at 100 TB
+    the per-session fingerprint scan is otherwise the dominant cost
+    of a "cached" cold query (VERDICT r8 task 4). If the previous
+    head predates fingerprint recording (or used different columns),
+    the cumulative pair is unknowable without a full scan, so the new
+    manifest records none and lookups fall back to scanning —
+    fingerprints resume at the next overwrite."""
     token = uuid.uuid4().hex[:12]
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     staged = os.path.join(table_dir, _DATA, f"staged-{token}")
     df.write.mode("overwrite").parquet(staged)
-    n_rows = spark.read.parquet(staged).count()
+    staged_df = spark.read.parquet(staged)
+    shard_fp = None
+    if fingerprint_cols:
+        # one aggregate over the SHARD (not the table): count rides
+        # along, so recording the fingerprint adds no extra job. The
+        # hash sum runs in decimal(38,0) — a long sum of uniform
+        # 64-bit hashes overflows ANSI mode — folded to 2^64; modular
+        # addition keeps shard pairs exactly as mergeable as the
+        # full-scan pair (law-tested in test_tablelog).
+        row = staged_df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(*fingerprint_cols).cast("decimal(38,0)")
+            ).alias("h"),
+        ).first()
+        n_rows = int(row["n"])
+        shard_fp = (n_rows, int(row["h"] or 0) % (1 << 64))
+    else:
+        n_rows = staged_df.count()
     schema = sorted(
         (f.name, f.dataType.simpleString()) for f in df.schema.fields
     )
@@ -204,9 +239,64 @@ def commit_version(
             "data_dirs": dirs,
             "n_rows_written": n_rows,
         }
+        fp = _cumulative_fingerprint(
+            table_dir, head, mode, shard_fp, fingerprint_cols
+        )
+        if fp is not None:
+            manifest["fingerprint"] = fp
         if _try_publish(table_dir, version, manifest):
             return version
         # lost the race: re-read head, retry (or conflict next loop)
+
+
+def _cumulative_fingerprint(
+    table_dir: str,
+    head: int | None,
+    mode: str,
+    shard_fp: tuple[int, int] | None,
+    cols: list[str] | None,
+) -> dict | None:
+    """The manifest ``fingerprint`` entry for a commit of ``shard_fp``
+    onto ``head`` — sum-merged for appends (computed INSIDE the claim
+    loop so a lost race re-merges against the winner's head), reset
+    for overwrites, None when unknowable (prior head unfingerprinted
+    or fingerprinted over different columns)."""
+    if shard_fp is None:
+        return None
+    if mode != "append" or head is None:
+        return {"cols": list(cols), "n": shard_fp[0], "h": shard_fp[1]}
+    prev = _read_manifest(table_dir, head).get("fingerprint")
+    if not prev or prev.get("cols") != list(cols):
+        return None
+    return {
+        "cols": list(cols),
+        "n": prev["n"] + shard_fp[0],
+        "h": (prev["h"] + shard_fp[1]) % (1 << 64),
+    }
+
+
+def ledger_fingerprint(
+    table_dir: str, cols: list[str], version: int | None = None
+) -> tuple[int, int] | None:
+    """The table's content fingerprint ``(n, h)`` over ``cols`` read
+    from the commit LEDGER — O(1) manifest reads, zero Spark jobs —
+    or None when the requested version doesn't carry one (table
+    predates fingerprint recording, or was fingerprinted over
+    different columns). Equals the full-scan pair
+    (``corpus_fingerprint`` / ``text_corpus_fingerprint``) exactly,
+    by the modular-sum merge law (tested), so it is a drop-in
+    ``fingerprint=`` argument for every ``cached_*`` /
+    artifact-gated operator: a maintained-pipeline session gets
+    artifact cache HITS without a single corpus scan. Column order
+    matters (xxhash64 is positional) — pass the same list the
+    commits used."""
+    head = latest_version(table_dir) if version is None else version
+    if head is None:
+        return None
+    fp = _read_manifest(table_dir, head).get("fingerprint")
+    if not fp or fp.get("cols") != list(cols):
+        return None
+    return int(fp["n"]), int(fp["h"])
 
 
 def read_version(
@@ -236,6 +326,7 @@ def merge_upsert(
     table_dir: str,
     updates: DataFrame,
     key: str,
+    fingerprint_cols: list[str] | None = None,
 ) -> int:
     """Row-level MERGE: rows of the current version whose ``key``
     matches an update are replaced; unmatched updates are inserted;
@@ -267,6 +358,7 @@ def merge_upsert(
             return commit_version(
                 spark, table_dir, content,
                 mode="overwrite", op="merge", expect_head=head,
+                fingerprint_cols=fingerprint_cols,
             )
         except CommitConflict:
             continue  # head moved: re-run the reconcile against it
