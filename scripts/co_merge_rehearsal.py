@@ -108,6 +108,22 @@ def main() -> None:
         t_merge_all = time.monotonic() - t0
         assert n_merge_all == n_direct, (n_merge_all, n_direct)
 
+        # tri1 census riding the same partials (r9: the wedge join
+        # never needs facts once the daily layer exists)
+        from serverless_smurf_etl_and_analytics_spark.operators import (
+            graph,
+        )
+
+        t0 = time.monotonic()
+        n_tri = graph.triangles_from_topk(
+            joins.co_merge_topk(daily)
+        ).count()
+        t_tri_merge = time.monotonic() - t0
+        t0 = time.monotonic()
+        n_tri_direct = graph.copurchase_triangles(txns).count()
+        t_tri_direct = time.monotonic() - t0
+        assert n_tri == n_tri_direct, (n_tri, n_tri_direct)
+
         result = {
             "sf_dir": sf_dir,
             "range": list(RANGE),
@@ -123,6 +139,8 @@ def main() -> None:
                 "merge_range_off_partials": round(t_merge, 2),
                 "merge_full_off_partials": round(t_merge_all, 2),
                 "range_inline_composition": round(t_range_inline, 2),
+                "tri1_off_partials": round(t_tri_merge, 2),
+                "tri1_off_facts": round(t_tri_direct, 2),
             },
         }
         line = json.dumps(result)

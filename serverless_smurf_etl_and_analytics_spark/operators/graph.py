@@ -152,11 +152,21 @@ def copurchase_triangles(txns) -> "DataFrame":
     anywhere; orientation a < b < c counts each triangle exactly
     once.
     """
-    from pyspark.sql import functions as F
-
     from .joins import sku_copurchase_topk
 
-    topk = sku_copurchase_topk(txns)
+    return triangles_from_topk(sku_copurchase_topk(txns))
+
+
+def triangles_from_topk(topk: "DataFrame") -> "DataFrame":
+    """The triangle census over ANY co-purchase top-k frame (co1's
+    shape: item_sku, rank, partner_sku, co_count) — the fact-free
+    half of tri1. A maintained pipeline feeds it from the daily
+    partial layer (``joins.co_merge_topk`` over persisted
+    ``co_pair_daily`` rows), so the census costs seconds at any
+    corpus size while the fact-derived wrapper above stays the
+    standalone/bench form (law-tested equal)."""
+    from pyspark.sql import functions as F
+
     und = (
         topk.select(
             F.least("item_sku", "partner_sku").alias("a"),

@@ -122,6 +122,9 @@ def start_ingest_stream(
         # completeness check over ALL store-days seen so far for the
         # dates touched by this batch
         spark_l = batch_df.sparkSession
+        # bounded driver collect: distinct sale_dates of ONE
+        # micro-batch — at most maxFilesPerTrigger files' worth of
+        # dates (uploads are per store-day), not the table's history
         touched = [r[0] for r in daily.select("sale_date").distinct().collect()]
         seen = (
             spark_l.read.parquet(store_daily_dir)
@@ -153,6 +156,8 @@ def start_ingest_stream(
         if alarms_dir is not None:
             from ..operators.quality import quality_report
 
+            # bounded driver collect: distinct stores of ONE
+            # micro-batch, <= the 11-store dimension by definition
             touched_stores = [
                 r[0] for r in daily.select("store_id").distinct().collect()
             ]

@@ -85,3 +85,18 @@ def test_co_shards_are_disjoint_union(spark):
     a = joins.co_pair_daily(early)
     b = joins.co_pair_daily(late)
     assert _rows(a.unionByName(b)) == _rows(joins.co_pair_daily(txns))
+
+
+def test_triangles_from_merged_partials_equal_direct(spark):
+    """tri1's census over the daily-layer-derived top-k equals the
+    fact-derived form — the wedge join never needs facts once the
+    partials exist (the same reuse that makes co2 O(partials))."""
+    from serverless_smurf_etl_and_analytics_spark.operators import graph
+
+    txns = tables.transactions(spark, SF_DIR)
+    daily = joins.co_pair_daily(txns)
+    via_merge = _rows(
+        graph.triangles_from_topk(joins.co_merge_topk(daily, 3))
+    )
+    assert via_merge == _rows(graph.copurchase_triangles(txns))
+    assert via_merge, "empty triangle census"
