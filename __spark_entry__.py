@@ -39,12 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 _VERIFY_FIRST = [
     # ================= r9 window (first 50) =================
     # --- r9 changed/new plans, verified first:
-    # co2 is NEW (the co-purchase daily partial layer registered —
-    # VERDICT r8 task 2); wn1/wn2 ride the winnow artifact-gate fix
-    # (ADVICE r9 medium: cache="auto" now gates at 10k docs like the
-    # dedup/band/model artifact tiers, so the driver-scale plan is the
-    # inline form again).
-    "co2_copurchase_range_merge",
+    # co2 and tri2 are NEW (the co-purchase daily partial layer
+    # registered + its range triangle census — VERDICT r8 task 2);
+    # wn1/wn2 ride the winnow artifact-gate fix (ADVICE r9 medium:
+    # cache="auto" now gates at 10k docs like the dedup/band/model
+    # artifact tiers, so the driver-scale plan is the inline form
+    # again).
+    "co2_copurchase_range_merge", "tri2_triangles_range",
     "wn1_winnow_overlap", "wn2_winnow_decontaminate",
     # --- the full 44-query r6-green block (VERDICT r8 task 1: last
     # driver-green in CORRECTNESS_r06, at the 2-round staleness
@@ -69,18 +70,18 @@ _VERIFY_FIRST = [
     "sk2_kmv_range_merge", "sk3_kmv_set_overlap",
     "qr2_cardinality_drift", "cm1_range_heavy_users",
     "hh1_heavy_hitters", "scd2_validity_intervals",
-    # --- 3 spare slots: the head of the r7-green block (40 entries,
-    # staleness 2 this round — they ALL come due in r10, so every one
-    # verified now shrinks the r10 window pressure to 37 + changes):
+    # --- 2 spare slots: the head of the r7-green block (40 entries,
+    # staleness 2 this round — they ALL come due in r10, so each one
+    # verified now shrinks the r10 window pressure to 38 + changes):
     "a1_store_day_metrics", "a2_payment_breakdown",
-    "a2_payment_per_store_day",
     # ================= past the 50-window =================
     # r10 ROTATION PREP: lead with any r10 plan changes, then this
-    # remaining r7-green block (37 entries, staleness 3 by r10), then
-    # the r8 window in its r8 order. 37 + changes fits one window
-    # unless r10 changes >13 plans; if it does, slip the tail of THIS
+    # remaining r7-green block (38 entries, staleness 3 by r10), then
+    # the r8 window in its r8 order. 38 + changes fits one window
+    # unless r10 changes >12 plans; if it does, slip the tail of THIS
     # list (x1-x6/r1 exports are the least scale-sensitive) and say so
     # here.
+    "a2_payment_per_store_day",
     "a3_top5_products_store_day", "sd_nested_store_daily",
     "a4_payment_map_rollup", "a4_company_daily",
     "a6_product_daily_exact", "a6_product_daily_top5_parity",

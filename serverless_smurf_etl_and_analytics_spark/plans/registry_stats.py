@@ -987,6 +987,62 @@ JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
 )
 
 
+# tri2: the same triangle census restricted to orders STARTED in the
+# co2 range, composed from the daily partial layer
+# (co_pair_daily -> range filter -> co_merge_topk ->
+# triangles_from_topk) — the maintained-pipeline form that never
+# rescans facts (sf10: 4.8 s off partials vs 29 s off facts,
+# benchmarks/co_merge_r9_sf10.json). Oracle cross-derives from the
+# semantic definition (qualifying orders), not the partial algebra.
+register(
+    "tri2_triangles_range",
+    lambda spark, sf: graph_ops.triangles_from_topk(
+        joins_ops.co_range_topk(
+            tables.transactions(spark, sf), CO2_START, CO2_END
+        )
+    ),
+    f"""
+WITH {TXN},
+odate AS (
+    SELECT transaction_id, min(sale_date) AS order_date
+    FROM transactions GROUP BY 1
+),
+qual AS (
+    SELECT transaction_id FROM odate
+    WHERE order_date BETWEEN '{CO2_START}' AND '{CO2_END}'
+),
+ts AS (
+    SELECT DISTINCT t.transaction_id, t.item_sku
+    FROM transactions t JOIN qual q USING (transaction_id)
+),
+pairs AS (
+    SELECT a.item_sku AS s1, b.item_sku AS s2
+    FROM ts a JOIN ts b
+      ON a.transaction_id = b.transaction_id
+     AND a.item_sku != b.item_sku
+),
+co AS (SELECT s1, s2, cast(count(*) AS bigint) AS c
+       FROM pairs GROUP BY 1, 2),
+r AS (
+    SELECT s1, s2, c,
+        row_number() OVER (PARTITION BY s1 ORDER BY c DESC, s2) AS rk
+    FROM co
+),
+topk AS (SELECT s1, s2, c FROM r WHERE rk <= 3),
+und AS (
+    SELECT least(s1, s2) AS a, greatest(s1, s2) AS b,
+           cast(max(c) AS bigint) AS w
+    FROM topk GROUP BY 1, 2
+)
+SELECT e1.a AS sku_a, e1.b AS sku_b, e2.b AS sku_c,
+       least(e1.w, least(e2.w, e3.w)) AS min_support
+FROM und e1
+JOIN und e2 ON e2.a = e1.a AND e1.b < e2.b
+JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+""",
+)
+
+
 # cm1: range heavy users from merged per-day count-min sketches —
 # the FREQUENCY member of the materialize+merge family (sk2 distinct,
 # hll2 distinct-at-fixed-space, hist2 quantiles): per-day d x w
