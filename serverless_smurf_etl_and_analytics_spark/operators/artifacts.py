@@ -140,3 +140,54 @@ def atomic_write_parquet(df: DataFrame, path: str) -> str:
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
     return path
+
+
+def advance_artifact(
+    root: str | None,
+    old_dirname: str,
+    new_dirname: str,
+    append_fn,
+) -> str | None:
+    """Advance a fingerprint-keyed artifact to cover a GROWN corpus in
+    O(delta): hard-link the existing artifact's data files under the
+    NEW corpus key (O(#files), zero bytes copied), let ``append_fn``
+    write only the new shard's rows into it, then atomically publish —
+    so the next session's find-or-build HITS the new key instead of
+    rebuilding the whole corpus. This is the missing link between the
+    pipeline-managed ``append_*`` path (fixed dir, O(delta) writes,
+    but invisible to fingerprint lookups) and the fingerprint-keyed
+    auto-cache (exact-match lookups, but a grown corpus misses).
+
+    The OLD artifact dir is never touched (immutability contract: a
+    session still working against the old corpus keeps reading exact
+    rows); underscore/dot bookkeeping files (_SUCCESS) are not linked
+    — Spark readers ignore them, and sharing their inode with a
+    subsequent append's rewrite would mutate the old dir.
+
+    Returns the new path; None when the old key is absent or the
+    filesystem refuses (caller falls back to a full build). A lost
+    publish race resolves like atomic_write_parquet: whoever renamed
+    first wins, content is identical by determinism."""
+    base = cache_root(root)
+    old_path = os.path.join(base, old_dirname)
+    new_path = os.path.join(base, new_dirname)
+    if os.path.exists(new_path):
+        touch(new_path)
+        return new_path
+    if not os.path.isdir(old_path):
+        return None
+    tmp = f"{new_path}.tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        os.makedirs(tmp)
+        for f in os.listdir(old_path):
+            if f.startswith(("_", ".")):
+                continue
+            os.link(os.path.join(old_path, f), os.path.join(tmp, f))
+        append_fn(tmp)
+        os.rename(tmp, new_path)
+        touch(new_path)
+        touch(old_path)
+        return new_path
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return None

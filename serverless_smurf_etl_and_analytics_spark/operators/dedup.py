@@ -153,6 +153,32 @@ def materialize_shingle_artifact(
     )
 
 
+def advance_shingle_artifact(
+    new_docs: DataFrame,
+    old_fp: tuple[int, int],
+    new_fp: tuple[int, int],
+    root: str | None = None,
+    n: int = 2,
+) -> str | None:
+    """Advance the fingerprint-keyed shingle artifact from a corpus at
+    ``old_fp`` to the grown corpus at ``new_fp`` in O(shard): the
+    ingest pipeline calls this right after committing a shard (both
+    pairs come free from ``tablelog.ledger_fingerprint`` before/after
+    the commit), and the next session's find-or-build HITS the new
+    key instead of re-shingling the whole corpus. Old artifact stays
+    immutable (hard-linked files, not moved). None = no old artifact
+    to advance (fall back to a full build or let first contact do
+    it)."""
+    from .artifacts import advance_artifact
+
+    return advance_artifact(
+        root,
+        f"sh_v1_n{old_fp[0]}_h{old_fp[1]}_g{n}",
+        f"sh_v1_n{new_fp[0]}_h{new_fp[1]}_g{n}",
+        lambda p: append_shingle_artifact(new_docs, p, n),
+    )
+
+
 def append_shingle_artifact(
     new_docs: DataFrame, path: str, n: int = 2
 ) -> None:
@@ -246,6 +272,26 @@ def minhash_signatures(
         return backed
     return _minhash_signatures_from(
         docs, shingle_rows(docs, 2, cache, fingerprint), n_hashes
+    )
+
+
+def advance_minhash_artifact(
+    new_docs: DataFrame,
+    old_fp: tuple[int, int],
+    new_fp: tuple[int, int],
+    root: str | None = None,
+    n_hashes: int = N_MINHASH,
+) -> str | None:
+    """O(shard) key advance for the MinHash signature artifact — see
+    :func:`advance_shingle_artifact`."""
+    from .artifacts import advance_artifact
+
+    key = "mh_v1_n{n}_h{h}_g2_k" + f"{n_hashes}b{BAND_SIZE}"
+    return advance_artifact(
+        root,
+        key.format(n=old_fp[0], h=old_fp[1]),
+        key.format(n=new_fp[0], h=new_fp[1]),
+        lambda p: append_minhash_artifact(new_docs, p, n_hashes),
     )
 
 
@@ -444,6 +490,25 @@ def simhash(
         fingerprint,
     )
     return backed if backed is not None else _simhash_inline(docs, bits)
+
+
+def advance_simhash_artifact(
+    new_docs: DataFrame,
+    old_fp: tuple[int, int],
+    new_fp: tuple[int, int],
+    root: str | None = None,
+    bits: int = 32,
+) -> str | None:
+    """O(shard) key advance for the SimHash signature artifact — see
+    :func:`advance_shingle_artifact`."""
+    from .artifacts import advance_artifact
+
+    return advance_artifact(
+        root,
+        f"simh_v1_n{old_fp[0]}_h{old_fp[1]}_b{bits}",
+        f"simh_v1_n{new_fp[0]}_h{new_fp[1]}_b{bits}",
+        lambda p: append_simhash_artifact(new_docs, p, bits),
+    )
 
 
 def append_simhash_artifact(

@@ -340,6 +340,39 @@ def materialize_band_artifact(
     )
 
 
+def advance_band_artifact(
+    new_emb: DataFrame,
+    old_fp: tuple[int, int],
+    new_fp: tuple[int, int],
+    root: str | None = None,
+) -> str | None:
+    """O(shard) key advance for the LSH band artifact — see
+    ``dedup.advance_shingle_artifact``. Carries the WIDEST stored
+    plane width forward (prefix-stable planes: every config the old
+    artifact served, the advanced one serves too)."""
+    import glob
+    import os
+
+    from .artifacts import advance_artifact
+
+    base = _band_cache_root(root)
+    cands = glob.glob(
+        os.path.join(base, f"band_v1_n{old_fp[0]}_h{old_fp[1]}_p*")
+    )
+    if not cands:
+        return None
+    old = max(cands, key=artifact_n_planes)
+    p = artifact_n_planes(old)
+    return advance_artifact(
+        base,
+        os.path.basename(old),
+        f"band_v1_n{new_fp[0]}_h{new_fp[1]}_p{p}",
+        lambda tmp: band_bits(new_emb, p)
+        .write.mode("append")
+        .parquet(tmp),
+    )
+
+
 def append_band_artifact(new_emb: DataFrame, path: str) -> None:
     """Merge a NEW corpus shard into a pipeline-managed artifact: band
     rows are a row-wise pure function of the vector, so the merge law

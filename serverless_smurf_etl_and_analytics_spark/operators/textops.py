@@ -242,6 +242,26 @@ def materialize_winnow_artifact(
     )
 
 
+def advance_winnow_artifact(
+    new_docs: DataFrame,
+    old_fp: tuple[int, int],
+    new_fp: tuple[int, int],
+    root: str | None = None,
+    k: int = 4,
+    w: int = 4,
+) -> str | None:
+    """O(shard) key advance for the winnow fingerprint artifact — the
+    textops twin of ``dedup.advance_shingle_artifact``."""
+    from .artifacts import advance_artifact
+
+    return advance_artifact(
+        root,
+        f"wn_v1_n{old_fp[0]}_h{old_fp[1]}_k{k}_w{w}",
+        f"wn_v1_n{new_fp[0]}_h{new_fp[1]}_k{k}_w{w}",
+        lambda p: append_winnow_artifact(new_docs, p, k, w),
+    )
+
+
 def append_winnow_artifact(
     new_docs: DataFrame, path: str, k: int = 4, w: int = 4
 ) -> None:
