@@ -100,3 +100,106 @@ def test_triangles_from_merged_partials_equal_direct(spark):
     )
     assert via_merge == _rows(graph.copurchase_triangles(txns))
     assert via_merge, "empty triangle census"
+
+
+def test_co_artifact_gate_keeps_inline_plan_below_min(spark):
+    """Below _CO_ARTIFACT_MIN fact rows (every driver scale, the
+    pinned bench), co_range_topk(cache='auto') must build the EXACT
+    inline composition — no fingerprint scan, no artifact."""
+    txns = tables.transactions(spark, SF_DIR)
+    assert txns.count() < joins._CO_ARTIFACT_MIN
+    auto = joins.co_range_topk(txns, "2000-01-01", "2001-12-31")
+    inline = joins.co_merge_topk(
+        joins.co_pair_daily(txns).filter(
+            F.col("order_date").between("2000-01-01", "2001-12-31")
+        ),
+        3,
+    )
+    assert (
+        auto._jdf.queryExecution().analyzed().semanticHash()
+        == inline._jdf.queryExecution().analyzed().semanticHash()
+    )
+
+
+def test_co_artifact_explicit_root_and_advance_laws(spark, tmp_path):
+    """Explicit root: the partial table persists under co_v1_*, and
+    the artifact-backed range merge equals the inline answer. Advance:
+    a new ORDER shard appends O(shard) under the grown corpus's key
+    (hard-linked old files), and consumers re-aggregate the repeated
+    (date, sku, partner) keys to exactly the full-corpus answer."""
+    import os
+
+    txns = tables.transactions(spark, SF_DIR)
+    od = _order_dates(txns)
+    mid = sorted(r["order_date"] for r in od.collect())[od.count() // 2]
+    early = txns.join(
+        od.filter(F.col("order_date") <= F.lit(mid)).select(
+            "transaction_id"
+        ),
+        "transaction_id",
+    )
+    late = txns.join(
+        od.filter(F.col("order_date") > F.lit(mid)).select(
+            "transaction_id"
+        ),
+        "transaction_id",
+    )
+    root = str(tmp_path)
+    fp_early = joins.txn_corpus_fingerprint(early)
+    fp_full = joins.txn_corpus_fingerprint(txns)
+
+    got = _rows(joins.co_range_topk(early, "1990-01-01", "2099-01-01",
+                                    cache=root, fingerprint=fp_early))
+    assert got == _rows(joins.sku_copurchase_topk(early, 3))
+    old_dir = next(
+        os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith("co_v1_")
+    )
+
+    assert joins.advance_co_artifact(late, fp_early, fp_full, root)
+    new_dir = next(
+        os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith("co_v1_") and n != os.path.basename(old_dir)
+    )
+    old_inodes = {
+        os.stat(os.path.join(old_dir, f)).st_ino
+        for f in os.listdir(old_dir)
+        if not f.startswith(("_", "."))
+    }
+    new_inodes = {
+        os.stat(os.path.join(new_dir, f)).st_ino
+        for f in os.listdir(new_dir)
+        if not f.startswith(("_", "."))
+    }
+    assert old_inodes <= new_inodes and len(new_inodes) > len(old_inodes)
+    # full-corpus query now hits the advanced key and re-aggregates
+    # the unioned shard rows to the direct answer
+    got_full = _rows(
+        joins.co_range_topk(txns, "1990-01-01", "2099-01-01",
+                            cache=root, fingerprint=fp_full)
+    )
+    assert got_full == _rows(joins.sku_copurchase_topk(txns, 3))
+
+
+def test_txn_fingerprint_matches_ledger(spark, tmp_path):
+    """joins.txn_corpus_fingerprint == the tablelog ledger pair over
+    the same columns, so a maintained fact table feeds co2/tri2's
+    artifact gate with zero scans."""
+    from serverless_smurf_etl_and_analytics_spark.sources import tablelog
+
+    cols = ["transaction_id", "item_sku", "sale_date"]
+    txns = tables.transactions(spark, SF_DIR).select(*cols)
+    t = str(tmp_path / "txns")
+    half_a = txns.filter(F.col("transaction_id") % 2 == 0)
+    half_b = txns.filter(F.col("transaction_id") % 2 == 1)
+    tablelog.commit_version(
+        spark, t, half_a, mode="overwrite", fingerprint_cols=cols
+    )
+    tablelog.commit_version(
+        spark, t, half_b, mode="append", fingerprint_cols=cols
+    )
+    assert tablelog.ledger_fingerprint(
+        t, cols
+    ) == joins.txn_corpus_fingerprint(tablelog.read_version(spark, t))
