@@ -497,3 +497,73 @@ def test_committed_staged_dir_has_marker_ignored_by_readers(
         os.path.join(staged, tablelog._IN_FLIGHT_MARKER)
     )
     assert _rows(tablelog.read_version(spark, t)) == _rows(d.limit(5))
+
+
+_fcmd = st.tuples(
+    st.sampled_from(["overwrite", "append", "merge"]),
+    st.sampled_from(sorted(_POOL)),
+    st.booleans(),  # commit WITH fingerprint_cols?
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(cmds=st.lists(_fcmd, min_size=1, max_size=5))
+def test_ledger_fingerprint_matches_model(spark, tmp_path_factory, cmds):
+    """Model-based law for the r9 ledger fingerprint: under ANY
+    interleaving of fingerprinted / unfingerprinted overwrite, append,
+    and merge commits, every version's ledger pair either equals the
+    Spark scan pair over that version's content or is None exactly
+    when the cumulative pair is unknowable (commit without cols, or
+    an append onto an unfingerprinted head). Fingerprints must resume
+    at the next fingerprinted overwrite/merge."""
+    from pyspark.sql import functions as F
+
+    cols = ["k", "v"]
+
+    def scan_fp(df):
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"] or 0) % (1 << 64)
+
+    t = str(tmp_path_factory.mktemp("tlogfp"))
+    known: list[bool] = []  # per version: ledger pair expected?
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "k long, v long")
+
+    for op, pid, with_fp in cmds:
+        fp_cols = cols if with_fp else None
+        rows = _POOL[pid]
+        if op == "overwrite":
+            tablelog.commit_version(
+                spark, t, df_of(rows), mode="overwrite",
+                fingerprint_cols=fp_cols,
+            )
+            known.append(with_fp)
+        elif op == "append":
+            tablelog.commit_version(
+                spark, t, df_of(rows), mode="append",
+                fingerprint_cols=fp_cols,
+            )
+            prev_known = known[-1] if known else True
+            known.append(with_fp and (prev_known or not known))
+        else:  # merge commits as overwrite
+            tablelog.merge_upsert(
+                spark, t, df_of(rows), "k", fingerprint_cols=fp_cols
+            )
+            known.append(with_fp)
+
+    for v, want_known in enumerate(known):
+        led = tablelog.ledger_fingerprint(t, cols, version=v)
+        if want_known:
+            assert led == scan_fp(
+                tablelog.read_version(spark, t, v)
+            ), f"version {v}"
+        else:
+            assert led is None, f"version {v}: expected None, got {led}"
