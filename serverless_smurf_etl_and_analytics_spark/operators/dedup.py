@@ -206,12 +206,16 @@ def _shingle_rows_inline(docs: DataFrame, n: int) -> DataFrame:
     return t.select("doc_id", sh.alias("sh")).distinct()
 
 
-def doc_shingle_sets(docs: DataFrame) -> DataFrame:
+def doc_shingle_sets(
+    docs: DataFrame, fingerprint: tuple[int, int] | None = None
+) -> DataFrame:
     """(doc_id, sh array<string>, n_sh) — per-doc distinct shingle set,
     materialized by aggregation so joins against it never recompute the
     shingling. Docs with <n tokens keep an empty array (left join back
-    to the doc list), matching the array-form semantics."""
-    sets = shingle_rows(docs).groupBy("doc_id").agg(
+    to the doc list), matching the array-form semantics. ``fingerprint``
+    passes the ledger pair through to the shingle stage (zero-scan
+    artifact hit in a maintained pipeline)."""
+    sets = shingle_rows(docs, fingerprint=fingerprint).groupBy("doc_id").agg(
         F.collect_list("sh").alias("sh")
     )
     return (
@@ -332,12 +336,14 @@ def _minhash_signatures_from(
     return d.withColumns(bands)
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    docs: DataFrame, fingerprint: tuple[int, int] | None = None
+) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidate pairs
     (doc_a < doc_b, deduped across bands). The band table is one
     explode over the aggregated signatures — a plain-attribute
     self-equi-join, no signature recomputation."""
-    sig = minhash_signatures(docs)
+    sig = minhash_signatures(docs, fingerprint=fingerprint)
     n_bands = N_MINHASH // BAND_SIZE
     exploded = sig.select(
         "doc_id",
@@ -373,11 +379,15 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_verify(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fingerprint: tuple[int, int] | None = None,
+) -> DataFrame:
     """Candidate verification: exact bigram-set Jaccard per candidate
     pair (intersection/union on the materialized distinct shingle
     sets), 3-decimal."""
-    sh = doc_shingle_sets(docs)
+    sh = doc_shingle_sets(docs, fingerprint)
     j = (
         pairs.join(
             sh.select(
@@ -408,7 +418,11 @@ def jaccard_verify(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_neardup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    fingerprint: tuple[int, int] | None = None,
+) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: band -> candidates -> exact
     Jaccard -> threshold.
 
@@ -419,8 +433,12 @@ def minhash_neardup_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     per stage. The cache is session-lived and caller-owned: long-lived
     sessions free it via ``session.clear_operator_caches`` (or
     ``unpersist()`` on a tracked handle) after consuming."""
-    shingle_rows(docs).persist(StorageLevel.MEMORY_AND_DISK)
-    verified = jaccard_verify(docs, lsh_candidate_pairs(docs))
+    shingle_rows(docs, fingerprint=fingerprint).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    verified = jaccard_verify(
+        docs, lsh_candidate_pairs(docs, fingerprint), fingerprint
+    )
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -584,7 +602,10 @@ def band_bounds(bits: int, n_bands: int) -> list[tuple[int, int]]:
 
 
 def simhash_neardup_pairs(
-    docs: DataFrame, max_hamming: int = 6, bits: int = 32
+    docs: DataFrame,
+    max_hamming: int = 6,
+    bits: int = 32,
+    fingerprint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Pigeonhole-banded SimHash near-dup with GUARANTEED recall: the
     ``bits``-wide signature is split into ``max_hamming + 1`` contiguous
@@ -625,7 +646,9 @@ def simhash_neardup_pairs(
             "bits must be in [1, 128] (md5 provides 128 signature bits)"
         )
     if bits > 64:
-        return _simhash_neardup_pairs_wide(docs, max_hamming, bits)
+        return _simhash_neardup_pairs_wide(
+            docs, max_hamming, bits, fingerprint
+        )
     # bits > 32: assemble the long from two halves — conv() returns an
     # UNSIGNED decimal string, so a direct cast overflows to null for
     # signatures >= 2^63. The wrap to a negative long is fine: every
@@ -645,7 +668,9 @@ def simhash_neardup_pairs(
         )
     else:
         sig_col = F.conv("simhash", 2, 10).cast("long")
-    s = simhash(docs, bits).select("doc_id", sig_col.alias("sig"))
+    s = simhash(docs, bits, fingerprint=fingerprint).select(
+        "doc_id", sig_col.alias("sig")
+    )
     bounds = band_bounds(bits, max_hamming + 1)
     # band j as an integer: bits are MSB-first in the signature string,
     # so a band at (start, ln) is (sig >> (bits - (start + ln - 1))) & mask
@@ -722,7 +747,10 @@ def simhash_neardup_pairs(
 
 
 def _simhash_neardup_pairs_wide(
-    docs: DataFrame, max_hamming: int, bits: int
+    docs: DataFrame,
+    max_hamming: int,
+    bits: int,
+    fingerprint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """The 64 < bits <= 128 tier of :func:`simhash_neardup_pairs` —
     same pigeonhole scheme, different packing. The signature is an
@@ -752,7 +780,7 @@ def _simhash_neardup_pairs_wide(
             for st, ln in bounds
         ]
     )
-    s = simhash(docs, bits).select(
+    s = simhash(docs, bits, fingerprint=fingerprint).select(
         "doc_id", sig_arr.alias("sig"), band_arr.alias("bands")
     )
     p = docs.sparkSession.sparkContext.defaultParallelism
@@ -814,7 +842,10 @@ def _simhash_neardup_pairs_wide(
 
 
 def semantic_dedup(
-    docs: DataFrame, emb: DataFrame, threshold: float = 0.4
+    docs: DataFrame,
+    emb: DataFrame,
+    threshold: float = 0.4,
+    emb_fingerprint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """d7: embedding-based (semantic) document dedup — the SemDeDup
     recipe (Abbas et al. 2023): a document is a semantic duplicate when
@@ -843,7 +874,9 @@ def semantic_dedup(
     never dropped."""
     from .similarity import cosine_neardup_pairs
 
-    pairs = cosine_neardup_pairs(emb, threshold)
+    pairs = cosine_neardup_pairs(
+        emb, threshold, fingerprint=emb_fingerprint
+    )
     drops = pairs.groupBy("vec_b").agg(
         F.min("vec_a").alias("dup_of"),
         F.count(F.lit(1)).alias("n_neardups"),
@@ -1215,7 +1248,10 @@ def connected_components_labelprop(
 
 
 def semantic_dedup_cc(
-    docs: DataFrame, emb: DataFrame, threshold: float = 0.4
+    docs: DataFrame,
+    emb: DataFrame,
+    threshold: float = 0.4,
+    emb_fingerprint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Connected-components variant of :func:`semantic_dedup`: resolve
     near-dup CHAINS transitively, keeping exactly one doc (the
@@ -1228,7 +1264,9 @@ def semantic_dedup_cc(
     neighbor (tests/test_graph_dedup.py asserts both laws)."""
     from .similarity import cosine_neardup_pairs
 
-    pairs = cosine_neardup_pairs(emb, threshold)
+    pairs = cosine_neardup_pairs(
+        emb, threshold, fingerprint=emb_fingerprint
+    )
     comp = connected_components(pairs)
     dropped = comp.filter(F.col("v") != F.col("component"))
     return dropped.join(
@@ -1237,7 +1275,11 @@ def semantic_dedup_cc(
     ).select("doc_id", "lang", F.col("component").alias("dup_of"))
 
 
-def minhash_dup_groups(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_dup_groups(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    fingerprint: tuple[int, int] | None = None,
+) -> DataFrame:
     """d10: canonical dup-GROUP assignment over the MinHash near-dup
     graph — the operator a dedup pipeline actually executes at the end:
     every document in any near-dup component gets its group's canonical
@@ -1250,7 +1292,9 @@ def minhash_dup_groups(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     groupBy for sizes. Scale notes are inherited from both — the only
     new shuffle is the size aggregation over component labels, keyed
     by component id (bounded by near-dup vertex count, not corpus)."""
-    pairs = minhash_neardup_pairs(docs, threshold).select("doc_a", "doc_b")
+    pairs = minhash_neardup_pairs(docs, threshold, fingerprint).select(
+        "doc_a", "doc_b"
+    )
     comp = connected_components(pairs, "doc_a", "doc_b")
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("group_size")
@@ -1274,7 +1318,11 @@ def benchmark_membership(salt: str = "bench") -> Column:
     return F.substring(h, 32, 1).isin("0", "1")
 
 
-def decontaminate(docs: DataFrame, min_bp: int = 1000) -> DataFrame:
+def decontaminate(
+    docs: DataFrame,
+    min_bp: int = 1000,
+    fingerprint: tuple[int, int] | None = None,
+) -> DataFrame:
     """d8: benchmark decontamination — flag training documents whose
     n-gram (bigram-shingle) overlap with a heldout benchmark corpus is
     high enough to contaminate evaluation, the n-gram-overlap decontam
@@ -1297,7 +1345,9 @@ def decontaminate(docs: DataFrame, min_bp: int = 1000) -> DataFrame:
     and overlaps together off the broadcast left join. If the
     benchmark side ever outgrows broadcast, drop the hint and the
     same plan becomes a shuffle join on sh — semantics unchanged."""
-    sh = shingle_rows(docs).withColumn("is_bench", benchmark_membership())
+    sh = shingle_rows(docs, fingerprint=fingerprint).withColumn(
+        "is_bench", benchmark_membership()
+    )
     bench_sh = (
         sh.filter(F.col("is_bench")).select("sh").distinct()
         .withColumn("hit", F.lit(1).cast("long"))
@@ -1330,7 +1380,11 @@ def decontaminate(docs: DataFrame, min_bp: int = 1000) -> DataFrame:
     )
 
 
-def containment_pairs(docs: DataFrame, threshold_pm: int = 800) -> DataFrame:
+def containment_pairs(
+    docs: DataFrame,
+    threshold_pm: int = 800,
+    fingerprint: tuple[int, int] | None = None,
+) -> DataFrame:
     """d11: containment scoring over the LSH candidate pairs —
     C(A|B) = |A∩B| / |A| per direction. Jaccard misses near-SUBSET
     relationships (a short doc quoted inside a long one has high
@@ -1351,9 +1405,9 @@ def containment_pairs(docs: DataFrame, threshold_pm: int = 800) -> DataFrame:
     join the materialized shingle sets; no new shuffles beyond the
     band path it shares (the persisted shingle subtree substitutes).
     """
-    sh = doc_shingle_sets(docs)
+    sh = doc_shingle_sets(docs, fingerprint)
     j = (
-        lsh_candidate_pairs(docs)
+        lsh_candidate_pairs(docs, fingerprint)
         .join(
             sh.select(
                 F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
@@ -1394,7 +1448,10 @@ def containment_pairs(docs: DataFrame, threshold_pm: int = 800) -> DataFrame:
 
 
 def editdist_neardup(
-    docs: DataFrame, threshold: int = 8, key_len: int = 40
+    docs: DataFrame,
+    threshold: int = 8,
+    key_len: int = 40,
+    fingerprint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """d12: edit-distance near-duplicate verification — the fuzzy-key
     entity-resolution verifier: MinHash LSH does the blocking (the
@@ -1417,7 +1474,7 @@ def editdist_neardup(
     keys = docs.select(
         "doc_id", F.substring("text", 1, key_len).alias("k")
     )
-    pairs = lsh_candidate_pairs(docs)
+    pairs = lsh_candidate_pairs(docs, fingerprint)
     j = (
         pairs.join(
             keys.select(

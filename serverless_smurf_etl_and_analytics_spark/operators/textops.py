@@ -402,6 +402,7 @@ def winnow_overlap(
     w: int = 4,
     max_df: int = 50,
     min_shared: int = 2,
+    fingerprint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """wn1: partial-overlap / quotation detection from winnowing
     fingerprints — the pair report MOSS builds: for every document
@@ -427,7 +428,7 @@ def winnow_overlap(
     operator-cache idiom of the dedup band tables; lifetime is
     caller-owned (``session.clear_operator_caches``). All counts
     integer -> hash-portable."""
-    fps = winnow_fingerprints(docs, k, w)
+    fps = winnow_fingerprints(docs, k, w, fingerprint=fingerprint)
     dft = fps.groupBy("fp").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -483,7 +484,11 @@ def winnow_overlap(
 
 
 def winnow_decontaminate(
-    docs: DataFrame, k: int = 4, w: int = 4, min_shared: int = 1
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 1,
+    fingerprint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """wn2: passage-level benchmark decontamination from winnowing
     fingerprints — flags training documents sharing >= ``min_shared``
@@ -506,7 +511,7 @@ def winnow_decontaminate(
     hint and the same plan key-shuffles — semantics unchanged."""
     from .dedup import benchmark_membership
 
-    fp = winnow_fingerprints(docs, k, w).withColumn(
+    fp = winnow_fingerprints(docs, k, w, fingerprint=fingerprint).withColumn(
         "is_bench", benchmark_membership()
     )
     bench = (

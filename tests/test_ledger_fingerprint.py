@@ -201,3 +201,51 @@ def test_ledger_fed_band_cache_hit_runs_zero_corpus_scans(
         )
     )
     assert got == expected and got
+
+
+def test_ledger_fed_composites_run_zero_plan_time_scans(
+    spark, tmp_path, monkeypatch
+):
+    """The d4/d6/wn1 COMPOSITES accept the ledger pair and pass it to
+    every inner stage, so the whole registered shapes run ledger-fed:
+    no plan-time count, no fingerprint aggregate — and the results
+    equal the inline forms."""
+    docs = tables.load(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    root = str(tmp_path)
+    import os
+
+    os.environ["SMURF_ARTIFACT_CACHE"] = root
+    try:
+        fp = textops.text_corpus_fingerprint(docs)
+        d4_inline = _rows(
+            dedup.minhash_neardup_pairs(docs, 0.5).select(
+                "doc_a", "doc_b"
+            )
+        )
+        d6_inline = _rows(dedup.simhash_neardup_pairs(docs, 6, 128))
+        wn1_inline = _rows(textops.winnow_overlap(docs, min_shared=2))
+        # pre-build every stage artifact (explicit root bypasses gates)
+        dedup.minhash_signatures(docs, cache=root).count()
+        dedup.simhash(docs, 128, cache=root).count()
+        textops.winnow_fingerprints(docs, cache=root).unpersist()
+
+        _ban_corpus_scans(monkeypatch)
+        # cache="auto" resolves to SMURF_ARTIFACT_CACHE = root; the
+        # provided pair answers every gate and key without a scan
+        assert _rows(
+            dedup.minhash_neardup_pairs(docs, 0.5, fp).select(
+                "doc_a", "doc_b"
+            )
+        ) == d4_inline
+        assert (
+            _rows(dedup.simhash_neardup_pairs(docs, 6, 128, fp))
+            == d6_inline
+        )
+        assert (
+            _rows(textops.winnow_overlap(docs, min_shared=2, fingerprint=fp))
+            == wn1_inline
+        )
+    finally:
+        del os.environ["SMURF_ARTIFACT_CACHE"]
