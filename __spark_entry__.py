@@ -75,11 +75,13 @@ _VERIFY_FIRST = [
     # verified now shrinks the r10 window pressure to 38 + changes):
     "a1_store_day_metrics", "a2_payment_breakdown",
     # ================= past the 50-window =================
-    # r10 ROTATION PREP: lead with any r10 plan changes, then this
-    # remaining r7-green block (38 entries, staleness 3 by r10), then
-    # the r8 window in its r8 order. 38 + changes fits one window
-    # unless r10 changes >12 plans; if it does, slip the tail of THIS
-    # list (x1-x6/r1 exports are the least scale-sensitive) and say so
+    # r10 ROTATION PREP: (0) commit CORRECTNESS_r09/BENCH_r09 before
+    # any r10 code lands (the hygiene item three verdicts flagged);
+    # then lead with any r10 plan changes, then this remaining
+    # r7-green block (38 entries, staleness 3 by r10), then the r8
+    # window in its r8 order. 38 + changes fits one window unless r10
+    # changes >12 plans; if it does, slip the tail of THIS list
+    # (x1-x6/r1 exports are the least scale-sensitive) and say so
     # here.
     "a2_payment_per_store_day",
     "a3_top5_products_store_day", "sd_nested_store_daily",
