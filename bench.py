@@ -90,12 +90,15 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     # regression check vs the committed per-query baseline (sf0.1,
-    # re-pinned r9 from 3 isolated runs = 9 samples/query): flag only
-    # a MIN above 1.3x baseline PLUS a 0.5 s absolute grace. The
-    # measured run-to-run band (benchmarks/baseline_sf0.1_variance
-    # .json) is median 1.13x / p95 1.35x on identical plans — jitter
-    # alone reflags a tighter rule, while a genuine 1.5x plan
-    # regression on any query worth optimizing still clears this one.
+    # re-pinned r9 from 3 isolated runs = 9 samples/query): flag a
+    # MIN above 1.3x baseline PLUS a grace that SCALES with the
+    # baseline — max(0.2 s, 0.3x baseline). A flat 0.5 s grace let a
+    # 0.4 s query hit 1.0 s (2.5x) unflagged, hiding plan regressions
+    # in the many sub-second queries; the scaled grace keeps the
+    # effective rule ~1.6x for big queries (the measured jitter band,
+    # benchmarks/baseline_sf0.1_variance.json, is median 1.13x / p95
+    # 1.35x on identical plans) while the 0.2 s floor stops sub-100 ms
+    # queries from flagging on scheduler noise alone.
     # Each flag carries the query's own min/median/max spread so a
     # load spike (huge spread, min near baseline) is distinguishable
     # from a real plan regression (tight spread, all samples slow).
@@ -110,7 +113,7 @@ def main() -> None:
             base = json.load(f)
         for name, sec in timings.items():
             b = base.get(name)
-            if b and sec > b * 1.3 + 0.5:
+            if b and sec > b * 1.3 + max(0.2, 0.3 * b):
                 s = samples[name]
                 regressions[name] = (
                     f"min {sec:.2f}s vs baseline {b:.2f}s "

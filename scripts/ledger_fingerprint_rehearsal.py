@@ -78,10 +78,13 @@ def setup(sf_dir: str, work: str) -> None:
     # warm state: band artifact built once by the pipeline
     cache = os.path.join(work, "artifact_cache")
     tdir = os.path.join(work, "emb_fp")
-    fp = tablelog.ledger_fingerprint(tdir, EMB_COLS)
+    # read_snapshot pins ONE head for both the rows and the
+    # fingerprint — the unpinned two-call form can pair version N's
+    # cache key with version N+1's data under a concurrent commit
+    emb_fp, fp, _ = tablelog.read_snapshot(spark, tdir, EMB_COLS)
     t0 = time.monotonic()
     n = similarity.cosine_neardup_pairs(
-        tablelog.read_version(spark, tdir),
+        emb_fp,
         0.3,
         band_cache=cache,
         fingerprint=fp,
@@ -106,7 +109,8 @@ def measure(
     spark = _spark()
     tdir = os.path.join(work, "emb_fp")
     cache = os.path.join(work, "artifact_cache")
-    emb = tablelog.read_version(spark, tdir)
+    # pinned snapshot: rows + fingerprint from the SAME head
+    emb, led_fp, _ = tablelog.read_snapshot(spark, tdir, EMB_COLS)
 
     result = {"sf_dir": sf_dir, "variant": variant}
     if variant == "ledger":
@@ -118,7 +122,6 @@ def measure(
         result["fingerprint_full_scan_alone_sec"] = round(
             time.monotonic() - t0, 2
         )
-        led_fp = tablelog.ledger_fingerprint(tdir, EMB_COLS)
         assert led_fp == scan_fp, (led_fp, scan_fp)
         result["ledger_equals_scan_fingerprint"] = True
         t0 = time.monotonic()

@@ -188,6 +188,13 @@ def advance_artifact(
         touch(new_path)
         touch(old_path)
         return new_path
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
+    except Exception:
+        # Not just OSError: append_fn is a Spark parquet write whose
+        # failures surface as Py4JJavaError/AnalysisException. Every
+        # failure mode must honor the documented contract — return
+        # None so the caller falls back to a full build — and must
+        # not leave a half-built tmp dir of hard-linked files for
+        # vacuum to age out.
         return None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import threading
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -597,7 +598,28 @@ def _slim_band_rows(
 # matrix (up to ~256 MB at the 500k gate) per call on the executors.
 # unpersist, not destroy: an unconsumed earlier frame stays valid (the
 # driver re-ships the value if its plan executes later).
+# The pop/append runs under a lock: concurrent near-dup PLANS in one
+# session (multi-threaded driver) would otherwise race the list and
+# could double-unpersist or leak a slot. Even with the lock, plan B
+# unpersisting plan A's broadcast before A EXECUTES is by design
+# correct-but-slower (A's executors re-fetch the value from the
+# driver mid-job — a latency cliff, not a wrong answer); sessions
+# that interleave many concurrent near-dup queries should expect
+# re-ship cost rather than cached broadcast reuse.
 _GATHER_BC: list = []
+_GATHER_BC_LOCK = threading.Lock()
+
+
+def _swap_gather_bc(bc) -> None:
+    """Register ``bc`` as the live gather broadcast, unpersisting the
+    superseded one, thread-safely (see ``_GATHER_BC`` note)."""
+    with _GATHER_BC_LOCK:
+        while _GATHER_BC:
+            try:
+                _GATHER_BC.pop().unpersist(False)
+            except Exception:
+                pass
+        _GATHER_BC.append(bc)
 
 
 def _gather_dots(cand: DataFrame, bt: DataFrame) -> DataFrame:
@@ -626,12 +648,7 @@ def _gather_dots(cand: DataFrame, bt: DataFrame) -> DataFrame:
     )[order]
     n2 = pdf["n2"].to_numpy(np.int64)[order]
     bc = cand.sparkSession.sparkContext.broadcast((ids_sorted, mat, n2))
-    while _GATHER_BC:
-        try:
-            _GATHER_BC.pop().unpersist(False)
-        except Exception:
-            pass
-    _GATHER_BC.append(bc)
+    _swap_gather_bc(bc)
 
     def verify(batches):
         import numpy as np

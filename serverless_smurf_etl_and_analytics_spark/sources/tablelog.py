@@ -191,9 +191,21 @@ def commit_version(
     head predates fingerprint recording (or used different columns),
     the cumulative pair is unknowable without a full scan, so the new
     manifest records none and lookups fall back to scanning —
-    fingerprints resume at the next overwrite."""
+    fingerprints resume at the next overwrite.
+
+    Left at None on a fingerprint-maintained table, the columns are
+    INHERITED from the current head's manifest (when the new content
+    still carries them all) — one forgetful writer must not silently
+    break the ledger chain and degrade every future cold session to
+    full corpus scans. Passing an explicit different list still
+    switches columns (and, on append, breaks the chain as documented
+    above)."""
     token = uuid.uuid4().hex[:12]
     os.makedirs(_log_dir(table_dir), exist_ok=True)
+    if fingerprint_cols is None:
+        fingerprint_cols = _inherited_fingerprint_cols(
+            table_dir, df.columns
+        )
     staged = os.path.join(table_dir, _DATA, f"staged-{token}")
     df.write.mode("overwrite").parquet(staged)
     staged_df = spark.read.parquet(staged)
@@ -249,6 +261,33 @@ def commit_version(
         # lost the race: re-read head, retry (or conflict next loop)
 
 
+def _inherited_fingerprint_cols(
+    table_dir: str, new_columns: list[str]
+) -> list[str] | None:
+    """The head manifest's fingerprint columns, when the new content
+    still carries them all — the ``fingerprint_cols=None`` default on
+    a maintained table inherits rather than silently dropping the
+    ledger chain (one writer forgetting the kwarg would otherwise
+    degrade every later cold session to full corpus scans, with no
+    signal). Returns None for an unfingerprinted head or when the new
+    schema lost a fingerprint column (hashing would fail at analysis;
+    the chain genuinely ends there).
+
+    Race note: the head is peeked BEFORE the claim loop (the shard
+    scan needs the columns up front). If another writer lands between
+    the peek and the claim, :func:`_cumulative_fingerprint` re-reads
+    the winner's manifest inside the loop — a column mismatch there
+    records no fingerprint (safe), never a wrong one."""
+    head = latest_version(table_dir)
+    if head is None:
+        return None
+    fp = _read_manifest(table_dir, head).get("fingerprint")
+    if not fp:
+        return None
+    cols = list(fp["cols"])
+    return cols if set(cols) <= set(new_columns) else None
+
+
 def _cumulative_fingerprint(
     table_dir: str,
     head: int | None,
@@ -289,7 +328,16 @@ def ledger_fingerprint(
     artifact-gated operator: a maintained-pipeline session gets
     artifact cache HITS without a single corpus scan. Column order
     matters (xxhash64 is positional) — pass the same list the
-    commits used."""
+    commits used.
+
+    PIN THE VERSION when pairing this with :func:`read_version`: two
+    unpinned calls each resolve "latest" independently, so a commit
+    landing between them pairs version N's fingerprint with version
+    N+1's data — an artifact miss would then publish N+1 content
+    under N's cache key, silently violating the stale-reuse
+    invariant for any later true-N reader. Either resolve
+    ``head = latest_version(dir)`` once and pass it to both calls,
+    or use :func:`read_snapshot`, which does exactly that."""
     head = latest_version(table_dir) if version is None else version
     if head is None:
         return None
@@ -297,6 +345,28 @@ def ledger_fingerprint(
     if not fp or fp.get("cols") != list(cols):
         return None
     return int(fp["n"]), int(fp["h"])
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, cols: list[str]
+) -> tuple[DataFrame, tuple[int, int] | None, int]:
+    """``(df, fingerprint, version)`` for ONE pinned head — the safe
+    way to feed a ledger fingerprint into an artifact-gated operator.
+    Resolves ``latest_version`` exactly once and derives both the
+    DataFrame and the fingerprint from that version, so a concurrent
+    commit between the two lookups can never pair version N's cache
+    key with version N+1's rows (the race :func:`ledger_fingerprint`'s
+    docstring describes). The fingerprint is None when that version
+    doesn't carry one over ``cols`` — callers pass it through as-is
+    and the operator falls back to its own scan."""
+    head = latest_version(table_dir)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    return (
+        read_version(spark, table_dir, head),
+        ledger_fingerprint(table_dir, cols, version=head),
+        head,
+    )
 
 
 def read_version(
@@ -557,9 +627,28 @@ def commit_stream_batch(
         return None
     token = uuid.uuid4().hex[:12]
     os.makedirs(_log_dir(table_dir), exist_ok=True)
+    # micro-batches inherit the table's fingerprint columns the same
+    # way commit_version's None default does — a stream sink appending
+    # to a fingerprint-maintained table must not break the ledger
+    # chain (each micro-batch would otherwise drop the cumulative
+    # pair, and downstream ledger-fed sessions would silently fall
+    # back to full corpus scans)
+    fp_cols = _inherited_fingerprint_cols(table_dir, df.columns)
     staged = os.path.join(table_dir, _DATA, f"staged-{token}")
     df.write.mode("overwrite").parquet(staged)
-    n_rows = spark.read.parquet(staged).count()
+    staged_df = spark.read.parquet(staged)
+    shard_fp = None
+    if fp_cols:
+        row = staged_df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(*fp_cols).cast("decimal(38,0)")
+            ).alias("h"),
+        ).first()
+        n_rows = int(row["n"])
+        shard_fp = (n_rows, int(row["h"] or 0) % (1 << 64))
+    else:
+        n_rows = staged_df.count()
     schema = sorted(
         (f.name, f.dataType.simpleString()) for f in df.schema.fields
     )
@@ -587,6 +676,11 @@ def commit_stream_batch(
             "data_dirs": dirs,
             "n_rows_written": n_rows,
         }
+        fp = _cumulative_fingerprint(
+            table_dir, head, mode, shard_fp, fp_cols
+        )
+        if fp is not None:
+            manifest["fingerprint"] = fp
         if _try_publish(table_dir, version, manifest):
             return version
 
@@ -614,5 +708,11 @@ def restore(
             "data_dirs": src["data_dirs"],
             "n_rows_written": 0,
         }
+        # content is byte-identical to the restored version, so its
+        # fingerprint carries over verbatim — a restore must not break
+        # the ledger chain (appends after it would otherwise record no
+        # cumulative pair until the next overwrite)
+        if src.get("fingerprint") is not None:
+            manifest["fingerprint"] = src["fingerprint"]
         if _try_publish(table_dir, new_version, manifest):
             return new_version

@@ -262,3 +262,39 @@ def test_pipeline_ledger_to_advance_end_to_end(spark, tmp_path):
             dedup.shingle_rows(current, 2, cache=root, fingerprint=fp_b)
         )
     assert got == _rows(dedup._shingle_rows_inline(docs, 2))
+
+
+def test_advance_failure_returns_none_and_cleans_tmp(tmp_path):
+    """A failing append_fn — ANY exception class, not just OSError
+    (Spark writes surface Py4JJavaError/AnalysisException) — must
+    honor the documented contract: return None (caller falls back to
+    a full build) and leave no half-built .tmp-* dir of hard-linked
+    files in the cache (ADVICE r10)."""
+    import os
+
+    from serverless_smurf_etl_and_analytics_spark.operators import (
+        artifacts,
+    )
+
+    root = str(tmp_path)
+    old = os.path.join(root, "stage_old")
+    os.makedirs(old)
+    with open(os.path.join(old, "part-0.parquet"), "w") as f:
+        f.write("x")
+
+    class FakeSparkError(Exception):
+        pass
+
+    def bad_append(path):
+        # tmp dir exists and holds the hard-linked file at this point
+        assert os.path.exists(os.path.join(path, "part-0.parquet"))
+        raise FakeSparkError("py4j analysis boom")
+
+    assert (
+        artifacts.advance_artifact(root, "stage_old", "stage_new", bad_append)
+        is None
+    )
+    leftovers = [n for n in os.listdir(root) if ".tmp-" in n]
+    assert leftovers == []
+    # the old artifact is untouched (immutability contract)
+    assert os.path.exists(os.path.join(old, "part-0.parquet"))

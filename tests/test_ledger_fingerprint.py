@@ -249,3 +249,102 @@ def test_ledger_fed_composites_run_zero_plan_time_scans(
         )
     finally:
         del os.environ["SMURF_ARTIFACT_CACHE"]
+
+
+def test_fingerprint_cols_inherited_on_default_commits(spark, tmp_path):
+    """One writer leaving ``fingerprint_cols`` at its None default on a
+    fingerprint-maintained table must NOT break the ledger chain
+    (ADVICE r9): append, merge_upsert-at-default, and compact all
+    inherit the head's columns, and the cumulative pair still equals
+    the full scan afterwards. The chain genuinely ends only when an
+    overwrite drops a fingerprint column from the schema."""
+    t = str(tmp_path / "docs")
+    docs = tables.load(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    )
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 1)
+    tablelog.commit_version(
+        spark, t, a, mode="overwrite", fingerprint_cols=DOC_COLS
+    )
+    # forgetful append: no fingerprint_cols kwarg
+    tablelog.commit_version(spark, t, b, mode="append")
+    assert tablelog.ledger_fingerprint(
+        t, DOC_COLS
+    ) == textops.text_corpus_fingerprint(tablelog.read_version(spark, t))
+    # merge_upsert at its None default inherits too
+    updates = a.limit(4).withColumn("text", F.concat("text", F.lit(" y")))
+    tablelog.merge_upsert(spark, t, updates, "doc_id")
+    assert tablelog.ledger_fingerprint(
+        t, DOC_COLS
+    ) == textops.text_corpus_fingerprint(tablelog.read_version(spark, t))
+    # compact rewrites content unchanged: pair carries through
+    tablelog.compact(spark, t, n_files=1)
+    assert tablelog.ledger_fingerprint(
+        t, DOC_COLS
+    ) == textops.text_corpus_fingerprint(tablelog.read_version(spark, t))
+    # restore: byte-identical content, fingerprint carried verbatim
+    v_before = tablelog.latest_version(t)
+    tablelog.commit_version(
+        spark, t, a.limit(2), mode="overwrite", fingerprint_cols=DOC_COLS
+    )
+    tablelog.restore(spark, t, v_before)
+    assert tablelog.ledger_fingerprint(t, DOC_COLS) == (
+        tablelog.ledger_fingerprint(t, DOC_COLS, version=v_before)
+    )
+    # schema losing a fingerprint column ends the chain (None, not a
+    # crash and not a wrong pair)
+    tablelog.commit_version(
+        spark, t, docs.select("doc_id"), mode="overwrite"
+    )
+    assert tablelog.ledger_fingerprint(t, DOC_COLS) is None
+
+
+def test_stream_batches_keep_ledger_chain(spark, tmp_path):
+    """Micro-batch commits onto a fingerprint-maintained table inherit
+    the chain — a stream sink must not degrade later ledger-fed cold
+    sessions to corpus scans."""
+    t = str(tmp_path / "stream")
+    docs = tables.load(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    )
+    tablelog.commit_version(
+        spark, t, docs.filter(F.col("doc_id") % 2 == 0),
+        mode="overwrite", fingerprint_cols=DOC_COLS,
+    )
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    tablelog.commit_stream_batch(spark, t, odd.limit(5), batch_id=0)
+    tablelog.commit_stream_batch(
+        spark, t, odd.subtract(odd.limit(5)), batch_id=1
+    )
+    # replay of a committed batch is a no-op for the chain too
+    assert tablelog.commit_stream_batch(
+        spark, t, odd.limit(5), batch_id=0
+    ) is None
+    assert tablelog.ledger_fingerprint(
+        t, DOC_COLS
+    ) == textops.text_corpus_fingerprint(tablelog.read_version(spark, t))
+
+
+def test_read_snapshot_pins_one_head(spark, tmp_path):
+    """read_snapshot's rows, fingerprint, and version all come from
+    the SAME head — and stay self-consistent even when a commit lands
+    immediately after (the unpinned two-call race, ADVICE r9)."""
+    t = str(tmp_path / "snap")
+    docs = tables.load(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    )
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    tablelog.commit_version(
+        spark, t, a, mode="overwrite", fingerprint_cols=DOC_COLS
+    )
+    df, fp, version = tablelog.read_snapshot(spark, t, DOC_COLS)
+    assert version == 0
+    assert fp == textops.text_corpus_fingerprint(a)
+    # a commit after the snapshot: the pinned triple still agrees with
+    # itself (df is version-0 rows, fp is version-0's pair)
+    tablelog.commit_version(
+        spark, t, docs.limit(7), mode="append"
+    )
+    assert fp == textops.text_corpus_fingerprint(df)
+    assert df.count() == a.count()

@@ -513,13 +513,16 @@ _fcmd = st.tuples(
 )
 @given(cmds=st.lists(_fcmd, min_size=1, max_size=5))
 def test_ledger_fingerprint_matches_model(spark, tmp_path_factory, cmds):
-    """Model-based law for the r9 ledger fingerprint: under ANY
+    """Model-based law for the r9 ledger fingerprint (r10 semantics:
+    ``fingerprint_cols=None`` INHERITS the head's columns, so a
+    forgetful writer no longer breaks the chain): under ANY
     interleaving of fingerprinted / unfingerprinted overwrite, append,
     and merge commits, every version's ledger pair either equals the
     Spark scan pair over that version's content or is None exactly
-    when the cumulative pair is unknowable (commit without cols, or
-    an append onto an unfingerprinted head). Fingerprints must resume
-    at the next fingerprinted overwrite/merge."""
+    when the cumulative pair is unknowable — the first commit passing
+    no cols, or any append onto an unfingerprinted head (explicit
+    cols can't resume mid-chain there; only an overwrite/merge with
+    cols restarts it)."""
     from pyspark.sql import functions as F
 
     cols = ["k", "v"]
@@ -540,24 +543,32 @@ def test_ledger_fingerprint_matches_model(spark, tmp_path_factory, cmds):
     for op, pid, with_fp in cmds:
         fp_cols = cols if with_fp else None
         rows = _POOL[pid]
+        prev_known = known[-1] if known else False
+        empty = not known
         if op == "overwrite":
             tablelog.commit_version(
                 spark, t, df_of(rows), mode="overwrite",
                 fingerprint_cols=fp_cols,
             )
-            known.append(with_fp)
+            # None-default inherits the head's cols; explicit cols
+            # always (re)start the chain on an overwrite
+            known.append(with_fp or prev_known)
         elif op == "append":
             tablelog.commit_version(
                 spark, t, df_of(rows), mode="append",
                 fingerprint_cols=fp_cols,
             )
-            prev_known = known[-1] if known else True
-            known.append(with_fp and (prev_known or not known))
+            # onto a fingerprinted head the pair merges whether cols
+            # were explicit or inherited; onto an unfingerprinted
+            # nonempty head it is unknowable either way; an append
+            # creating the table records the shard pair iff cols
+            # were passed (nothing to inherit from)
+            known.append(with_fp if empty else prev_known)
         else:  # merge commits as overwrite
             tablelog.merge_upsert(
                 spark, t, df_of(rows), "k", fingerprint_cols=fp_cols
             )
-            known.append(with_fp)
+            known.append(with_fp or prev_known)
 
     for v, want_known in enumerate(known):
         led = tablelog.ledger_fingerprint(t, cols, version=v)
