@@ -12,6 +12,8 @@ Layout
 ------
 - ``session``   : tuned SparkSession builder
 - ``tables``    : testdata loaders + reference-domain mapping
+- ``corpus``    : ledger-maintained corpora (ingest-time artifact
+                  maintenance + zero-scan ledger-fed queries)
 - ``sources/``  : ingest (validated JSON -> partitioned Parquet), sinks
 - ``operators/``: metrics, history/windows, serving, joins, dedup,
                   similarity, text analysis, multimodal plumbing

@@ -1,0 +1,359 @@
+"""Ledger-maintained corpora: the glue between the versioned-table
+layer (``sources/tablelog.py``), the fingerprint-keyed artifact cache
+(``operators/artifacts.py``), and the artifact-gated operators — so a
+pipeline-managed corpus NEVER pays a fact scan to answer a cache key
+and NEVER pays a first-contact artifact build at query time.
+
+Two halves, mirroring the reference's ingest-then-query split (the
+reference ingests via ``process-upload`` and queries the persisted
+summaries, never re-deriving them —
+``backend/functions/process-upload/lambda_function.py``,
+``get-analytics/lambda_function.py``):
+
+- **Ingest**: :func:`ingest_documents` / :func:`ingest_embeddings` /
+  :func:`ingest_transactions` commit a shard into a tablelog table
+  (recording the cumulative content fingerprint in the commit
+  manifest) and ADVANCE every registered artifact family for that
+  corpus kind in O(shard) — hard-link the old artifact's files under
+  the new ledger key, append only the shard's derived rows
+  (``advance_*`` family). First ingest (or a family with no prior
+  artifact) builds over the current corpus, which for the first
+  shard IS the shard — so a maintained corpus never has a separate
+  "first contact" query-time build at all.
+- **Query**: :func:`copurchase_range_topk`, :func:`minhash_neardup`,
+  :func:`cosine_neardup`, :func:`winnow_overlap_pairs` read ONE
+  pinned snapshot (``tablelog.read_snapshot``: rows + fingerprint
+  from the same head — the unpinned two-call form can pair version
+  N's cache key with version N+1's rows) and feed the ledger pair
+  into the operator's ``fingerprint=`` slot. The cache key is then
+  answered from O(1) manifest reads; the only Spark jobs in a cold
+  query are the artifact read + the query's own aggregation. The
+  zero-scan law is enforced by monkeypatch-banning the scan
+  aggregates in ``tests/test_corpus_maintained.py``.
+
+Why this matters at 100 TB: the r9 rehearsal measured the registered
+co2 cold hit at 13.0 s of which ~10 s was the scan-derived cache key
+(gate count + 3-column xxhash64 over 60M fact rows) and ~35 s of
+sim2's first contact was the band build the warm pipeline already
+had. Both costs scale with the CORPUS; everything this module leaves
+behind scales with the SHARD (advance) or the MANIFEST (key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import dedup, joins, similarity, textops
+from .operators.artifacts import cache_root
+from .sources import tablelog
+
+# fingerprint column lists per corpus kind — the SAME lists the
+# operators' scan fingerprints hash (order matters: xxhash64 is
+# positional), so the ledger pair is a drop-in for the scan pair
+DOC_FP_COLS = ["doc_id", "text"]
+EMB_FP_COLS = ["vec_id", "embedding"]
+TXN_FP_COLS = ["transaction_id", "item_sku", "sale_date"]
+
+# artifact families maintained per corpus kind, with the config the
+# REGISTERED queries use (d2-d4/d8/d11: bigram shingles + 8x4 MinHash;
+# d5/d6: 128-bit SimHash; wn1/wn2: k=4 w=4 winnow; sim1-sim4: adaptive
+# band width; co1/co2: daily co-pair partials). A family's advance and
+# its query-side cache key must agree on config or the key misses.
+DOC_FAMILIES = ("shingle", "minhash", "simhash", "winnow")
+SIMHASH_BITS = 128
+
+
+def _commit_pinned(
+    spark: SparkSession,
+    table_dir: str,
+    shard: DataFrame,
+    cols: list[str],
+) -> tuple[tuple[int, int] | None, int, tuple[int, int] | None, DataFrame]:
+    """Append ``shard`` with the commit PINNED to the head whose
+    fingerprint we read (``expect_head``), retrying the whole
+    read-then-commit on a conflict. Without the pin, a concurrent
+    ingest landing between the old-fingerprint read and the commit
+    would make our advance publish an artifact that is missing the
+    concurrent shard's rows under the grown corpus's (valid!) key —
+    stale rows a later session would silently trust. With it, the
+    (old_fp -> new_fp) advance provably covers exactly the rows the
+    ledger says; a conflicting ingest just re-reads and chains after
+    the winner (whose artifact, if not yet advanced, makes our
+    advance miss and fall back to a full build — slower, never
+    stale). Returns (old_fp, version, new_fp, rows@version)."""
+    while True:
+        head = tablelog.latest_version(table_dir)
+        old_fp = (
+            tablelog.ledger_fingerprint(table_dir, cols, version=head)
+            if head is not None
+            else None
+        )
+        try:
+            version = tablelog.commit_version(
+                spark, table_dir, shard, mode="append",
+                fingerprint_cols=cols, expect_head=head,
+            )
+        except tablelog.CommitConflict:
+            continue
+        return (
+            old_fp,
+            version,
+            tablelog.ledger_fingerprint(table_dir, cols, version=version),
+            tablelog.read_version(spark, table_dir, version),
+        )
+
+
+def _advance_or_build(
+    advanced: str | None, build, family: str, stats: dict
+) -> None:
+    """Record how a family was maintained: ``advanced`` (O(shard)
+    hard-link + append) or ``built`` (no prior artifact — full build
+    over the current corpus, which on first ingest is the shard)."""
+    if advanced is not None:
+        stats[family] = "advanced"
+    else:
+        build()
+        stats[family] = "built"
+
+
+def ingest_documents(
+    spark: SparkSession,
+    table_dir: str,
+    shard: DataFrame,
+    cache: str | None = None,
+    families: tuple[str, ...] = DOC_FAMILIES,
+) -> dict:
+    """Commit a document shard (``doc_id``, ``text``, + any metadata
+    columns) into the tablelog table at ``table_dir`` and maintain the
+    text-pipeline artifact caches for the grown corpus. Returns
+    ``{"version", "fingerprint", per-family "advanced"/"built"}``.
+
+    ``cache``: artifact cache root (default: the shared per-user root,
+    ``artifacts.cache_root``). Maintenance is explicit pipeline opt-in
+    — it always materializes, regardless of the query-side "auto"
+    size gates (a query below the gate simply plans inline and never
+    looks the artifact up; the artifact waits until the corpus
+    crosses it).
+
+    The shard arrives as its OWN DataFrame — the O(shard) advance
+    contract. Deriving the shard by diffing the grown fact table would
+    erase the win (measured r9: 2.1 s shard-append vs 8.9 s rebuild at
+    sf1, but only when the shard never touches the full corpus)."""
+    root = cache_root(cache)
+    old_fp, version, new_fp, current = _commit_pinned(
+        spark, table_dir, shard, DOC_FP_COLS
+    )
+    stats: dict = {"version": version, "fingerprint": new_fp}
+    if "shingle" in families:
+        _advance_or_build(
+            dedup.advance_shingle_artifact(shard, old_fp, new_fp, root)
+            if old_fp
+            else None,
+            lambda: dedup.shingle_rows(
+                current, 2, cache=root, fingerprint=new_fp
+            ),
+            "shingle",
+            stats,
+        )
+    if "minhash" in families:
+        _advance_or_build(
+            dedup.advance_minhash_artifact(shard, old_fp, new_fp, root)
+            if old_fp
+            else None,
+            lambda: dedup.minhash_signatures(
+                current, cache=root, fingerprint=new_fp
+            ),
+            "minhash",
+            stats,
+        )
+    if "simhash" in families:
+        _advance_or_build(
+            dedup.advance_simhash_artifact(
+                shard, old_fp, new_fp, root, SIMHASH_BITS
+            )
+            if old_fp
+            else None,
+            lambda: dedup.simhash(
+                current, SIMHASH_BITS, cache=root, fingerprint=new_fp
+            ),
+            "simhash",
+            stats,
+        )
+    if "winnow" in families:
+        _advance_or_build(
+            textops.advance_winnow_artifact(shard, old_fp, new_fp, root)
+            if old_fp
+            else None,
+            lambda: textops.cached_winnow_fps(
+                current, root=root, fingerprint=new_fp
+            ),
+            "winnow",
+            stats,
+        )
+    return stats
+
+
+def ingest_embeddings(
+    spark: SparkSession,
+    table_dir: str,
+    shard: DataFrame,
+    cache: str | None = None,
+) -> dict:
+    """Commit an embedding shard (``vec_id``, ``embedding``, + any
+    metadata) and maintain the LSH band artifact — the stage the r7
+    rehearsal measured at ~34 s of sim2's 62.5 s sf10 cold. Advance
+    carries the widest stored plane width forward (prefix-stable
+    planes), so every config the old artifact served, the new one
+    serves too."""
+    root = cache_root(cache)
+    old_fp, version, new_fp, current = _commit_pinned(
+        spark, table_dir, shard, EMB_FP_COLS
+    )
+    stats: dict = {"version": version, "fingerprint": new_fp}
+    _advance_or_build(
+        similarity.advance_band_artifact(shard, old_fp, new_fp, root)
+        if old_fp
+        else None,
+        lambda: similarity.materialize_band_artifact(
+            current, root, fingerprint=new_fp
+        ),
+        "band",
+        stats,
+    )
+    return stats
+
+
+def ingest_transactions(
+    spark: SparkSession,
+    table_dir: str,
+    shard: DataFrame,
+    cache: str | None = None,
+) -> dict:
+    """Commit a transaction-line shard and maintain the co-purchase
+    daily partial artifact (co1/co2's materialized layer). Basket
+    caveat (``joins.co_pair_daily``): the shard must consist of
+    COMPLETE new baskets — a late line appended to an old order
+    changes that order's basket, so such corrections must instead
+    restate under a fresh key (full rebuild)."""
+    root = cache_root(cache)
+    old_fp, version, new_fp, current = _commit_pinned(
+        spark, table_dir, shard, TXN_FP_COLS
+    )
+    stats: dict = {"version": version, "fingerprint": new_fp}
+    _advance_or_build(
+        joins.advance_co_artifact(shard, old_fp, new_fp, root)
+        if old_fp
+        else None,
+        lambda: joins.cached_co_pair_daily(
+            current, cache=root, fingerprint=new_fp
+        ),
+        "co_pair_daily",
+        stats,
+    )
+    return stats
+
+
+def snapshot_documents(
+    spark: SparkSession, table_dir: str
+) -> tuple[DataFrame, tuple[int, int] | None, int]:
+    """(rows, ledger fingerprint, version) for one pinned head of a
+    maintained document corpus."""
+    return tablelog.read_snapshot(spark, table_dir, DOC_FP_COLS)
+
+
+def snapshot_embeddings(
+    spark: SparkSession, table_dir: str
+) -> tuple[DataFrame, tuple[int, int] | None, int]:
+    """(rows, ledger fingerprint, version) for one pinned head of a
+    maintained embedding corpus."""
+    return tablelog.read_snapshot(spark, table_dir, EMB_FP_COLS)
+
+
+def snapshot_transactions(
+    spark: SparkSession, table_dir: str
+) -> tuple[DataFrame, tuple[int, int] | None, int]:
+    """(rows, ledger fingerprint, version) for one pinned head of a
+    maintained transaction corpus."""
+    return tablelog.read_snapshot(spark, table_dir, TXN_FP_COLS)
+
+
+def copurchase_range_topk(
+    spark: SparkSession,
+    table_dir: str,
+    start: str,
+    end: str,
+    k: int = 3,
+    cache: str | None = None,
+) -> DataFrame:
+    """co2 ("customers also bought", orders started in [start, end])
+    over a maintained transaction corpus: the ledger pair answers the
+    partial-table cache key with zero fact scans, so a cold session's
+    only jobs are the artifact read + the range merge."""
+    txns, fp, _ = snapshot_transactions(spark, table_dir)
+    return joins.co_range_topk(
+        txns, start, end, k,
+        cache=_query_cache(cache), fingerprint=fp,
+    )
+
+
+def minhash_neardup(
+    spark: SparkSession,
+    table_dir: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """d4 (MinHash+LSH near-dup pairs) over a maintained document
+    corpus, ledger-fed: signature/shingle artifact keys come from the
+    commit log, never a corpus scan."""
+    docs, fp, _ = snapshot_documents(spark, table_dir)
+    return dedup.minhash_neardup_pairs(docs, threshold, fingerprint=fp)
+
+
+def simhash_neardup(
+    spark: SparkSession,
+    table_dir: str,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """d6 (SimHash near-dup pairs, wide tier) over a maintained
+    document corpus, ledger-fed."""
+    docs, fp, _ = snapshot_documents(spark, table_dir)
+    return dedup.simhash_neardup_pairs(
+        docs, max_hamming, SIMHASH_BITS, fp
+    )
+
+
+def winnow_overlap_pairs(
+    spark: SparkSession,
+    table_dir: str,
+    min_shared: int = 2,
+) -> DataFrame:
+    """wn1 (winnow fingerprint overlap report) over a maintained
+    document corpus, ledger-fed."""
+    docs, fp, _ = snapshot_documents(spark, table_dir)
+    return textops.winnow_overlap(
+        docs, min_shared=min_shared, fingerprint=fp
+    )
+
+
+def cosine_neardup(
+    spark: SparkSession,
+    table_dir: str,
+    threshold: float = 0.3,
+    cache: str | None = None,
+) -> DataFrame:
+    """sim2 (LSH-bucketed cosine near-dup pairs) over a maintained
+    embedding corpus: the band-artifact key comes from the ledger, so
+    the cold path's pre-read work is zero Spark jobs."""
+    emb, fp, _ = snapshot_embeddings(spark, table_dir)
+    return similarity.cosine_neardup_pairs(
+        emb, threshold,
+        band_cache=_query_cache(cache), fingerprint=fp,
+    )
+
+
+def _query_cache(cache: str | None) -> str:
+    """Query-side cache argument: an explicit root passes through;
+    None means the shared default root — resolved EXPLICITLY (not
+    "auto") because a maintained corpus's artifacts were materialized
+    unconditionally at ingest and the query must look them up at any
+    size, not just past the auto gates."""
+    return cache_root(cache)
