@@ -43,9 +43,20 @@ def export_store_summaries(
 ) -> DataFrame:
     """Flattened store_summaries dataset
     (``export-to-quicksight/lambda_function.py:180-214``): one row per
-    (date, store) in the export range, serving-cast floats."""
-    daily = store_day_metrics(txns).filter(
-        F.col("sale_date").between(start, end)
+    (date, store) in the export range, serving-cast floats.
+
+    The range filter lands on the FACTS, before the aggregation —
+    exact, because sale_date is a group key and every exported metric
+    is a per-(store, day) quantity. Aggregating all history and then
+    filtering (the r9 shape) rode the session-cached MV when warm but
+    paid the full-history build cold: measured at sf10 (60M rows,
+    1.2% in range), 30.2 s -> 2.6 s. At 100 TB the difference is a
+    full fact scan vs a date-pruned one; a pipeline deployment serves
+    this from the PERSISTED store_daily MV instead
+    (``pipeline.run_daily_pipeline`` step 6), which its sale_date
+    partitioning prunes the same way."""
+    daily = store_day_metrics(
+        txns.filter(F.col("sale_date").between(start, end))
     )
     return daily.select(
         F.col("sale_date").alias("date"),
@@ -62,9 +73,13 @@ def export_top_products(txns: DataFrame, start: str, end: str) -> DataFrame:
     """Flattened top_products dataset
     (``export-to-quicksight/lambda_function.py:217-248``): the per-store
     top-5 lists exploded to flat (date, store, rank, sku) rows — same
-    intentional top-5-only lossiness as A6 parity mode."""
-    top5 = top_products_per_store_day(txns, 5).filter(
-        F.col("sale_date").between(start, end)
+    intentional top-5-only lossiness as A6 parity mode.
+
+    Range filter on the FACTS (exact: ranks are computed within each
+    (store, day) group independently) — see
+    :func:`export_store_summaries` for the measured rationale."""
+    top5 = top_products_per_store_day(
+        txns.filter(F.col("sale_date").between(start, end)), 5
     )
     return top5.select(
         F.col("sale_date").alias("date"),
