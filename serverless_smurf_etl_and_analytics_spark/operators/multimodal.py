@@ -11,13 +11,16 @@ feature-extract steps are Arrow-batched ``mapInPandas`` plumbing with
 a DETERMINISTIC FAKE decoder: this container has no codec libraries,
 so the real-decoder slots for COMPRESSED formats are clearly stubbed
 (NotImplementedError) while the Spark-side schema, batch shape, and
-UDF signature are real and tested. Two image formats decode for REAL
-with zero dependencies: binary PPM (P6) and — since r8 — PNG (stdlib
-zlib inflate + scanline unfilter); see :func:`decode_raster` /
-:func:`resize_raster_images`, an actual decode/resample/re-encode/
-fingerprint path exercised by the tests and reachable through
-``resize_images(use_real_decoder=True)``. JPEG/webp/video/compressed
-audio stay honestly stubbed — those genuinely require PIL/ffmpeg.
+UDF signature are real and tested. Three image formats decode for
+REAL with zero dependencies: binary PPM (P6), PNG (r8: stdlib zlib
+inflate + scanline unfilter), and — since r10 — baseline JPEG
+(``operators/jpegcodec.py``: a full ITU T.81 baseline codec, Huffman
+entropy decode through IDCT and 4:2:0 chroma upsampling); see
+:func:`decode_raster` / :func:`resize_raster_images`, an actual
+decode/resample/re-encode/fingerprint path exercised by the tests and
+reachable through ``resize_images(use_real_decoder=True)``.
+Progressive JPEG/webp/video/compressed audio stay honestly stubbed —
+those genuinely require PIL/ffmpeg.
 
 The corpus itself has no binary column, so ``with_binary_payload``
 derives one deterministically from the documents table (payload =
@@ -158,16 +161,17 @@ def resize_images(
 
     ``use_real_decoder=True`` (r8): if the input carries a ``payload``
     column, real pixels are decoded and resampled via
-    :func:`resize_raster_images` — genuinely real for binary PPM and
-    PNG payloads (the zero-dependency codecs below); other formats
-    (JPEG, webp, ...) fail loudly per payload, because they truly
-    need PIL, which this environment does not ship."""
+    :func:`resize_raster_images` — genuinely real for binary PPM,
+    PNG, and (r10) baseline JPEG payloads (the zero-dependency codecs
+    below and ``jpegcodec.py``); remaining formats (webp, progressive
+    JPEG, ...) fail loudly per payload, because they truly need PIL,
+    which this environment does not ship."""
     if use_real_decoder:
         if "payload" not in decoded.columns:
             raise NotImplementedError(
                 "real resampling needs raw payloads: pass rows with a "
-                "binary `payload` column (PPM/PNG decode is real; "
-                "compressed formats beyond PNG require PIL, not "
+                "binary `payload` column (PPM/PNG/baseline-JPEG decode "
+                "is real; formats beyond those require PIL, not "
                 "available in this environment)"
             )
         imgs = decoded
@@ -515,17 +519,26 @@ def decode_png(payload: bytes):
 
 def decode_raster(payload: bytes):
     """Sniff-and-decode a raster payload to (H, W, 3) uint8: binary
-    PPM (P6) or PNG via the zero-dependency codecs above; anything
-    else (JPEG, webp, ...) raises NotImplementedError — those formats
-    genuinely need PIL, which this environment does not ship."""
+    PPM (P6), PNG, or baseline JPEG via the zero-dependency codecs
+    (JPEG since r10 — ``operators/jpegcodec.py``, a real ITU T.81
+    baseline decoder: entropy decode, dequantize, IDCT, chroma
+    upsample, color convert). Progressive JPEG, webp, and video stay
+    honestly stubbed — the codec raises NotImplementedError for
+    those, and they genuinely need PIL/ffmpeg, which this environment
+    does not ship."""
     buf = bytes(payload)
     if buf[:2] == b"P6":
         return decode_ppm(buf)
     if buf[:8] == PNG_MAGIC:
         return decode_png(buf)
+    if buf[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(buf)
     raise NotImplementedError(
-        "real decode implemented for PPM(P6) and PNG payloads; other "
-        "formats require codec libraries (PIL) not in this environment"
+        "real decode implemented for PPM(P6), PNG, and baseline JPEG "
+        "payloads; other formats (webp, progressive JPEG, video) "
+        "require codec libraries (PIL/ffmpeg) not in this environment"
     )
 
 
@@ -544,16 +557,17 @@ def _resize_nearest(px, ow: int, oh: int):
 def resize_raster_images(
     assets: DataFrame, max_side: int = 256
 ) -> DataFrame:
-    """REAL image resize over raster payloads (binary PPM *and* PNG,
-    r8): decode actual pixels via :func:`decode_raster`,
-    aspect-preserving nearest-neighbor fit into a ``max_side`` box,
-    fingerprint = md5 of the re-encoded P6 bytes (P6 regardless of
-    input format, so a PNG and a PPM of the same pixels resize to the
-    SAME fingerprint — law-tested). Same output schema and batch shape
-    as the fake-path :func:`resize_images`, so callers swap paths
-    without plan changes; rows whose payload is neither a valid P6 nor
-    a supported PNG fail the job loudly (feed this operator from a
-    format-validated ingest, or pre-filter).
+    """REAL image resize over raster payloads (binary PPM, PNG, and —
+    r10 — baseline JPEG): decode actual pixels via
+    :func:`decode_raster`, aspect-preserving nearest-neighbor fit
+    into a ``max_side`` box, fingerprint = md5 of the re-encoded P6
+    bytes (P6 regardless of input format, so a PNG and a PPM of the
+    same pixels resize to the SAME fingerprint — law-tested; JPEG is
+    lossy, so its fingerprint legitimately differs). Same output
+    schema and batch shape as the fake-path :func:`resize_images`, so
+    callers swap paths without plan changes; rows whose payload is
+    not a supported format fail the job loudly (feed this operator
+    from a format-validated ingest, or pre-filter).
 
     Input: (doc_id, payload) rows. Scale notes match decode_assets:
     Arrow-batched ``mapInPandas``, payload bytes never pass through
