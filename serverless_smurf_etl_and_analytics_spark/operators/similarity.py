@@ -30,7 +30,7 @@ Scale design:
   shard by the pipeline (plain-union merge law). Queries read it
   instead of re-running the matmul stage — measured sf10 cold sim2
   62.5 s -> 24.9 s.
-- near-dup verification is tiered (r8): below 500k vectors the
+- near-dup verification is tiered (r8; gate 1M since r10): below the gate the
   candidate join is slim (bucket keys only) and the exact dot is a
   broadcast-matrix numpy gather; above, embeddings ride the band rows
   and the dot runs per pair — both byte-identical, law-tested.
@@ -559,13 +559,20 @@ _BAND_CACHE_MIN = 10_000
 
 # corpus-size window for the gather-verify tier of cosine_neardup_pairs.
 # Upper bound: the fixed-point matrix is 512 B/vector (64-dim int64)
-# and every reused Python worker holds a deserialized copy, so 500k
-# vectors keeps the executor-side footprint at ~256 MB x workers;
-# beyond it the embedding-riding join (no driver collect) takes over.
+# and every reused Python worker holds a deserialized copy, so 1M
+# vectors caps the per-worker footprint at ~512 MB; beyond it the
+# embedding-riding join (no driver collect) takes over. Raised from
+# 500k in r10: the sf30 rehearsal (600k vectors) crossed the old gate
+# and measured the riding join at 298.5 s vs 186.8 s for the gather
+# tier on the identical 172M-candidate workload
+# (benchmarks/scale_r10_summary.json) — a 1.6x cliff at the crossing,
+# so the gate now sits where the memory budget actually binds, not
+# where it comfortably fit. Deployments with small executors should
+# lower it (512 MB x python workers must fit beside the JVM heap).
 # Lower bound: below 10k vectors the driver matrix build costs more
 # than riding embeddings through the tiny join (measured +0.2 s on the
 # sf0.1 pin), so dimension-scale corpora keep the wide join.
-_GATHER_VERIFY_MAX = 500_000
+_GATHER_VERIFY_MAX = 1_000_000
 _GATHER_VERIFY_MIN = 10_000
 
 
