@@ -637,7 +637,15 @@ def _gather_dots(cand: DataFrame, bt: DataFrame) -> DataFrame:
     :func:`_dot_fixed_point` and the DuckDB oracle, without shipping
     two embedding arrays per candidate pair through the shuffle and
     Arrow. The matrix is a bounded driver-side model artifact (sim1's
-    query-matrix precedent), gated by ``_GATHER_VERIFY_MAX``."""
+    query-matrix precedent), gated by ``_GATHER_VERIFY_MAX`` for the
+    mid tier and shared by the bucket tier above it.
+
+    The matrix is held in int32 (r10): fixed-point values are
+    ``±SCALE`` = ±1e7, well inside int32, which HALVES the per-worker
+    broadcast footprint (256 B/vector — 512 MB at 2M vectors); the
+    einsum accumulates with ``dtype=int64``, which upcasts the
+    operands before multiplying, so every product and sum is exact
+    int64 math — value-identical to the int64 form (pytest-pinned)."""
     import numpy as np
 
     pdf = bt.select("vec_id", "n2", "embedding").toPandas()
@@ -651,7 +659,7 @@ def _gather_dots(cand: DataFrame, bt: DataFrame) -> DataFrame:
         * SCALE
     )
     mat = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
-        np.int64
+        np.int32
     )[order]
     n2 = pdf["n2"].to_numpy(np.int64)[order]
     bc = cand.sparkSession.sparkContext.broadcast((ids_sorted, mat, n2))
@@ -671,7 +679,9 @@ def _gather_dots(cand: DataFrame, bt: DataFrame) -> DataFrame:
                 {
                     "vec_a": p["vec_a"].values,
                     "vec_b": p["vec_b"].values,
-                    "dot": np.einsum("ij,ij->i", m[ia], m[ib]),
+                    "dot": np.einsum(
+                        "ij,ij->i", m[ia], m[ib], dtype=np.int64
+                    ),
                     "n2_a": nn[ia],
                     "n2_b": nn[ib],
                 }
@@ -680,6 +690,64 @@ def _gather_dots(cand: DataFrame, bt: DataFrame) -> DataFrame:
     return cand.mapInPandas(
         verify, "vec_a long, vec_b long, dot long, n2_a long, n2_b long"
     )
+
+
+def _bucket_rows(
+    bt: DataFrame, n_bands: int, band_planes: int
+) -> DataFrame:
+    """band_bits rows -> MINIMAL (vec_id, band_idx, bucket) exploded
+    rows for the bucket tier: no ``buckets`` array, no embedding, no
+    n2 — ~40 B through the candidate self-join's shuffle instead of
+    the ~1 KB the riding join ships (buckets + embedding per exploded
+    row). At 2M vectors x 36 bands that is the difference between a
+    ~5 GB shuffle and the ~140 GB spill that filled this box's disk
+    (benchmarks/scale_r10_summary.json, emb2m incident)."""
+    buckets = F.array(
+        *[
+            F.substring("bits", b * band_planes + 1, band_planes)
+            for b in range(n_bands)
+        ]
+    )
+    return bt.select(
+        "vec_id", F.posexplode(buckets).alias("band_idx", "bucket")
+    )
+
+
+def _bucket_tier_dots(
+    bt: DataFrame, n_bands: int, band_planes: int
+) -> DataFrame:
+    """Verification tier for corpora ABOVE the gather window (r10):
+    candidates from the minimal bucket rows, exactly-once via a
+    ``distinct`` of the bare (vec_a, vec_b) id pairs (24 B/row — at
+    this scale the distinct's shuffle is far cheaper than carrying
+    the first-match band prefix on every exploded row), dots via the
+    shared broadcast-matrix gather.
+
+    Executor sizing rule (documented, not hidden): every reused
+    Python worker holds one int32 matrix copy = 256 B/vector — 512 MB
+    at 2M vectors, 2.5 GB at 10M. ``matrix_bytes x python workers``
+    must fit beside the JVM heap; beyond that, shrink the corpus per
+    job (shard the near-dup pass by band subsets) or lower
+    ``spark.executor.cores`` for this stage. The riding join is NOT a
+    fallback here — its shuffle volume is what this tier exists to
+    avoid (measured: 2M vectors exhausted a 57 GB spill volume)."""
+    rows = _bucket_rows(bt, n_bands, band_planes)
+    a = rows.alias("a")
+    b = rows.alias("b")
+    cand = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    return _gather_dots(cand, bt)
 
 
 def cosine_neardup_allpairs(
@@ -778,9 +846,16 @@ def cosine_neardup_pairs(
       driver artifact (the sim1 query-matrix precedent): 64-dim int64
       is 512 B/vector, and reused Python workers each hold a copy, so
       the bound keeps executor-side footprint ~copies x matrix.
-    - above the bound: the original embedding-riding join (iv/n2
-      travel on the band rows; dot per pair in Arrow batches) — no
-      driver-side collect at any corpus size, the true 100 TB path.
+    - above the bound (r10 bucket tier): MINIMAL exploded rows
+      (vec_id, band_idx, bucket — ~40 B) through the self-join,
+      exactly-once via ``distinct`` on the bare id pairs, dots via
+      the same broadcast gather. The r9 shape above the bound — the
+      embedding-riding join — ships buckets + embedding on every
+      exploded row and exhausted a 57 GB spill volume at 2M vectors
+      (sf30 rehearsal follow-up); see :func:`_bucket_tier_dots` for
+      the executor sizing rule.
+    - below ``_GATHER_VERIFY_MIN``: the riding join (wide but tiny —
+      driver-scale plans stay byte-identical to r7).
     """
     # a ledger-provided fingerprint answers BOTH plan-time questions
     # (corpus size for the adaptive config/gates, content hash for the
@@ -825,6 +900,12 @@ def cosine_neardup_pairs(
         bt = band_bits(emb, n_bands * band_planes).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+    if n > _GATHER_VERIFY_MAX:
+        # bucket tier: neither the buckets array nor the embedding
+        # survives the exploded self-join's shuffle (see
+        # _bucket_tier_dots for the measured rationale + sizing rule)
+        dots = _bucket_tier_dots(bt, n_bands, band_planes)
+        return _threshold_pairs(dots, threshold)
     if gather:
         eb = _slim_band_rows(bt, n_bands, band_planes)
     else:
@@ -879,6 +960,13 @@ def cosine_neardup_pairs(
                 F.col("a.embedding"), F.col("b.embedding")
             ).alias("dot"),
         )
+    return _threshold_pairs(dots, threshold)
+
+
+def _threshold_pairs(dots: DataFrame, threshold: float) -> DataFrame:
+    """(vec_a, vec_b, dot, n2_a, n2_b) -> thresholded near-dup pairs
+    with the serving-rounded cosine — shared by all three
+    verification tiers so the output contract has one definition."""
     cos = F.col("dot").cast("double") / (
         F.sqrt(F.col("n2_a").cast("double"))
         * F.sqrt(F.col("n2_b").cast("double"))

@@ -138,3 +138,28 @@ def test_gather_and_wide_verify_tiers_identical(spark, emb, monkeypatch):
         ).collect()
     }
     assert gathered == wide and len(gathered) > 0
+
+
+def test_bucket_tier_identical_to_wide_verify(spark, emb, monkeypatch):
+    """The r10 bucket tier (minimal exploded rows + distinct dedup +
+    broadcast gather — the >1M-vector path whose shuffle stays ~40 B
+    per row) yields byte-identical pairs to the riding join: the
+    first-match predicate and the distinct are two implementations of
+    exactly-once over the same collision set, and the int32-matrix
+    gather's einsum accumulates in int64, so every dot is the same
+    exact integer."""
+    wide = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.cosine_neardup_pairs(
+            emb, 0.3, band_cache=None
+        ).collect()
+    }
+    # force the bucket tier: any n > 0 crosses a zero upper gate
+    monkeypatch.setattr(similarity, "_GATHER_VERIFY_MAX", 0)
+    bucketed = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.cosine_neardup_pairs(
+            emb, 0.3, band_cache=None
+        ).collect()
+    }
+    assert bucketed == wide and len(bucketed) > 0
