@@ -629,23 +629,11 @@ def _swap_gather_bc(bc) -> None:
         _GATHER_BC.append(bc)
 
 
-def _gather_dots(cand: DataFrame, bt: DataFrame) -> DataFrame:
-    """(vec_a, vec_b) candidates -> (vec_a, vec_b, dot, n2_a, n2_b)
-    via one broadcast of the corpus's fixed-point matrix: ids sorted
-    once on the driver, each Arrow batch resolved with searchsorted +
-    an int64 einsum — exact integer math, value-identical to
-    :func:`_dot_fixed_point` and the DuckDB oracle, without shipping
-    two embedding arrays per candidate pair through the shuffle and
-    Arrow. The matrix is a bounded driver-side model artifact (sim1's
-    query-matrix precedent), gated by ``_GATHER_VERIFY_MAX`` for the
-    mid tier and shared by the bucket tier above it.
-
-    The matrix is held in int32 (r10): fixed-point values are
-    ``±SCALE`` = ±1e7, well inside int32, which HALVES the per-worker
-    broadcast footprint (256 B/vector — 512 MB at 2M vectors); the
-    einsum accumulates with ``dtype=int64``, which upcasts the
-    operands before multiplying, so every product and sum is exact
-    int64 math — value-identical to the int64 form (pytest-pinned)."""
+def _build_gather_bc(bt: DataFrame):
+    """Collect the corpus's fixed-point matrix and broadcast it for
+    :func:`_gather_dots`: ids sorted once on the driver, values in
+    int32 (256 B/vector), norms int64. Registers with the broadcast
+    tracker so a superseding build frees the executor copies."""
     import numpy as np
 
     pdf = bt.select("vec_id", "n2", "embedding").toPandas()
@@ -662,8 +650,34 @@ def _gather_dots(cand: DataFrame, bt: DataFrame) -> DataFrame:
         np.int32
     )[order]
     n2 = pdf["n2"].to_numpy(np.int64)[order]
-    bc = cand.sparkSession.sparkContext.broadcast((ids_sorted, mat, n2))
+    bc = bt.sparkSession.sparkContext.broadcast((ids_sorted, mat, n2))
     _swap_gather_bc(bc)
+    return bc
+
+
+def _gather_dots(cand: DataFrame, bt: DataFrame, bc=None) -> DataFrame:
+    """(vec_a, vec_b) candidates -> (vec_a, vec_b, dot, n2_a, n2_b)
+    via one broadcast of the corpus's fixed-point matrix: ids sorted
+    once on the driver, each Arrow batch resolved with searchsorted +
+    an int64 einsum — exact integer math, value-identical to
+    :func:`_dot_fixed_point` and the DuckDB oracle, without shipping
+    two embedding arrays per candidate pair through the shuffle and
+    Arrow. The matrix is a bounded driver-side model artifact (sim1's
+    query-matrix precedent), gated by ``_GATHER_VERIFY_MAX`` for the
+    mid tier and shared by the bucket tier above it.
+
+    The matrix is held in int32 (r10): fixed-point values are
+    ``±SCALE`` = ±1e7, well inside int32, which HALVES the per-worker
+    broadcast footprint (256 B/vector — 512 MB at 2M vectors); the
+    einsum accumulates with ``dtype=int64``, which upcasts the
+    operands before multiplying, so every product and sum is exact
+    int64 math — value-identical to the int64 form (pytest-pinned).
+
+    ``bc``: a prebuilt :func:`_build_gather_bc` broadcast — callers
+    issuing SEVERAL gather passes over one corpus (the sharded tier)
+    build and ship the matrix once instead of once per pass."""
+    if bc is None:
+        bc = _build_gather_bc(bt)
 
     def verify(batches):
         import numpy as np
@@ -961,6 +975,98 @@ def cosine_neardup_pairs(
             ).alias("dot"),
         )
     return _threshold_pairs(dots, threshold)
+
+
+def cosine_neardup_pairs_sharded(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    n_shards: int = 4,
+    band_cache: str | None = "auto",
+    fingerprint: tuple[int, int] | None = None,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Band-subset sharded near-dup — the escape hatch for corpora
+    where even the bucket tier's SINGLE-PASS candidate shuffle
+    exceeds one job's spill budget (at 10M vectors x 36 bands x
+    occupancy 16 the one-pass candidate volume is ~46 GB; a 4-shard
+    run peaks at ~1/4 of that).
+
+    Each shard processes a strided subset of the OR-amplification
+    bands (bands s, s+n_shards, ... — strided so skewed bands spread
+    across shards) through the bucket-tier plan and EAGERLY stages
+    its verified pairs to parquet — a separate Spark job per shard,
+    so shard k's shuffle files are released before shard k+1 runs and
+    peak spill is bounded by the largest shard, not the sum. The
+    union of staged shards is then distinct-ed on the full row: a
+    pair matching bands in two shards appears in both with an
+    IDENTICAL cosine (verification is a pure function of the pair),
+    so the distinct is exact — sharded == unsharded, law-tested.
+
+    The gather matrix is built and broadcast ONCE across shards
+    (:func:`_build_gather_bc`). ``scratch_dir`` holds the staged
+    shards (default: a fresh tempdir); the returned DataFrame reads
+    those files lazily — delete the dir only after consuming it."""
+    import os
+    import tempfile
+
+    n = fingerprint[0] if fingerprint else emb.count()
+    n_bands, band_planes = adaptive_band_config(n)
+    use_cache = (
+        band_cache is not None
+        and n > 0
+        and (band_cache != "auto" or n >= _BAND_CACHE_MIN)
+    )
+    bt = None
+    if use_cache:
+        try:
+            root = None if band_cache == "auto" else band_cache
+            bt = cached_band_bits(
+                emb, n_bands, band_planes,
+                root=root,
+                fingerprint=fingerprint or corpus_fingerprint(emb),
+            )
+        except Exception:
+            bt = None
+    if bt is None:
+        bt = band_bits(emb, n_bands * band_planes).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    bc = _build_gather_bc(bt)
+    scratch = scratch_dir or tempfile.mkdtemp(
+        prefix="smurf_neardup_shards_"
+    )
+    paths = []
+    for s in range(n_shards):
+        bands_s = list(range(s, n_bands, n_shards))
+        buckets = F.array(
+            *[
+                F.substring("bits", b * band_planes + 1, band_planes)
+                for b in bands_s
+            ]
+        )
+        rows = bt.select(
+            "vec_id", F.posexplode(buckets).alias("band_idx", "bucket")
+        )
+        a = rows.alias("a")
+        b = rows.alias("b")
+        cand = (
+            a.join(
+                b.hint("shuffle_hash"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+            )
+            .distinct()
+        )
+        pairs = _threshold_pairs(_gather_dots(cand, bt, bc), threshold)
+        path = os.path.join(scratch, f"shard_{s}")
+        pairs.write.mode("overwrite").parquet(path)
+        paths.append(path)
+    return emb.sparkSession.read.parquet(*paths).distinct()
 
 
 def _threshold_pairs(dots: DataFrame, threshold: float) -> DataFrame:

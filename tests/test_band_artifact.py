@@ -163,3 +163,26 @@ def test_bucket_tier_identical_to_wide_verify(spark, emb, monkeypatch):
         ).collect()
     }
     assert bucketed == wide and len(bucketed) > 0
+
+
+def test_sharded_neardup_equals_unsharded(spark, emb, tmp_path):
+    """Band-subset sharding (the bounded-peak-spill escape hatch for
+    >10M-vector corpora) is exact: the union of per-shard staged
+    pairs, distinct-ed, equals the single-pass result — a pair
+    matching bands in two shards stages twice with an identical
+    cosine, and a pair matching no shard's bands matches no band at
+    all."""
+    single = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.cosine_neardup_pairs(
+            emb, 0.3, band_cache=None
+        ).collect()
+    }
+    sharded = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.cosine_neardup_pairs_sharded(
+            emb, 0.3, n_shards=3, band_cache=None,
+            scratch_dir=str(tmp_path / "shards"),
+        ).collect()
+    }
+    assert sharded == single and len(sharded) > 0
