@@ -629,6 +629,99 @@ def _swap_gather_bc(bc) -> None:
         _GATHER_BC.append(bc)
 
 
+# matrix-size bound above which the gather verify stops BROADCASTING
+# the fixed-point matrix (one deserialized copy per reused Python
+# worker — 8 workers x 2.5 GB at 10M vectors) and switches to a
+# memory-mapped .npy artifact in the shared cache root: np.load(...,
+# mmap_mode="r") pages the file through the OS page cache, ONE
+# resident copy per NODE regardless of worker count. ~1.5 GB =
+# ~5.8M vectors at dim 64 int32.
+_GATHER_MMAP_BYTES = 1_500_000_000
+
+
+def _matrix_npy_artifact(
+    bt: DataFrame,
+    fingerprint: tuple[int, int] | None = None,
+    root: str | None = None,
+) -> str | None:
+    """Find-or-build the corpus fixed-point matrix as memory-mappable
+    ``.npy`` files (``ids.npy`` int64 sorted, ``mat.npy`` int32,
+    ``n2.npy`` int64) under a fingerprint-keyed dirname — the
+    node-shared transport for the gather verify above
+    ``_GATHER_MMAP_BYTES``. Atomic tmp+rename like every artifact;
+    None on any environmental failure (caller falls back to the
+    broadcast transport).
+
+    Driver-memory note: the build collects the matrix via toPandas
+    (transiently ~3x the matrix bytes on the driver — ~15 GB at 10M
+    vectors); a driver-bounded deployment can swap in a sorted
+    ``toLocalIterator`` fill over a preallocated
+    ``np.lib.format.open_memmap`` without changing the artifact
+    format."""
+    import os
+    import shutil
+    import uuid
+
+    import numpy as np
+
+    from .artifacts import cache_root, touch
+
+    try:
+        n, h = fingerprint or corpus_fingerprint(
+            bt.select("vec_id", "embedding")
+        )
+        base = cache_root(root)
+        path = os.path.join(base, f"gmat_v1_n{n}_h{h}")
+        if os.path.isdir(path):
+            touch(path)
+            return path
+        pdf = bt.select("vec_id", "n2", "embedding").toPandas()
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        order = np.argsort(ids)
+        x = (
+            np.vstack(pdf["embedding"].map(np.asarray).values).astype(
+                np.float64
+            )
+            * SCALE
+        )
+        mat = np.where(
+            x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)
+        ).astype(np.int32)[order]
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        np.save(os.path.join(tmp, "ids.npy"), ids[order])
+        np.save(os.path.join(tmp, "mat.npy"), mat)
+        np.save(
+            os.path.join(tmp, "n2.npy"),
+            pdf["n2"].to_numpy(np.int64)[order],
+        )
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost race: fine
+        touch(path)
+        return path
+    except Exception:
+        return None
+
+
+def _gather_transport(
+    bt: DataFrame,
+    n: int,
+    fingerprint: tuple[int, int] | None = None,
+):
+    """Choose how the gather verify ships the matrix: a broadcast
+    below ``_GATHER_MMAP_BYTES`` (fastest, per-worker copies), the
+    mmap artifact above it (one page-cached copy per node). Returns
+    ``("bc", broadcast)`` or ``("mmap", path)``."""
+    matrix_bytes = n * (DIM * 4 + 16)
+    if matrix_bytes > _GATHER_MMAP_BYTES:
+        path = _matrix_npy_artifact(bt, fingerprint)
+        if path is not None:
+            return ("mmap", path)
+    return ("bc", _build_gather_bc(bt))
+
+
 def _build_gather_bc(bt: DataFrame):
     """Collect the corpus's fixed-point matrix and broadcast it for
     :func:`_gather_dots`: ids sorted once on the driver, values in
@@ -655,7 +748,7 @@ def _build_gather_bc(bt: DataFrame):
     return bc
 
 
-def _gather_dots(cand: DataFrame, bt: DataFrame, bc=None) -> DataFrame:
+def _gather_dots(cand: DataFrame, bt: DataFrame, transport=None) -> DataFrame:
     """(vec_a, vec_b) candidates -> (vec_a, vec_b, dot, n2_a, n2_b)
     via one broadcast of the corpus's fixed-point matrix: ids sorted
     once on the driver, each Arrow batch resolved with searchsorted +
@@ -673,17 +766,39 @@ def _gather_dots(cand: DataFrame, bt: DataFrame, bc=None) -> DataFrame:
     operands before multiplying, so every product and sum is exact
     int64 math — value-identical to the int64 form (pytest-pinned).
 
-    ``bc``: a prebuilt :func:`_build_gather_bc` broadcast — callers
-    issuing SEVERAL gather passes over one corpus (the sharded tier)
-    build and ship the matrix once instead of once per pass."""
-    if bc is None:
-        bc = _build_gather_bc(bt)
+    ``transport``: a prebuilt :func:`_gather_transport` result —
+    callers issuing SEVERAL gather passes over one corpus (the
+    sharded tier) build and ship the matrix once instead of once per
+    pass. The mmap transport resolves the matrix through the OS page
+    cache (one resident copy per node); the broadcast transport is a
+    per-worker deserialized copy (fastest under
+    ``_GATHER_MMAP_BYTES``)."""
+    if transport is None:
+        transport = ("bc", _build_gather_bc(bt))
+    kind, handle = transport
+    if kind == "bc":
+
+        def load():
+            return handle.value
+
+    else:
+
+        def load():
+            import os
+
+            import numpy as np
+
+            return (
+                np.load(os.path.join(handle, "ids.npy"), mmap_mode="r"),
+                np.load(os.path.join(handle, "mat.npy"), mmap_mode="r"),
+                np.load(os.path.join(handle, "n2.npy"), mmap_mode="r"),
+            )
 
     def verify(batches):
         import numpy as np
         import pandas as pd
 
-        ids_s, m, nn = bc.value
+        ids_s, m, nn = load()
         for p in batches:
             if len(p) == 0:
                 continue
@@ -728,7 +843,11 @@ def _bucket_rows(
 
 
 def _bucket_tier_dots(
-    bt: DataFrame, n_bands: int, band_planes: int
+    bt: DataFrame,
+    n_bands: int,
+    band_planes: int,
+    n: int = 0,
+    fingerprint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Verification tier for corpora ABOVE the gather window (r10):
     candidates from the minimal bucket rows, exactly-once via a
@@ -737,14 +856,17 @@ def _bucket_tier_dots(
     the first-match band prefix on every exploded row), dots via the
     shared broadcast-matrix gather.
 
-    Executor sizing rule (documented, not hidden): every reused
-    Python worker holds one int32 matrix copy = 256 B/vector — 512 MB
-    at 2M vectors, 2.5 GB at 10M. ``matrix_bytes x python workers``
-    must fit beside the JVM heap; beyond that, shrink the corpus per
-    job (shard the near-dup pass by band subsets) or lower
-    ``spark.executor.cores`` for this stage. The riding join is NOT a
-    fallback here — its shuffle volume is what this tier exists to
-    avoid (measured: 2M vectors exhausted a 57 GB spill volume)."""
+    Executor sizing rule (documented, not hidden): below
+    ``_GATHER_MMAP_BYTES`` every reused Python worker holds one int32
+    matrix copy = 256 B/vector (512 MB at 2M vectors) — fastest.
+    Above it the transport switches to the memory-mapped .npy
+    artifact (``_matrix_npy_artifact``): one OS-page-cached copy per
+    NODE regardless of worker count, so 10M+ vectors cost ~2.5 GB of
+    node page cache, not 2.5 GB x workers of heap. The riding join is
+    NOT a fallback here — its shuffle volume is what this tier exists
+    to avoid (measured: 2M vectors exhausted a 57 GB spill volume).
+    Disk pressure is the band-subset sharding knob
+    (:func:`cosine_neardup_pairs_sharded`)."""
     rows = _bucket_rows(bt, n_bands, band_planes)
     a = rows.alias("a")
     b = rows.alias("b")
@@ -761,7 +883,9 @@ def _bucket_tier_dots(
         )
         .distinct()
     )
-    return _gather_dots(cand, bt)
+    return _gather_dots(
+        cand, bt, _gather_transport(bt, n, fingerprint)
+    )
 
 
 def cosine_neardup_allpairs(
@@ -918,7 +1042,9 @@ def cosine_neardup_pairs(
         # bucket tier: neither the buckets array nor the embedding
         # survives the exploded self-join's shuffle (see
         # _bucket_tier_dots for the measured rationale + sizing rule)
-        dots = _bucket_tier_dots(bt, n_bands, band_planes)
+        dots = _bucket_tier_dots(
+            bt, n_bands, band_planes, n, fingerprint
+        )
         return _threshold_pairs(dots, threshold)
     if gather:
         eb = _slim_band_rows(bt, n_bands, band_planes)
@@ -1031,7 +1157,7 @@ def cosine_neardup_pairs_sharded(
         bt = band_bits(emb, n_bands * band_planes).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-    bc = _build_gather_bc(bt)
+    transport = _gather_transport(bt, n, fingerprint)
     scratch = scratch_dir or tempfile.mkdtemp(
         prefix="smurf_neardup_shards_"
     )
@@ -1062,7 +1188,9 @@ def cosine_neardup_pairs_sharded(
             )
             .distinct()
         )
-        pairs = _threshold_pairs(_gather_dots(cand, bt, bc), threshold)
+        pairs = _threshold_pairs(
+            _gather_dots(cand, bt, transport), threshold
+        )
         path = os.path.join(scratch, f"shard_{s}")
         pairs.write.mode("overwrite").parquet(path)
         paths.append(path)

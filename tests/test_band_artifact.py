@@ -186,3 +186,44 @@ def test_sharded_neardup_equals_unsharded(spark, emb, tmp_path):
         ).collect()
     }
     assert sharded == single and len(sharded) > 0
+
+
+def test_mmap_transport_identical_to_broadcast(
+    spark, emb, tmp_path, monkeypatch
+):
+    """The memory-mapped matrix transport (one page-cached copy per
+    node, for corpora whose matrix exceeds the broadcast budget) is an
+    exact stand-in for the broadcast: forcing it (mmap threshold 0 +
+    bucket tier) yields byte-identical pairs, and the artifact lands
+    under the fingerprint-keyed gmat dirname."""
+    import glob
+    import os
+
+    monkeypatch.setenv("SMURF_ARTIFACT_CACHE", str(tmp_path / "cache"))
+    wide = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.cosine_neardup_pairs(
+            emb, 0.3, band_cache=None
+        ).collect()
+    }
+    monkeypatch.setattr(similarity, "_GATHER_VERIFY_MAX", 0)
+    monkeypatch.setattr(similarity, "_GATHER_MMAP_BYTES", 0)
+    mmapped = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.cosine_neardup_pairs(
+            emb, 0.3, band_cache=None
+        ).collect()
+    }
+    assert mmapped == wide and len(mmapped) > 0
+    assert glob.glob(
+        os.path.join(str(tmp_path / "cache"), "gmat_v1_n*_h*")
+    )
+    # the sharded form rides the same transport choice
+    sharded = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.cosine_neardup_pairs_sharded(
+            emb, 0.3, n_shards=2, band_cache=None,
+            scratch_dir=str(tmp_path / "shards"),
+        ).collect()
+    }
+    assert sharded == wide
