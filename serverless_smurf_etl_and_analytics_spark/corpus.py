@@ -68,7 +68,13 @@ def _commit_pinned(
     table_dir: str,
     shard: DataFrame,
     cols: list[str],
-) -> tuple[tuple[int, int] | None, int, tuple[int, int] | None, DataFrame]:
+) -> tuple[
+    tuple[int, int] | None,
+    int,
+    tuple[int, int] | None,
+    DataFrame,
+    DataFrame,
+]:
     """Append ``shard`` with the commit PINNED to the head whose
     fingerprint we read (``expect_head``), retrying the whole
     read-then-commit on a conflict. Without the pin, a concurrent
@@ -80,7 +86,19 @@ def _commit_pinned(
     ledger says; a conflicting ingest just re-reads and chains after
     the winner (whose artifact, if not yet advanced, makes our
     advance miss and fall back to a full build — slower, never
-    stale). Returns (old_fp, version, new_fp, rows@version)."""
+    stale).
+
+    Returns (old_fp, version, new_fp, committed_shard, rows@version).
+    ``committed_shard`` is the shard read BACK from the commit's own
+    staged files (:func:`tablelog.read_commit_shard`), never the
+    caller's plan: the ledger fingerprint was computed from those
+    bytes, and re-evaluating a NONDETERMINISTIC shard plan (rand()
+    sampling, unstable limit, a source mutated between evaluations)
+    after the commit would let the advance publish derived rows that
+    differ from the committed content under a valid key — the other
+    stale-artifact-under-valid-key hole (ADVICE r10). Every advance
+    below consumes ``committed_shard``, making shard determinism a
+    non-requirement."""
     while True:
         head = tablelog.latest_version(table_dir)
         old_fp = (
@@ -99,6 +117,7 @@ def _commit_pinned(
             old_fp,
             version,
             tablelog.ledger_fingerprint(table_dir, cols, version=version),
+            tablelog.read_commit_shard(spark, table_dir, version),
             tablelog.read_version(spark, table_dir, version),
         )
 
@@ -138,15 +157,19 @@ def ingest_documents(
     The shard arrives as its OWN DataFrame — the O(shard) advance
     contract. Deriving the shard by diffing the grown fact table would
     erase the win (measured r9: 2.1 s shard-append vs 8.9 s rebuild at
-    sf1, but only when the shard never touches the full corpus)."""
+    sf1, but only when the shard never touches the full corpus). The
+    advances below consume the shard read BACK from the commit's
+    staged files (still O(shard)), so a nondeterministic shard plan
+    cannot desynchronize artifacts from the ledger (see
+    :func:`_commit_pinned`)."""
     root = cache_root(cache)
-    old_fp, version, new_fp, current = _commit_pinned(
+    old_fp, version, new_fp, committed, current = _commit_pinned(
         spark, table_dir, shard, DOC_FP_COLS
     )
     stats: dict = {"version": version, "fingerprint": new_fp}
     if "shingle" in families:
         _advance_or_build(
-            dedup.advance_shingle_artifact(shard, old_fp, new_fp, root)
+            dedup.advance_shingle_artifact(committed, old_fp, new_fp, root)
             if old_fp
             else None,
             lambda: dedup.shingle_rows(
@@ -157,7 +180,7 @@ def ingest_documents(
         )
     if "minhash" in families:
         _advance_or_build(
-            dedup.advance_minhash_artifact(shard, old_fp, new_fp, root)
+            dedup.advance_minhash_artifact(committed, old_fp, new_fp, root)
             if old_fp
             else None,
             lambda: dedup.minhash_signatures(
@@ -169,7 +192,7 @@ def ingest_documents(
     if "simhash" in families:
         _advance_or_build(
             dedup.advance_simhash_artifact(
-                shard, old_fp, new_fp, root, SIMHASH_BITS
+                committed, old_fp, new_fp, root, SIMHASH_BITS
             )
             if old_fp
             else None,
@@ -181,7 +204,7 @@ def ingest_documents(
         )
     if "winnow" in families:
         _advance_or_build(
-            textops.advance_winnow_artifact(shard, old_fp, new_fp, root)
+            textops.advance_winnow_artifact(committed, old_fp, new_fp, root)
             if old_fp
             else None,
             lambda: textops.cached_winnow_fps(
@@ -206,12 +229,12 @@ def ingest_embeddings(
     planes), so every config the old artifact served, the new one
     serves too."""
     root = cache_root(cache)
-    old_fp, version, new_fp, current = _commit_pinned(
+    old_fp, version, new_fp, committed, current = _commit_pinned(
         spark, table_dir, shard, EMB_FP_COLS
     )
     stats: dict = {"version": version, "fingerprint": new_fp}
     _advance_or_build(
-        similarity.advance_band_artifact(shard, old_fp, new_fp, root)
+        similarity.advance_band_artifact(committed, old_fp, new_fp, root)
         if old_fp
         else None,
         lambda: similarity.materialize_band_artifact(
@@ -236,12 +259,12 @@ def ingest_transactions(
     changes that order's basket, so such corrections must instead
     restate under a fresh key (full rebuild)."""
     root = cache_root(cache)
-    old_fp, version, new_fp, current = _commit_pinned(
+    old_fp, version, new_fp, committed, current = _commit_pinned(
         spark, table_dir, shard, TXN_FP_COLS
     )
     stats: dict = {"version": version, "fingerprint": new_fp}
     _advance_or_build(
-        joins.advance_co_artifact(shard, old_fp, new_fp, root)
+        joins.advance_co_artifact(committed, old_fp, new_fp, root)
         if old_fp
         else None,
         lambda: joins.cached_co_pair_daily(
@@ -300,24 +323,32 @@ def minhash_neardup(
     spark: SparkSession,
     table_dir: str,
     threshold: float = 0.5,
+    cache: str | None = None,
 ) -> DataFrame:
     """d4 (MinHash+LSH near-dup pairs) over a maintained document
     corpus, ledger-fed: signature/shingle artifact keys come from the
-    commit log, never a corpus scan."""
+    commit log, never a corpus scan. ``cache`` must be the root the
+    corpus was ingested into (default: the shared root) — threaded
+    through every artifact-gated stage so a custom-root corpus never
+    silently misses and rebuilds at query time (ADVICE r10)."""
     docs, fp, _ = snapshot_documents(spark, table_dir)
-    return dedup.minhash_neardup_pairs(docs, threshold, fingerprint=fp)
+    return dedup.minhash_neardup_pairs(
+        docs, threshold, fingerprint=fp, cache=_query_cache(cache)
+    )
 
 
 def simhash_neardup(
     spark: SparkSession,
     table_dir: str,
     max_hamming: int = 6,
+    cache: str | None = None,
 ) -> DataFrame:
     """d6 (SimHash near-dup pairs, wide tier) over a maintained
-    document corpus, ledger-fed."""
+    document corpus, ledger-fed. ``cache``: see
+    :func:`minhash_neardup`."""
     docs, fp, _ = snapshot_documents(spark, table_dir)
     return dedup.simhash_neardup_pairs(
-        docs, max_hamming, SIMHASH_BITS, fp
+        docs, max_hamming, SIMHASH_BITS, fp, cache=_query_cache(cache)
     )
 
 
@@ -325,12 +356,15 @@ def winnow_overlap_pairs(
     spark: SparkSession,
     table_dir: str,
     min_shared: int = 2,
+    cache: str | None = None,
 ) -> DataFrame:
     """wn1 (winnow fingerprint overlap report) over a maintained
-    document corpus, ledger-fed."""
+    document corpus, ledger-fed. ``cache``: see
+    :func:`minhash_neardup`."""
     docs, fp, _ = snapshot_documents(spark, table_dir)
     return textops.winnow_overlap(
-        docs, min_shared=min_shared, fingerprint=fp
+        docs, min_shared=min_shared, fingerprint=fp,
+        cache=_query_cache(cache),
     )
 
 

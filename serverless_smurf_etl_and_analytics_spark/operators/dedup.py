@@ -207,15 +207,21 @@ def _shingle_rows_inline(docs: DataFrame, n: int) -> DataFrame:
 
 
 def doc_shingle_sets(
-    docs: DataFrame, fingerprint: tuple[int, int] | None = None
+    docs: DataFrame,
+    fingerprint: tuple[int, int] | None = None,
+    cache: str | None = "auto",
 ) -> DataFrame:
     """(doc_id, sh array<string>, n_sh) — per-doc distinct shingle set,
     materialized by aggregation so joins against it never recompute the
     shingling. Docs with <n tokens keep an empty array (left join back
     to the doc list), matching the array-form semantics. ``fingerprint``
     passes the ledger pair through to the shingle stage (zero-scan
-    artifact hit in a maintained pipeline)."""
-    sets = shingle_rows(docs, fingerprint=fingerprint).groupBy("doc_id").agg(
+    artifact hit in a maintained pipeline); ``cache`` is the artifact
+    root the shingle stage resolves against (default: the shared
+    root via the "auto" gate)."""
+    sets = shingle_rows(
+        docs, cache=cache, fingerprint=fingerprint
+    ).groupBy("doc_id").agg(
         F.collect_list("sh").alias("sh")
     )
     return (
@@ -337,13 +343,16 @@ def _minhash_signatures_from(
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, fingerprint: tuple[int, int] | None = None
+    docs: DataFrame,
+    fingerprint: tuple[int, int] | None = None,
+    cache: str | None = "auto",
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidate pairs
     (doc_a < doc_b, deduped across bands). The band table is one
     explode over the aggregated signatures — a plain-attribute
-    self-equi-join, no signature recomputation."""
-    sig = minhash_signatures(docs, fingerprint=fingerprint)
+    self-equi-join, no signature recomputation. ``cache``: artifact
+    root for the signature stage (see :func:`minhash_signatures`)."""
+    sig = minhash_signatures(docs, cache=cache, fingerprint=fingerprint)
     n_bands = N_MINHASH // BAND_SIZE
     exploded = sig.select(
         "doc_id",
@@ -383,11 +392,13 @@ def jaccard_verify(
     docs: DataFrame,
     pairs: DataFrame,
     fingerprint: tuple[int, int] | None = None,
+    cache: str | None = "auto",
 ) -> DataFrame:
     """Candidate verification: exact bigram-set Jaccard per candidate
     pair (intersection/union on the materialized distinct shingle
-    sets), 3-decimal."""
-    sh = doc_shingle_sets(docs, fingerprint)
+    sets), 3-decimal. ``cache``: artifact root for the shingle
+    stage."""
+    sh = doc_shingle_sets(docs, fingerprint, cache)
     j = (
         pairs.join(
             sh.select(
@@ -422,6 +433,7 @@ def minhash_neardup_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     fingerprint: tuple[int, int] | None = None,
+    cache: str | None = "auto",
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: band -> candidates -> exact
     Jaccard -> threshold.
@@ -432,12 +444,19 @@ def minhash_neardup_pairs(
     logically-equal subtree — so the corpus is tokenized once, not once
     per stage. The cache is session-lived and caller-owned: long-lived
     sessions free it via ``session.clear_operator_caches`` (or
-    ``unpersist()`` on a tracked handle) after consuming."""
-    shingle_rows(docs, fingerprint=fingerprint).persist(
+    ``unpersist()`` on a tracked handle) after consuming.
+
+    ``cache``: artifact root threaded to every artifact-gated stage
+    (shingles, signatures) — a maintained corpus ingested into a
+    CUSTOM root must query against the same root or every lookup
+    silently misses and rebuilds (ADVICE r10); default "auto" resolves
+    the shared root behind the size gate as before."""
+    shingle_rows(docs, cache=cache, fingerprint=fingerprint).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     verified = jaccard_verify(
-        docs, lsh_candidate_pairs(docs, fingerprint), fingerprint
+        docs, lsh_candidate_pairs(docs, fingerprint, cache),
+        fingerprint, cache,
     )
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -606,6 +625,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 6,
     bits: int = 32,
     fingerprint: tuple[int, int] | None = None,
+    cache: str | None = "auto",
 ) -> DataFrame:
     """Pigeonhole-banded SimHash near-dup with GUARANTEED recall: the
     ``bits``-wide signature is split into ``max_hamming + 1`` contiguous
@@ -647,7 +667,7 @@ def simhash_neardup_pairs(
         )
     if bits > 64:
         return _simhash_neardup_pairs_wide(
-            docs, max_hamming, bits, fingerprint
+            docs, max_hamming, bits, fingerprint, cache
         )
     # bits > 32: assemble the long from two halves — conv() returns an
     # UNSIGNED decimal string, so a direct cast overflows to null for
@@ -668,7 +688,7 @@ def simhash_neardup_pairs(
         )
     else:
         sig_col = F.conv("simhash", 2, 10).cast("long")
-    s = simhash(docs, bits, fingerprint=fingerprint).select(
+    s = simhash(docs, bits, cache=cache, fingerprint=fingerprint).select(
         "doc_id", sig_col.alias("sig")
     )
     bounds = band_bounds(bits, max_hamming + 1)
@@ -751,6 +771,7 @@ def _simhash_neardup_pairs_wide(
     max_hamming: int,
     bits: int,
     fingerprint: tuple[int, int] | None = None,
+    cache: str | None = "auto",
 ) -> DataFrame:
     """The 64 < bits <= 128 tier of :func:`simhash_neardup_pairs` —
     same pigeonhole scheme, different packing. The signature is an
@@ -780,7 +801,7 @@ def _simhash_neardup_pairs_wide(
             for st, ln in bounds
         ]
     )
-    s = simhash(docs, bits, fingerprint=fingerprint).select(
+    s = simhash(docs, bits, cache=cache, fingerprint=fingerprint).select(
         "doc_id", sig_arr.alias("sig"), band_arr.alias("bands")
     )
     p = docs.sparkSession.sparkContext.defaultParallelism

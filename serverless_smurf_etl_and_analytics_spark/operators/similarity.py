@@ -645,8 +645,10 @@ def _matrix_npy_artifact(
     root: str | None = None,
 ) -> str | None:
     """Find-or-build the corpus fixed-point matrix as memory-mappable
-    ``.npy`` files (``ids.npy`` int64 sorted, ``mat.npy`` int32,
-    ``n2.npy`` int64) under a fingerprint-keyed dirname — the
+    ``.npy`` files (``ids.npy`` int64 sorted, ``mat.npy`` int32 — or
+    int64 when any fixed-point value would overflow int32, see
+    :func:`_narrowest_fixed_matrix` — ``n2.npy`` int64) under a
+    fingerprint-keyed dirname — the
     node-shared transport for the gather verify above
     ``_GATHER_MMAP_BYTES``. Atomic tmp+rename like every artifact;
     None on any environmental failure (caller falls back to the
@@ -684,9 +686,7 @@ def _matrix_npy_artifact(
             )
             * SCALE
         )
-        mat = np.where(
-            x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)
-        ).astype(np.int32)[order]
+        mat = _narrowest_fixed_matrix(x)[order]
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(tmp)
         np.save(os.path.join(tmp, "ids.npy"), ids[order])
@@ -698,11 +698,38 @@ def _matrix_npy_artifact(
         try:
             os.rename(tmp, path)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost race: fine
+            shutil.rmtree(tmp, ignore_errors=True)
+        # the rename can fail for reasons OTHER than a lost publish
+        # race (EACCES, EXDEV, read-only root): returning ``path``
+        # then would hand executors a directory that does not exist
+        # and turn the documented fall-back-to-broadcast behavior
+        # into a task-time np.load failure (ADVICE r10). Only a path
+        # that actually exists — ours or the race winner's — is a
+        # valid transport handle.
+        if not os.path.isdir(path):
+            return None
         touch(path)
         return path
     except Exception:
         return None
+
+
+def _narrowest_fixed_matrix(x):
+    """Round a SCALE-multiplied float64 matrix to fixed-point integers
+    in the narrowest EXACT dtype: int32 when every |value| fits
+    (embeddings in unit range — |v| <= ~1 gives |fixed| <= SCALE =
+    1e7, 15x inside int32), else int64. Nothing upstream validates
+    that components are unit-range, so the r10 int32 narrowing must
+    be guarded: ``astype(np.int32)`` on a component with |v| >
+    2^31/SCALE ~ 214.7 wraps SILENTLY and corrupts every dot it
+    touches (ADVICE r10). The gather einsum accumulates in int64
+    either way, so both dtypes are value-identical downstream."""
+    import numpy as np
+
+    r = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+    if r.size == 0 or np.abs(r).max() <= np.iinfo(np.int32).max:
+        return r.astype(np.int32)
+    return r.astype(np.int64)
 
 
 def _gather_transport(
@@ -739,9 +766,7 @@ def _build_gather_bc(bt: DataFrame):
         )
         * SCALE
     )
-    mat = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
-        np.int32
-    )[order]
+    mat = _narrowest_fixed_matrix(x)[order]
     n2 = pdf["n2"].to_numpy(np.int64)[order]
     bc = bt.sparkSession.sparkContext.broadcast((ids_sorted, mat, n2))
     _swap_gather_bc(bc)
@@ -759,12 +784,14 @@ def _gather_dots(cand: DataFrame, bt: DataFrame, transport=None) -> DataFrame:
     query-matrix precedent), gated by ``_GATHER_VERIFY_MAX`` for the
     mid tier and shared by the bucket tier above it.
 
-    The matrix is held in int32 (r10): fixed-point values are
-    ``±SCALE`` = ±1e7, well inside int32, which HALVES the per-worker
-    broadcast footprint (256 B/vector — 512 MB at 2M vectors); the
+    The matrix is held in int32 (r10) when unit-range embeddings keep
+    every fixed-point value inside it (``±SCALE`` = ±1e7 — the common
+    case), HALVING the per-worker broadcast footprint (256 B/vector —
+    512 MB at 2M vectors); out-of-range components fall back to int64
+    rather than wrap (:func:`_narrowest_fixed_matrix`, r11). The
     einsum accumulates with ``dtype=int64``, which upcasts the
     operands before multiplying, so every product and sum is exact
-    int64 math — value-identical to the int64 form (pytest-pinned).
+    int64 math — value-identical either way (pytest-pinned).
 
     ``transport``: a prebuilt :func:`_gather_transport` result —
     callers issuing SEVERAL gather passes over one corpus (the

@@ -403,6 +403,7 @@ def winnow_overlap(
     max_df: int = 50,
     min_shared: int = 2,
     fingerprint: tuple[int, int] | None = None,
+    cache: str | None = "auto",
 ) -> DataFrame:
     """wn1: partial-overlap / quotation detection from winnowing
     fingerprints — the pair report MOSS builds: for every document
@@ -427,8 +428,10 @@ def winnow_overlap(
     and is persisted once by :func:`winnow_fingerprints` — the
     operator-cache idiom of the dedup band tables; lifetime is
     caller-owned (``session.clear_operator_caches``). All counts
-    integer -> hash-portable."""
-    fps = winnow_fingerprints(docs, k, w, fingerprint=fingerprint)
+    integer -> hash-portable. ``cache``: artifact root threaded to
+    the fingerprint stage — a corpus maintained in a custom root must
+    query against the same root (ADVICE r10)."""
+    fps = winnow_fingerprints(docs, k, w, cache=cache, fingerprint=fingerprint)
     dft = fps.groupBy("fp").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )

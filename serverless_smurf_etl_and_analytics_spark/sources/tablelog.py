@@ -383,6 +383,34 @@ def read_version(
     return spark.read.parquet(*dirs)
 
 
+def read_commit_shard(
+    spark: SparkSession, table_dir: str, version: int
+) -> DataFrame:
+    """The rows WRITTEN by commit ``version`` — read from that
+    commit's own staged files (the data_dirs it added over its
+    parent), not by re-evaluating the caller's shard plan. This is
+    what the corpus ingest layer feeds the artifact ``advance_*``
+    functions: the ledger fingerprint was computed from these exact
+    bytes, so an advance derived from them can never publish rows
+    that differ from the committed content under a valid key — which
+    a NONDETERMINISTIC shard plan (rand() sampling, unstable limit, a
+    source mutated between evaluations) re-evaluated post-commit
+    could (ADVICE r10). For version 0 and overwrite commits the added
+    dirs are the whole content, which IS the shard."""
+    cur = _read_manifest(table_dir, version)["data_dirs"]
+    if version == 0:
+        added = cur
+    else:
+        prev = set(_read_manifest(table_dir, version - 1)["data_dirs"])
+        added = [d for d in cur if d not in prev]
+    if not added:
+        raise ValueError(
+            f"version {version} of {table_dir} added no data dirs"
+            " (empty or metadata-only commit has no shard to read)"
+        )
+    return spark.read.parquet(*added)
+
+
 def history(table_dir: str) -> list[dict]:
     """All committed manifests, oldest first."""
     head = latest_version(table_dir)

@@ -227,3 +227,81 @@ def test_mmap_transport_identical_to_broadcast(
         ).collect()
     }
     assert sharded == wide
+
+
+def test_fixed_matrix_narrows_to_int32_only_when_exact():
+    """ADVICE r10: the r10 int32 narrowing of the gather matrix must
+    be GUARDED — a fixed-point value past int32 falls back to int64
+    instead of wrapping silently. Boundary values survive exactly."""
+    import numpy as np
+
+    nm = similarity._narrowest_fixed_matrix
+    m = nm(np.array([[0.4, -0.6], [float(2**31 - 2), 0.0]]))
+    assert m.dtype == np.int32
+    assert int(m[1, 0]) == 2**31 - 2
+    big = nm(np.array([[float(2**31), -0.6]]))
+    assert big.dtype == np.int64 and int(big[0, 0]) == 2**31
+    neg = nm(np.array([[-float(2**31) - 10.0]]))
+    assert neg.dtype == np.int64 and int(neg[0, 0]) == -(2**31) - 10
+    assert nm(np.zeros((0, 4))).dtype == np.int32
+
+
+def test_gather_dots_exact_for_out_of_unit_range_embeddings(spark):
+    """End-to-end: a component at |v| = 250 (> 2^31/SCALE ~ 214.7,
+    which the unguarded int32 cast would wrap) still yields the exact
+    integer dot through the broadcast gather transport."""
+    bt = spark.createDataFrame(
+        [
+            (1, [250.0, 0.5]),
+            (2, [1.0, -0.25]),
+        ],
+        "vec_id long, embedding array<double>",
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x * similarity.SCALE).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x * x,
+        ),
+    )
+    cand = spark.createDataFrame(
+        [(1, 2)], "vec_a long, vec_b long"
+    )
+    [row] = similarity._gather_dots(cand, bt).collect()
+    # iv_1 = [2_500_000_000, 5_000_000], iv_2 = [10_000_000, -2_500_000]
+    assert row["dot"] == (
+        2_500_000_000 * 10_000_000 + 5_000_000 * (-2_500_000)
+    )
+
+
+def test_matrix_artifact_returns_none_when_rename_fails(
+    spark, emb, tmp_path, monkeypatch
+):
+    """ADVICE r10: a rename failure that is NOT a lost publish race
+    (EACCES/EXDEV/read-only root) must return None — falling back to
+    the broadcast transport — never a path executors cannot np.load."""
+    import os as _os
+
+    root = str(tmp_path / "gmroot")
+    real_rename = _os.rename
+
+    def refuse(src, dst, *a, **kw):
+        if "gmat_" in str(dst):
+            raise OSError("EXDEV: cross-device link")
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(_os, "rename", refuse)
+    bt = similarity.fixed_point(emb).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    assert (
+        similarity._matrix_npy_artifact(bt, fingerprint=(5, 99), root=root)
+        is None
+    )
+    # and the transport degrades to broadcast instead of erroring
+    monkeypatch.setattr(similarity, "_GATHER_MMAP_BYTES", 0)
+    kind, _ = similarity._gather_transport(bt, 5, (5, 99))
+    assert kind == "bc"

@@ -22,6 +22,7 @@ from serverless_smurf_etl_and_analytics_spark.operators import (
     similarity,
     textops,
 )
+from serverless_smurf_etl_and_analytics_spark.sources import tablelog
 
 from conftest import SF_DIR
 
@@ -161,3 +162,125 @@ def test_transaction_corpus_ingest_then_zero_scan_copurchase(
         _rows(corpus.copurchase_range_topk(spark, t, start, end))
         == co2_inline
     )
+
+
+def test_ingest_advance_survives_nondeterministic_shard(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10 (medium): every artifact advance must derive from
+    the commit's own staged files — never from re-evaluating the
+    caller's shard plan, which a nondeterministic source would let
+    drift from what the ledger fingerprint hashed. Proven two ways:
+    (a) the advance input reads ONLY files inside the table dir that
+    the parent version does not list; (b) end-to-end — the shard's
+    SOURCE is destroyed before the advances run, yet the maintained
+    queries still equal the inline full-corpus results."""
+    import shutil
+
+    monkeypatch.setenv("SMURF_ARTIFACT_CACHE", str(tmp_path / "cache"))
+    t = str(tmp_path / "docs")
+    docs = tables.load(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    d4_inline = _rows(
+        dedup.minhash_neardup_pairs(docs, 0.5).select("doc_a", "doc_b")
+    )
+
+    corpus.ingest_documents(spark, t, a)
+    v0_files = set(tablelog.read_version(spark, t, 0).inputFiles())
+
+    # shard b arrives via a scratch source that VANISHES post-commit
+    scratch = str(tmp_path / "scratch")
+    b.write.mode("overwrite").parquet(scratch)
+    shard = spark.read.parquet(scratch)
+
+    seen: dict = {}
+    real_advance = dedup.advance_shingle_artifact
+
+    def capture_then_mutate(new_docs, *args, **kw):
+        seen["files"] = new_docs.inputFiles()
+        shutil.rmtree(scratch)  # the caller's plan is now unreadable
+        return real_advance(new_docs, *args, **kw)
+
+    monkeypatch.setattr(
+        dedup, "advance_shingle_artifact", capture_then_mutate
+    )
+    s2 = corpus.ingest_documents(spark, t, shard)
+    assert [s2[f] for f in corpus.DOC_FAMILIES] == ["advanced"] * 4
+
+    # (a) the advance consumed committed bytes, not the scratch source
+    files = set(seen["files"])
+    assert files and not (files & v0_files)
+    assert all(os.path.realpath(f.replace("file:", "")).startswith(
+        os.path.realpath(t)
+    ) for f in files)
+
+    # (b) the maintained query over the advanced artifacts is exact
+    _open_gates(monkeypatch)
+    _ban_scans_and_builds(monkeypatch)
+    assert _rows(
+        corpus.minhash_neardup(spark, t, 0.5).select("doc_a", "doc_b")
+    ) == d4_inline
+
+
+def test_custom_root_corpus_queries_hit_without_rebuild(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: ``cache=`` on ingest_* must pair with a ``cache=``
+    on the query wrappers — ingesting into a custom root then querying
+    it must HIT the maintained artifacts (zero scans, zero builds),
+    not silently rebuild. The env root points elsewhere to prove the
+    custom root is the one consulted."""
+    monkeypatch.setenv(
+        "SMURF_ARTIFACT_CACHE", str(tmp_path / "env_root")
+    )
+    root = str(tmp_path / "custom_root")
+    t = str(tmp_path / "docs")
+    te = str(tmp_path / "emb")
+    docs = tables.load(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    emb = tables.load(spark, SF_DIR, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+
+    d4_inline = _rows(
+        dedup.minhash_neardup_pairs(docs, 0.5).select("doc_a", "doc_b")
+    )
+    d6_inline = _rows(dedup.simhash_neardup_pairs(docs, 6, 128))
+    wn1_inline = _rows(textops.winnow_overlap(docs, min_shared=2))
+    sim2_inline = _rows(
+        similarity.cosine_neardup_pairs(emb, 0.3, band_cache=None)
+    )
+
+    corpus.ingest_documents(
+        spark, t, docs.filter(F.col("doc_id") % 2 == 0), cache=root
+    )
+    corpus.ingest_documents(
+        spark, t, docs.filter(F.col("doc_id") % 2 == 1), cache=root
+    )
+    corpus.ingest_embeddings(
+        spark, te, emb.filter(F.col("vec_id") % 2 == 0), cache=root
+    )
+    corpus.ingest_embeddings(
+        spark, te, emb.filter(F.col("vec_id") % 2 == 1), cache=root
+    )
+
+    _open_gates(monkeypatch)
+    _ban_scans_and_builds(monkeypatch)
+    assert _rows(
+        corpus.minhash_neardup(spark, t, 0.5, cache=root).select(
+            "doc_a", "doc_b"
+        )
+    ) == d4_inline
+    assert _rows(
+        corpus.simhash_neardup(spark, t, 6, cache=root)
+    ) == d6_inline
+    assert _rows(
+        corpus.winnow_overlap_pairs(spark, t, min_shared=2, cache=root)
+    ) == wn1_inline
+    assert _rows(
+        corpus.cosine_neardup(spark, te, 0.3, cache=root)
+    ) == sim2_inline

@@ -578,3 +578,27 @@ def test_ledger_fingerprint_matches_model(spark, tmp_path_factory, cmds):
             ), f"version {v}"
         else:
             assert led is None, f"version {v}: expected None, got {led}"
+
+
+def test_read_commit_shard_returns_exactly_the_added_rows(
+    spark, tmp_path
+):
+    """read_commit_shard(v) is the rows commit v WROTE (its own staged
+    files), for first commit, appends, and overwrites — the input the
+    corpus ingest layer feeds artifact advances so they derive from
+    the same bytes the ledger fingerprint hashed (ADVICE r10)."""
+    t = str(tmp_path / "t")
+    base = _daily(spark)
+    a = base.filter(F.col("store_id") % 2 == 0)
+    b = base.filter(F.col("store_id") % 2 == 1)
+    tablelog.commit_version(spark, t, a, mode="append")
+    tablelog.commit_version(spark, t, b, mode="append")
+    tablelog.commit_version(spark, t, a, mode="overwrite")
+    assert _rows(tablelog.read_commit_shard(spark, t, 0)) == _rows(a)
+    assert _rows(tablelog.read_commit_shard(spark, t, 1)) == _rows(b)
+    # overwrite: the added dirs ARE the whole logical content
+    assert _rows(tablelog.read_commit_shard(spark, t, 2)) == _rows(a)
+    # each shard read touches ONLY files outside the parent's listing
+    v0 = set(tablelog.read_version(spark, t, 0).inputFiles())
+    v1_shard = set(tablelog.read_commit_shard(spark, t, 1).inputFiles())
+    assert v1_shard and not (v1_shard & v0)
