@@ -37,52 +37,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # every registered query has a driver-verified green row in at least
 # one round and nothing outside the window has a changed plan.
 _VERIFY_FIRST = [
-    # ================= r10 window (first 50) =================
-    # --- r10 changed plans, verified first: x1/x2's export range
-    # filter moved onto the FACTS (exact — sale_date is a group key;
-    # measured 30.2 s -> 2.6 s cold at sf10; baselines re-pinned,
-    # benchmarks/export_r10_sf10.json).
-    "x1_export_store_summaries", "x2_export_top_products",
-    # --- the remaining r7-green block (36 entries, staleness 3 this
-    # round — the repo's <=2-round freshness contract makes them the
-    # mandatory body of the r10 window; local parity green every
-    # round, plans unchanged except x1/x2 above):
-    "x3_export_anomalies", "x4_export_trends",
-    "x5_export_recommendations", "x6_export_manifest",
-    "r1_daily_report_lines",
-    "a2_payment_per_store_day",
-    "a3_top5_products_store_day", "sd_nested_store_daily",
-    "a4_payment_map_rollup", "a4_company_daily",
-    "a6_product_daily_exact", "a6_product_daily_top5_parity",
-    "j5_wide_pivot_timeseries", "j5_wide_serialized",
-    "a18_event_type_summary", "p1_store_summary_projection",
-    "p2_prefix_filter", "p3_point_lookup", "p4_range_filter_daily",
-    "p6_isin_filter", "u1_union_tagged", "f1_scalar_sampler",
-    "i1_anomaly_classify", "i2_trend_insights", "i3_recommendations",
-    "i4_combine_insights", "i5_insight_summary", "d8_decontaminate",
-    "t6_stratified_sample", "cur2_train_eval_split",
-    "mix1_source_mixing_weights", "cap1_source_cap",
-    "shuf1_deterministic_shuffle", "hist1_log2_histogram",
-    "hist2_histogram_range_merge", "qr1_quality_report",
-    # --- 12 spare slots: the head of the r8-green block in its r8
-    # order (48 entries, staleness 2 this round — they ALL come due
-    # in r11, so each one verified now shrinks the r11 window
-    # pressure to 36 + r11 changes):
-    "d5_simhash", "d6_simhash_neardup", "bud1_token_budget_select",
-    "rel1_release_order", "sim2_cosine_neardup", "d7_semantic_dedup",
-    "src2_cross_source_dups", "sim3_lsh_topk", "d9_semantic_dedup_cc",
-    "d10_minhash_dup_groups", "a19_dow_seasonality",
-    "aj1_event_order_asof",
-    # ================= past the 50-window =================
-    # r11 ROTATION PREP: (0) commit CORRECTNESS_r10/BENCH_r10 if the
-    # driver has not; then lead with any r11 plan changes, then this
-    # remaining r8-green block (36 entries, staleness 3 by r11), then
-    # the r9 window in its r9 order. 36 + changes fits one window
-    # unless r11 changes >14 plans; if it does, slip the tail of THIS
-    # list and say so here.
+    # ================= r11 window (first 50) =================
+    # --- r11 changed operators, verified first: x6's manifest counts
+    # rewired onto the shared store_daily MV (one fact scan); d9/d10's
+    # connected components gained degree-1 pre-contraction + min-label
+    # re-canonicalization (driver tier unchanged at this scale, but
+    # the operator changed); the doc-family pipelines (d3/d4/d6/d8/
+    # d11/wn1) and sim2 gained cache-root threading and the gather
+    # matrix narrowing guard (defaults preserve the verified plans —
+    # re-proven here rather than assumed):
+    "x6_export_manifest", "d9_semantic_dedup_cc",
+    "d10_minhash_dup_groups", "d4_minhash_neardup",
+    "d6_simhash_neardup", "d3_lsh_candidate_pairs",
+    "d8_decontaminate", "d11_containment", "wn1_winnow_overlap",
+    "sim2_cosine_neardup",
+    # --- the remaining r8-green block (35 entries after the d11
+    # overlap above — staleness 3 this round, the mandatory body of
+    # the r11 window per the <=2-round freshness contract; local
+    # parity green every round, plans unchanged):
     "co1_sku_copurchase", "coh1_cohort_retention",
     "cp1_cusum_changepoint", "cube1_store_payment_cube",
-    "cur1_curated_corpus", "d11_containment", "d12_editdist_neardup",
+    "cur1_curated_corpus", "d12_editdist_neardup",
     "dq1_profile_columns", "drift1_payment_tvd",
     "e1_embedding_dim_profile", "ev_session_windows",
     "ev_sliding_2h_hourly", "ev_tumbling_hourly",
@@ -95,6 +70,38 @@ _VERIFY_FIRST = [
     "t7_repetition_filter", "t8_doc_frequency", "tf1_tfidf_keywords",
     "tri1_copurchase_triangles", "u2_setops_assortment",
     "w1_weighted_sample", "w2_window_sampler", "z1_robust_zscore",
+    "sim3_lsh_topk",
+    # --- 5 spare slots: head of the r9-green window in its r9 order
+    # (staleness 2 this round; the rest of that window comes due in
+    # r12):
+    "co2_copurchase_range_merge", "tri2_triangles_range",
+    "wn2_winnow_decontaminate", "a7_trailing_7day",
+    "a10_deviation_vs_trailing",
+    # ================= past the 50-window =================
+    # r12 ROTATION PREP: (0) commit CORRECTNESS_r11/BENCH_r11 if the
+    # driver has not; then lead with any r12 plan changes, then the
+    # remaining r9-green window in its r9 order (45 entries below,
+    # staleness 3 by r12), then the r10 window in its r10 order as
+    # spares. 45 + changes exceeds one 50-window if r12 changes >5
+    # plans — if so, slip this list's tail into r13 and say so here.
+    "a11_trend_recent_vs_earlier", "a12_trend_half_vs_half",
+    "a13_trend_first_vs_last", "a8_company_trailing",
+    "a9_product_trailing", "a16_product_range_stats",
+    "j1_missing_stores_anti", "j3_brand_revenue",
+    "j5_dense_date_store_grid", "j6_top_customers",
+    "j7_store_region_rollup", "a14_kpi_for_range",
+    "a15_top_products_reagg", "a17_distinct_dates", "t1_text_stats",
+    "t2_lang_id", "t3_fingerprint", "t4_token_count_bpe",
+    "t5_rolling_fingerprint", "d1_exact_dedup",
+    "d2_minhash_signatures", "mm1_binary_fingerprint_dedup",
+    "mm2_modality_stats", "mm3_pairing_integrity", "sim1_cosine_topk",
+    "sim4_ivf_topk", "t9_pii_scrub", "c1_kmeans_clusters",
+    "pq1_pq_codes", "ivfpq1_topk", "pq2_adc_topk", "pq4_adc_rerank",
+    "pq3_residual_codes", "src1_corpus_datasheet",
+    "sk2_kmv_range_merge", "sk3_kmv_set_overlap",
+    "qr2_cardinality_drift", "cm1_range_heavy_users",
+    "hh1_heavy_hitters", "scd2_validity_intervals",
+    "a1_store_day_metrics", "a2_payment_breakdown",
 ]
 
 

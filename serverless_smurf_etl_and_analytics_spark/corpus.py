@@ -161,12 +161,56 @@ def ingest_documents(
     advances below consume the shard read BACK from the commit's
     staged files (still O(shard)), so a nondeterministic shard plan
     cannot desynchronize artifacts from the ledger (see
-    :func:`_commit_pinned`)."""
+    :func:`_commit_pinned`).
+
+    Fused tokenize (r11, VERDICT r10 task 8): the shingle, simhash,
+    and winnow builders each walk the documents through the SAME
+    ``token_rows`` subtree (and shingle/minhash share the bigram
+    subtree on top of it), so this function persists those two
+    subtrees over the ingest input and lets Spark's cache manager
+    substitute them into every family's logically-equal plan — the
+    shard is tokenized ONCE per ingest, not once per family. The
+    pins are dropped before returning (every advance/build is eager,
+    so nothing escapes unmaterialized)."""
+    from pyspark.storagelevel import StorageLevel
+
     root = cache_root(cache)
     old_fp, version, new_fp, committed, current = _commit_pinned(
         spark, table_dir, shard, DOC_FP_COLS
     )
     stats: dict = {"version": version, "fingerprint": new_fp}
+    base = committed if old_fp else current
+    pinned = [
+        textops.token_rows(base).persist(StorageLevel.MEMORY_AND_DISK)
+    ]
+    if {"shingle", "minhash"} & set(families):
+        pinned.append(
+            dedup._shingle_rows_inline(base, 2).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        )
+    try:
+        _maintain_doc_families(
+            committed, current, old_fp, new_fp, root, families, stats
+        )
+    finally:
+        for df in pinned:
+            df.unpersist()
+    return stats
+
+
+def _maintain_doc_families(
+    committed: DataFrame,
+    current: DataFrame,
+    old_fp: tuple[int, int] | None,
+    new_fp: tuple[int, int] | None,
+    root: str,
+    families: tuple[str, ...],
+    stats: dict,
+) -> None:
+    """Advance-or-build each document artifact family — the body of
+    :func:`ingest_documents`, factored out so the fused-tokenize pins
+    wrap it in one try/finally."""
     if "shingle" in families:
         _advance_or_build(
             dedup.advance_shingle_artifact(committed, old_fp, new_fp, root)
@@ -213,7 +257,6 @@ def ingest_documents(
             "winnow",
             stats,
         )
-    return stats
 
 
 def ingest_embeddings(

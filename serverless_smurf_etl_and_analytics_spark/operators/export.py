@@ -196,16 +196,37 @@ def export_datasets(
 def export_manifest(txns: DataFrame, start: str, end: str) -> DataFrame:
     """Manifest as data: dataset name + row count + column count
     (the reference manifest lists each dataset's files and sizes,
-    ``export-to-quicksight/lambda_function.py:363-388``)."""
-    parts = []
-    for name, df in export_datasets(txns, start, end).items():
-        parts.append(
-            df.agg(F.count(F.lit(1)).alias("row_count")).select(
-                F.lit(name).alias("dataset"),
-                "row_count",
-                F.lit(len(df.columns)).cast("int").alias("column_count"),
-            )
+    ``export-to-quicksight/lambda_function.py:363-388``).
+
+    Counts come from the narrowest shared source (r11): the
+    store_summaries row count is the (store, day) group count in
+    range, read off the SAME persisted store_daily_cents MV the three
+    insight datasets already consume — exact, because sale_date is a
+    group key, so filtering the full-history MV to the range yields
+    precisely the groups of the range-filtered facts; it also skips
+    the dataset plan's countDistinct(transaction_id) shuffle, which a
+    bare row count never needed. Only top_products still scans
+    (range-pruned) facts, because its rank rows live at (store, day,
+    sku) grain, which the MV does not carry. column_count still comes
+    from the real dataset plans, so the manifest can never drift from
+    what ``write_ndjson_export`` writes."""
+    ds = export_datasets(txns, start, end)
+    count_src = dict(
+        ds,
+        store_summaries=store_daily_cents(txns).filter(
+            F.col("sale_date").between(start, end)
+        ),
+    )
+    parts = [
+        count_src[name]
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .select(
+            F.lit(name).alias("dataset"),
+            "row_count",
+            F.lit(len(df.columns)).cast("int").alias("column_count"),
         )
+        for name, df in ds.items()
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -263,18 +263,20 @@ def decode_assets(
     duration for audio/video, and a coarse byte-entropy quantile) via
     ``mapInPandas`` over Arrow batches.
 
-    The decoder is a DETERMINISTIC FAKE — metadata is derived from the
-    md5 digest of the payload bytes, so tests get stable values and the
-    batch plumbing (schema, signature, per-partition iteration) is
-    fully exercised. The real decoder slot requires codec libraries
-    (PIL/ffmpeg) that are not in this environment and is explicitly
-    stubbed."""
+    The default decoder is a DETERMINISTIC FAKE — metadata is derived
+    from the md5 digest of the payload bytes, so tests get stable
+    values and the batch plumbing (schema, signature, per-partition
+    iteration) is fully exercised. ``use_real_decoder=True`` routes
+    through the REAL zero-dependency codecs (r11): image payloads
+    decode via :func:`decode_raster` (binary PPM, PNG, baseline JPEG)
+    and audio payloads via :func:`decode_wav` (PCM WAV) — actual
+    pixels/samples, actual dimensions/durations, actual byte entropy.
+    Only video (and compressed formats beyond those codecs) stays
+    honestly stubbed: those rows raise NotImplementedError at task
+    time, because frame decode genuinely needs ffmpeg/PIL, which this
+    environment does not ship."""
     if use_real_decoder:
-        raise NotImplementedError(
-            "real image/audio/video decoding requires codec libraries "
-            "(PIL, ffmpeg) not available in this environment; the "
-            "deterministic fake decoder exercises the same plumbing"
-        )
+        return _decode_assets_real(docs)
     d = with_binary_payload(docs)
 
     # self-contained closure: no module-global references, so workers
@@ -318,6 +320,83 @@ def decode_assets(
             yield pd.DataFrame(out)
 
     return d.mapInPandas(fake_decode, DECODE_SCHEMA)
+
+
+def _decode_assets_real(docs: DataFrame) -> DataFrame:
+    """The ``use_real_decoder=True`` path of :func:`decode_assets`:
+    REAL per-asset metadata via the zero-dependency codecs. Rows with
+    a ``payload`` column are consumed as-is (the real-asset shape);
+    otherwise the typed projection comes from
+    :func:`with_binary_payload`. Per row:
+
+    - ``image``: :func:`decode_raster` (PPM/PNG/baseline JPEG) ->
+      true width/height/channels; other image formats raise its
+      NotImplementedError (they need PIL).
+    - ``audio``: :func:`decode_wav` (PCM WAV) -> true channel count
+      and integer duration_ms; malformed audio raises ValueError.
+    - ``video``: NotImplementedError at task time — frame decode
+      genuinely needs ffmpeg. Filter video rows out (or decode them
+      with the deterministic fake) before collecting.
+
+    ``byte_entropy_q`` is the REAL Shannon byte entropy of the
+    payload, normalized to [0, 1] by the 8-bit maximum and rounded to
+    3 decimals — the quantity the fake only pretends at."""
+    d = docs if "payload" in docs.columns else with_binary_payload(docs)
+
+    def real_decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {
+                "doc_id": [], "modality": [], "n_bytes": [], "width": [],
+                "height": [], "channels": [], "duration_ms": [],
+                "byte_entropy_q": [],
+            }
+            for doc_id, modality, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                buf = bytes(payload)
+                if modality == "image":
+                    px = decode_raster(buf)
+                    height, width = int(px.shape[0]), int(px.shape[1])
+                    channels = int(px.shape[2]) if px.ndim == 3 else 1
+                    duration_ms = None
+                elif modality == "audio":
+                    samples, rate = decode_wav(buf)
+                    width = height = None
+                    channels = int(samples.shape[1])
+                    duration_ms = samples.shape[0] * 1000 // rate
+                else:
+                    raise NotImplementedError(
+                        f"real decode of modality {modality!r} requires "
+                        "ffmpeg, not available in this environment; "
+                        "filter these rows out or use the deterministic "
+                        "fake decoder"
+                    )
+                if buf:
+                    counts = np.bincount(
+                        np.frombuffer(buf, np.uint8), minlength=256
+                    )
+                    p = counts[counts > 0] / len(buf)
+                    entropy_q = round(
+                        float(-(p * np.log2(p)).sum()) / 8.0, 3
+                    )
+                else:
+                    entropy_q = 0.0
+                out["doc_id"].append(doc_id)
+                out["modality"].append(modality)
+                out["n_bytes"].append(len(buf))
+                out["width"].append(width)
+                out["height"].append(height)
+                out["channels"].append(channels)
+                out["duration_ms"].append(duration_ms)
+                out["byte_entropy_q"].append(entropy_q)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(real_decode, DECODE_SCHEMA)
 
 
 # ---- real zero-dependency image codec (binary PPM / P6) -------------------

@@ -1130,10 +1130,56 @@ def cosine_neardup_pairs(
     return _threshold_pairs(dots, threshold)
 
 
+# spill-volume model for the sharded near-dup tier, calibrated on the
+# r10 emb2m incident run: 2M vectors x 36 adaptive bands peaked at
+# ~23 GB of shuffle spill through the single-pass bucket tier
+# (candidates + distinct + gather verify), i.e. ~320 B per exploded
+# (vector, band) row end to end. The estimate deliberately rides the
+# band-row count (n x bands), which adaptive_band_config holds LINEAR
+# in n by construction — so the model extrapolates to 10M+ without a
+# quadratic surprise.
+_SHARD_SPILL_BYTES_PER_BAND_ROW = 320
+# per-pass spill budget a shard must stay inside. Default 6 GB —
+# comfortably under commodity-executor local-disk allowances and the
+# value that reproduces the manually-chosen 4 shards of the 2M
+# rehearsal (23 GB / 6 GB -> 4; measured per-shard peak there: 8.3 GB
+# vs the 57 GB volume that the single pass at 2M nearly filled).
+# Override per deployment via SMURF_NEARDUP_SPILL_BUDGET (bytes).
+_SHARD_SPILL_BUDGET = 6_000_000_000
+
+
+def auto_shard_count(
+    n: int,
+    n_bands: int | None = None,
+    budget_bytes: int | None = None,
+) -> int:
+    """Shard count for :func:`cosine_neardup_pairs_sharded` derived
+    from the estimated candidate-pass spill volume and the executor
+    disk budget (VERDICT r10 task 4) — so a 10M+-vector corpus does
+    not need operator knowledge to stay inside the spill budget.
+    Estimate = ``n x n_bands x _SHARD_SPILL_BYTES_PER_BAND_ROW``
+    (model calibrated above); shards = that over the budget, clamped
+    to [1, n_bands] (each shard must own at least one band). Pure
+    function of (n, bands, budget): deterministic, testable, and the
+    budget is env-tunable per deployment."""
+    import os
+
+    if n_bands is None:
+        n_bands = adaptive_band_config(n)[0]
+    if budget_bytes is None:
+        budget_bytes = int(
+            os.environ.get(
+                "SMURF_NEARDUP_SPILL_BUDGET", _SHARD_SPILL_BUDGET
+            )
+        )
+    est = n * n_bands * _SHARD_SPILL_BYTES_PER_BAND_ROW
+    return max(1, min(n_bands, math.ceil(est / budget_bytes)))
+
+
 def cosine_neardup_pairs_sharded(
     emb: DataFrame,
     threshold: float = 0.3,
-    n_shards: int = 4,
+    n_shards: int | str | None = "auto",
     band_cache: str | None = "auto",
     fingerprint: tuple[int, int] | None = None,
     scratch_dir: str | None = None,
@@ -1158,12 +1204,19 @@ def cosine_neardup_pairs_sharded(
     The gather matrix is built and broadcast ONCE across shards
     (:func:`_build_gather_bc`). ``scratch_dir`` holds the staged
     shards (default: a fresh tempdir); the returned DataFrame reads
-    those files lazily — delete the dir only after consuming it."""
+    those files lazily — delete the dir only after consuming it.
+
+    ``n_shards="auto"`` (default since r11) sizes the shard count
+    from the spill-volume model (:func:`auto_shard_count`): at the 2M
+    rehearsal scale it reproduces the manually-chosen 4; small corpora
+    collapse to a single staged pass. An explicit int overrides."""
     import os
     import tempfile
 
     n = fingerprint[0] if fingerprint else emb.count()
     n_bands, band_planes = adaptive_band_config(n)
+    if n_shards in (None, "auto"):
+        n_shards = auto_shard_count(n, n_bands)
     use_cache = (
         band_cache is not None
         and n > 0

@@ -186,6 +186,36 @@ def test_sharded_neardup_equals_unsharded(spark, emb, tmp_path):
         ).collect()
     }
     assert sharded == single and len(sharded) > 0
+    # the auto-sized path (default since r11) is the same law: the
+    # heuristic only picks HOW MANY strided subsets, never which
+    # pairs survive
+    auto = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.cosine_neardup_pairs_sharded(
+            emb, 0.3, band_cache=None,
+            scratch_dir=str(tmp_path / "shards_auto"),
+        ).collect()
+    }
+    assert auto == single
+
+
+def test_auto_shard_count_model():
+    """The spill-model heuristic (VERDICT r10 task 4): reproduces the
+    manually-chosen 4 shards of the 2M rehearsal, collapses to one
+    shard on small corpora, never exceeds the band count (a shard
+    must own >= 1 band), and scales with the corpus at the default
+    budget."""
+    n_bands_2m = similarity.adaptive_band_config(2_000_000)[0]
+    assert similarity.auto_shard_count(2_000_000, n_bands_2m) == 4
+    assert similarity.auto_shard_count(2_000) == 1
+    assert similarity.auto_shard_count(200_000) == 1
+    n10, b10 = 10_000_000, similarity.adaptive_band_config(10_000_000)[0]
+    s10 = similarity.auto_shard_count(n10, b10)
+    assert 4 < s10 <= b10
+    # explicit budget: doubling the budget halves (ceil) the count
+    assert similarity.auto_shard_count(
+        2_000_000, n_bands_2m, budget_bytes=12_000_000_000
+    ) == 2
 
 
 def test_mmap_transport_identical_to_broadcast(

@@ -46,9 +46,11 @@ def test_decode_assets_metadata_shape(spark, docs):
         assert 0.0 <= r["byte_entropy_q"] <= 1.0
 
 
-def test_real_decoder_is_stubbed(spark, docs):
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_assets(docs, use_real_decoder=True)
+def test_real_decoder_stubs_are_accurate(spark, docs):
+    """Only the genuinely-stubbed real slots raise: frame sampling
+    (ffmpeg) and resize without payloads. decode_assets's real path
+    exists since r11 (see test_decode_assets_real_path_end_to_end) —
+    it fails at TASK time on video rows, not eagerly."""
     with pytest.raises(NotImplementedError):
         multimodal.resize_images(
             multimodal.decode_assets(docs), use_real_decoder=True
@@ -57,6 +59,65 @@ def test_real_decoder_is_stubbed(spark, docs):
         multimodal.sample_frames(
             multimodal.decode_assets(docs), use_real_decoder=True
         )
+    # real decode of a video row raises the ffmpeg stub at task time
+    vid = spark.createDataFrame(
+        [(1, "video", bytearray(b"\x00\x01\x02"))],
+        "doc_id long, modality string, payload binary",
+    )
+    with pytest.raises(Exception, match="ffmpeg"):
+        multimodal.decode_assets(vid, use_real_decoder=True).collect()
+
+
+def test_decode_assets_real_path_end_to_end(spark):
+    """VERDICT r10 task 6: a real JPEG (plus PNG, PPM, and PCM WAV)
+    decodes end-to-end through decode_assets(use_real_decoder=True) —
+    true dimensions, true channel counts, true durations, and the
+    actual byte entropy."""
+    import math
+
+    import numpy as np
+
+    from serverless_smurf_etl_and_analytics_spark.operators import (
+        jpegcodec,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    rate, n = 8000, 2000  # 250 ms
+    tone = (
+        1000 * np.sin(2 * math.pi * 440 * np.arange(n) / rate)
+    ).astype("int16")
+    payloads = [
+        (1, "image", bytearray(jpegcodec.encode_jpeg(img, 95))),
+        (2, "image", bytearray(multimodal.encode_png(img))),
+        (3, "image", bytearray(multimodal.encode_ppm(img))),
+        (4, "audio", bytearray(multimodal.encode_wav(tone, rate))),
+    ]
+    d = spark.createDataFrame(
+        payloads, "doc_id long, modality string, payload binary"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal.decode_assets(
+            d, use_real_decoder=True
+        ).collect()
+    }
+    for i in (1, 2, 3):
+        assert rows[i]["width"] == 40
+        assert rows[i]["height"] == 24
+        assert rows[i]["channels"] == 3
+        assert rows[i]["duration_ms"] is None
+    assert rows[4]["channels"] == 1
+    assert rows[4]["duration_ms"] == 250
+    assert rows[4]["width"] is None and rows[4]["height"] is None
+    # entropy is the real Shannon value of the payload bytes
+    buf = bytes(payloads[2][2])
+    counts = np.bincount(np.frombuffer(buf, np.uint8), minlength=256)
+    p = counts[counts > 0] / len(buf)
+    assert rows[3]["byte_entropy_q"] == round(
+        float(-(p * np.log2(p)).sum()) / 8.0, 3
+    )
+    assert rows[3]["n_bytes"] == len(buf)
 
 
 def test_resize_preserves_aspect_and_bounds(spark, docs):
