@@ -163,39 +163,31 @@ def ingest_documents(
     cannot desynchronize artifacts from the ledger (see
     :func:`_commit_pinned`).
 
-    Fused tokenize (r11, VERDICT r10 task 8): the shingle, simhash,
-    and winnow builders each walk the documents through the SAME
-    ``token_rows`` subtree (and shingle/minhash share the bigram
-    subtree on top of it), so this function persists those two
-    subtrees over the ingest input and lets Spark's cache manager
-    substitute them into every family's logically-equal plan — the
-    shard is tokenized ONCE per ingest, not once per family. The
-    pins are dropped before returning (every advance/build is eager,
-    so nothing escapes unmaterialized)."""
-    from pyspark.storagelevel import StorageLevel
-
+    Fused tokenize — prototyped and MEASURED SLOWER, not shipped
+    (r11, VERDICT r10 task 8): the four family builders all walk the
+    documents through the same ``token_rows`` subtree, so persisting
+    that subtree (plus the bigram shingle subtree) once per ingest
+    lets Spark's cache manager substitute it into every family's
+    logically-equal plan — one tokenize pass instead of four. A/B at
+    sf10 docs (same box, fresh process per arm,
+    benchmarks/scale_r11_summary.json ``doc_ingest_fuse_ab``): fused
+    build 198.4 s vs unfused 35.8 s, fused advance 48.5 s vs 23.3 s —
+    2-5.5x WORSE. Tokenize is whole-stage-codegen cheap (a regexp
+    split + explode over the shard's text), while materializing the
+    ~100-token-per-doc exploded table through MEMORY_AND_DISK costs
+    a cache write + three cache reads of a table ~50x the shard's
+    bytes. Recomputing the narrow subtree per family is the faster
+    plan at every measured scale, so each family keeps its own walk
+    (~4 codegen scans of the shard per ingest — linear in the shard,
+    the O(shard) contract this module exists for)."""
     root = cache_root(cache)
     old_fp, version, new_fp, committed, current = _commit_pinned(
         spark, table_dir, shard, DOC_FP_COLS
     )
     stats: dict = {"version": version, "fingerprint": new_fp}
-    base = committed if old_fp else current
-    pinned = [
-        textops.token_rows(base).persist(StorageLevel.MEMORY_AND_DISK)
-    ]
-    if {"shingle", "minhash"} & set(families):
-        pinned.append(
-            dedup._shingle_rows_inline(base, 2).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-        )
-    try:
-        _maintain_doc_families(
-            committed, current, old_fp, new_fp, root, families, stats
-        )
-    finally:
-        for df in pinned:
-            df.unpersist()
+    _maintain_doc_families(
+        committed, current, old_fp, new_fp, root, families, stats
+    )
     return stats
 
 

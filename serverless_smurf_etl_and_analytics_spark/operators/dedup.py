@@ -1015,18 +1015,28 @@ def connected_components_star(
     Not shipped; the driver tier wins by two orders of magnitude on
     the same graphs.
 
-    **Degree-1 pre-contraction** (r11, VERDICT r10 task 3): above the
-    driver bound the edge set is first peeled of degree-1 vertices
-    (:func:`_peel_degree_one`) — near-dup graphs are dominated by
-    isolated pairs and short chains, and every such vertex otherwise
-    rides the full edge shuffle through every star round. The peeled
-    core often falls back under ``_DRIVER_CC_MAX`` and the whole loop
-    collapses into the driver tier; labels for peeled vertices
-    resolve by joining the recorded (leaf -> neighbor) mappings back
-    in reverse round order (:func:`_resolve_peeled`) — exact by
-    construction (a leaf's component label IS its only neighbor's),
-    and covered by the star==labelprop equality law on peel-shaped
-    graphs."""
+    **Degree-1 pre-contraction — prototyped and MEASURED SLOWER, not
+    shipped** (r11, VERDICT r10 task 3): peeling degree-1 vertices
+    before the loop (recording leaf->neighbor mappings, resolving in
+    reverse round order, re-canonicalizing labels to component
+    minima) was built, law-tested exact, and A/B-measured in one
+    process on a 50M-edge graph shaped to FAVOR it (80% of edges in
+    isolated pairs / 3-chains): peeled 340.6 s vs unpeeled 210.8 s,
+    identical 32.55M components both ways
+    (``benchmarks/scale_r11_summary.json`` `cc50m_star_peel_onoff`).
+    Why it loses: the alternating-star rounds already absorb the
+    degree-1 fringe in their first round — a pair or leaf re-points
+    to its neighborhood minimum immediately and the edge set
+    contracts — at ~the cost of one round, while a dedicated peel
+    pays per-round degree aggregates + split joins over E PLUS a
+    vertex-sized label re-canonicalization (the peeled leaf can BE
+    the component minimum), and V is largest exactly when the fringe
+    dominates. On dense near-dup graphs (duplicate clusters are
+    cliques; the sf30 0.3-graph averages degree ~54) peel removes
+    almost nothing and is pure overhead. The same rehearsal IS the
+    >=50M-edge evidence the task asked for: the unpeeled loop holds —
+    210.8 s, exact, zero bad roots — with the driver tier untouched
+    below 5M edges."""
     e = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("s"),
@@ -1055,13 +1065,6 @@ def connected_components_star(
         )
     )
     e.unpersist()
-    cur, mappings, n_core = _peel_degree_one(cur, _PEEL_ROUNDS)
-    core = cur
-    if n_core <= _DRIVER_CC_MAX:
-        labels = _cc_driver_numpy(cur)
-        return _resolve_peeled(labels, mappings, core).union(
-            lonely.select("v", F.col("v").alias("component"))
-        )
     prev_cs = _edge_checksum(cur)
     for _ in range(max_iter):
         # large-star: closed-neighborhood minimum per vertex over the
@@ -1115,154 +1118,16 @@ def connected_components_star(
         prev_cs = cs
     # fixed point = union of stars rooted at component minima: the
     # edge set is the label map for non-roots; roots label themselves.
-    labels = cur.select(
-        F.col("s").alias("v"), F.col("d").alias("component")
-    ).union(
-        cur.select("d")
-        .distinct()
-        .select(F.col("d").alias("v"), F.col("d").alias("component"))
-    )
-    return _resolve_peeled(labels, mappings, core).union(
-        lonely.select("v", F.col("v").alias("component"))
-    )
-
-
-# peel rounds before the distributed star loop: each removes every
-# current degree-1 vertex. 3 rounds fully absorb isolated pairs,
-# 3-chains, and the leaf fringe of larger components — the dominant
-# near-dup shapes — while longer chains (rare) just proceed into the
-# loop partially contracted. More rounds trade one degree-agg + two
-# joins against one ~8-stage star round saved; past the fringe the
-# leaf yield decays fast, so the loop also stops early when a round
-# peels nothing.
-_PEEL_ROUNDS = 3
-
-
-def _peel_degree_one(
-    cur: DataFrame, max_rounds: int
-) -> tuple[DataFrame, list[DataFrame], int]:
-    """Degree-1 pre-contraction for the distributed star loop (r11,
-    VERDICT r10 task 3): repeatedly strip every vertex with exactly
-    one incident edge, recording (leaf ``v`` -> neighbor ``p``).
-    Near-dup graphs are dominated by isolated pairs and short chains
-    — at sf30 most of the 16.2M d9 edges touch a degree-1 vertex —
-    and every such vertex otherwise rides the FULL edge shuffle
-    through every star round while its label is determined by its
-    single neighbor alone. An edge whose both endpoints are leaves is
-    an isolated pair: only the larger id is recorded (canonical
-    ``s > d``), the smaller drops out of the graph unmapped and
-    resolves as its own root. Exactness: peeling never merges or
-    splits components — a leaf's component label IS its neighbor's —
-    so resolving the mappings newest-round-first after the core is
-    solved (:func:`_resolve_peeled`) reproduces min-reachable-id
-    labels identically (law-tested against labelprop).
-
-    Returns (core edges, per-round mapping frames, core edge count).
-    The core count is the tier knob: when peeling pulls the core
-    under ``_DRIVER_CC_MAX``, the caller solves it on the driver and
-    the multi-round distributed loop disappears entirely."""
-    mappings: list[DataFrame] = []
-    for _ in range(max_rounds):
-        adj = cur.union(
-            cur.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    return (
+        cur.select(F.col("s").alias("v"), F.col("d").alias("component"))
+        .union(
+            cur.select("d")
+            .distinct()
+            .select(F.col("d").alias("v"), F.col("d").alias("component"))
         )
-        leaves = (
-            adj.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") == 1)
-            .select(F.col("s").alias("lv"))
+        .union(
+            lonely.select("v", F.col("v").alias("component"))
         )
-        flagged = (
-            cur.join(
-                leaves.select(
-                    F.col("lv").alias("s"), F.lit(True).alias("s_leaf")
-                ),
-                "s",
-                "left",
-            )
-            .join(
-                leaves.select(
-                    F.col("lv").alias("d"), F.lit(True).alias("d_leaf")
-                ),
-                "d",
-                "left",
-            )
-            .select(
-                "s",
-                "d",
-                F.coalesce("s_leaf", F.lit(False)).alias("s_leaf"),
-                F.coalesce("d_leaf", F.lit(False)).alias("d_leaf"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        m = _ckpt_fresh(
-            flagged.filter(F.col("s_leaf"))
-            .select(F.col("s").alias("v"), F.col("d").alias("p"))
-            .union(
-                flagged.filter(~F.col("s_leaf") & F.col("d_leaf"))
-                .select(F.col("d").alias("v"), F.col("s").alias("p"))
-            )
-        )
-        core = _ckpt_fresh(
-            flagged.filter(
-                ~F.col("s_leaf") & ~F.col("d_leaf")
-            ).select("s", "d")
-        )
-        flagged.unpersist()
-        if m.count() == 0:
-            cur = core
-            break
-        mappings.append(m)
-        cur = core
-    return cur, mappings, cur.count()
-
-
-def _resolve_peeled(
-    labels: DataFrame, mappings: list[DataFrame], core: DataFrame
-) -> DataFrame:
-    """Fold the peel mappings back into the core label map, newest
-    round first. A round's parent is guaranteed already labeled: it
-    survived that round, so it is in the final core, peeled in a
-    LATER round (processed earlier here), or `isolated` — a vertex
-    whose every edge was peeled away (star centers, pair minima),
-    which roots its own component. `isolated` is computed as mapping
-    parents that are neither core vertices nor mapped themselves —
-    every vertex that vanishes from the edge set without being a
-    leaf appears as some mapping's parent, so the union below covers
-    the full vertex set."""
-    if not mappings:
-        return labels
-    all_v = mappings[0].select("v")
-    all_p = mappings[0].select(F.col("p").alias("v"))
-    for m in mappings[1:]:
-        all_v = all_v.union(m.select("v"))
-        all_p = all_p.union(m.select(F.col("p").alias("v")))
-    core_verts = core.select(F.col("s").alias("v")).union(
-        core.select(F.col("d").alias("v"))
-    )
-    isolated = (
-        all_p.distinct()
-        .join(core_verts.distinct(), "v", "anti")
-        .join(all_v.distinct(), "v", "anti")
-    )
-    labels = labels.union(
-        isolated.select("v", F.col("v").alias("component"))
-    )
-    for m in reversed(mappings):
-        labels = labels.union(
-            m.join(
-                labels.select(F.col("v").alias("p"), "component"), "p"
-            ).select("v", "component")
-        )
-    # re-canonicalize to min-reachable-id: a peeled leaf can BE its
-    # component's minimum (chain 1-2-3-4 peels 1 and 4; the core root
-    # is 2), so the resolved groups are correct partitions but may be
-    # named after the core-relative root. One vertex-sized
-    # groupBy+join renames every group to its true minimum — the
-    # label contract the star==labelprop law states.
-    mins = labels.groupBy("component").agg(F.min("v").alias("m"))
-    return labels.join(mins, "component").select(
-        "v", F.col("m").alias("component")
     )
 
 

@@ -252,52 +252,3 @@ def test_star_equals_labelprop_with_self_loops(spark):
         )
         assert star == ref, f"divergence on {edges}"
         assert all(v in star for v, _ in edges), f"missing vertex: {edges}"
-
-
-def test_peel_path_equals_labelprop_and_unpeeled_star(
-    spark, monkeypatch
-):
-    """Law for the r11 degree-1 pre-contraction (VERDICT r10 task 3):
-    with the driver tier disabled (so the distributed path runs), the
-    peeled star loop equals label propagation on every peel-shaped
-    graph — isolated pairs (fully peeled, empty core), pair forests,
-    star centers whose every edge is peeled, chains longer than the
-    peel budget (partial contraction), cycles with pendant chains
-    (non-trivial core + mappings), and self-loop singletons. And with
-    peeling turned off (_PEEL_ROUNDS = 0) the same inputs give the
-    same answers — the peel is a pure plan optimization."""
-    cases = [
-        [(1, 2)],
-        [(1, 2), (3, 4), (5, 6)],
-        [(1, 3), (2, 3), (3, 4), (4, 5)],
-        [(i, i + 1) for i in range(1, 12)],
-        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (9, 9)],
-        [(2, 10), (10, 11), (11, 2), (30, 31)],
-        [(7, 3)],
-        [(5, 5)],
-    ]
-    import random
-
-    rng = random.Random(17)
-    rand = list(
-        {
-            tuple(sorted((rng.randrange(50), rng.randrange(50))))
-            for _ in range(60)
-        }
-    )
-    cases.append([(a, b) for a, b in rand if a != b])
-
-    refs = [
-        _labels(dedup.connected_components_labelprop(_edges(spark, e)))
-        for e in cases
-    ]
-    monkeypatch.setattr(dedup, "_DRIVER_CC_MAX", 0)
-    for peel_rounds in (dedup._PEEL_ROUNDS, 0):
-        monkeypatch.setattr(dedup, "_PEEL_ROUNDS", peel_rounds)
-        for e, ref in zip(cases, refs):
-            star = _labels(
-                dedup.connected_components_star(_edges(spark, e))
-            )
-            assert star == ref, (
-                f"divergence on {e} with _PEEL_ROUNDS={peel_rounds}"
-            )
