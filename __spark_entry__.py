@@ -40,12 +40,14 @@ _VERIFY_FIRST = [
     # ================= r11 window (first 50) =================
     # --- r11 changed operators, verified first: x6's manifest counts
     # rewired onto the shared store_daily MV (one fact scan); d9/d10's
-    # connected components gained degree-1 pre-contraction + min-label
-    # re-canonicalization (driver tier unchanged at this scale, but
-    # the operator changed); the doc-family pipelines (d3/d4/d6/d8/
-    # d11/wn1) and sim2 gained cache-root threading and the gather
-    # matrix narrowing guard (defaults preserve the verified plans —
-    # re-proven here rather than assumed):
+    # connected components were touched twice (a degree-1 peel
+    # prototype added then REVERTED after it A/B-measured 1.6x slower
+    # — see connected_components_star's docstring — so the shipped
+    # loop is the r10 form, re-verified here); the doc-family
+    # pipelines (d3/d4/d6/d8/d11/wn1) and sim2 gained cache-root
+    # threading and the gather matrix narrowing guard (defaults
+    # preserve the verified plans — re-proven here rather than
+    # assumed):
     "x6_export_manifest", "d9_semantic_dedup_cc",
     "d10_minhash_dup_groups", "d4_minhash_neardup",
     "d6_simhash_neardup", "d3_lsh_candidate_pairs",

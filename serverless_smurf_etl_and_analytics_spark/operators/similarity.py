@@ -654,12 +654,18 @@ def _matrix_npy_artifact(
     None on any environmental failure (caller falls back to the
     broadcast transport).
 
-    Driver-memory note: the build collects the matrix via toPandas
-    (transiently ~3x the matrix bytes on the driver — ~15 GB at 10M
-    vectors); a driver-bounded deployment can swap in a sorted
-    ``toLocalIterator`` fill over a preallocated
-    ``np.lib.format.open_memmap`` without changing the artifact
-    format."""
+    Driver-BOUNDED build (r11): the matrix is never collected. The
+    sorted (vec_id, n2, embedding) projection is staged to parquet
+    DISTRIBUTEDLY (sort gives range-partitioned part files, so part
+    order IS global id order), then the driver streams one part file
+    at a time — pass 1 finds the fixed-point abs-max (the int32/int64
+    dtype decision), pass 2 fills a preallocated
+    ``np.lib.format.open_memmap`` — peak driver memory is one part
+    file, not the matrix. The r10 toPandas form held ~3x the matrix
+    on the driver and died on ``spark.driver.maxResultSize`` at 6M
+    vectors — EXACTLY the sizes this transport exists for (the r11
+    emb6m rehearsal found it)."""
+    import glob as globmod
     import os
     import shutil
     import uuid
@@ -677,28 +683,65 @@ def _matrix_npy_artifact(
         if os.path.isdir(path):
             touch(path)
             return path
-        pdf = bt.select("vec_id", "n2", "embedding").toPandas()
-        ids = pdf["vec_id"].to_numpy(np.int64)
-        order = np.argsort(ids)
-        x = (
-            np.vstack(pdf["embedding"].map(np.asarray).values).astype(
-                np.float64
-            )
-            * SCALE
-        )
-        mat = _narrowest_fixed_matrix(x)[order]
-        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        os.makedirs(tmp)
-        np.save(os.path.join(tmp, "ids.npy"), ids[order])
-        np.save(os.path.join(tmp, "mat.npy"), mat)
-        np.save(
-            os.path.join(tmp, "n2.npy"),
-            pdf["n2"].to_numpy(np.int64)[order],
-        )
+        token = uuid.uuid4().hex[:8]
+        stage = f"{path}.stage-{token}"
+        tmp = f"{path}.tmp-{token}"
         try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+            bt.select("vec_id", "n2", "embedding").sort(
+                "vec_id"
+            ).write.mode("overwrite").parquet(stage)
+            import pyarrow.parquet as pq
+
+            parts = sorted(
+                globmod.glob(os.path.join(stage, "part-*.parquet"))
+            )
+
+            def fixed_chunks():
+                for p in parts:
+                    t = pq.read_table(p)
+                    emb = np.asarray(
+                        t.column("embedding").combine_chunks().flatten()
+                    ).astype(np.float64).reshape(len(t), -1)
+                    yield (
+                        np.asarray(t.column("vec_id")).astype(np.int64),
+                        np.asarray(t.column("n2")).astype(np.int64),
+                        _narrowest_fixed_matrix(emb * SCALE),
+                    )
+
+            int32_max = np.iinfo(np.int32).max
+            dtype = np.int32
+            n_rows, dim = 0, DIM
+            for _, _, m in fixed_chunks():
+                n_rows += len(m)
+                dim = m.shape[1]
+                if m.dtype != np.int32 and np.abs(m).max() > int32_max:
+                    dtype = np.int64
+            os.makedirs(tmp)
+            mat = np.lib.format.open_memmap(
+                os.path.join(tmp, "mat.npy"),
+                mode="w+",
+                dtype=dtype,
+                shape=(n_rows, dim),
+            )
+            ids = np.empty(n_rows, dtype=np.int64)
+            n2 = np.empty(n_rows, dtype=np.int64)
+            at = 0
+            for cid, cn2, m in fixed_chunks():
+                k = len(m)
+                ids[at : at + k] = cid
+                n2[at : at + k] = cn2
+                mat[at : at + k] = m.astype(dtype, copy=False)
+                at += k
+            mat.flush()
+            del mat
+            np.save(os.path.join(tmp, "ids.npy"), ids)
+            np.save(os.path.join(tmp, "n2.npy"), n2)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
         # the rename can fail for reasons OTHER than a lost publish
         # race (EACCES, EXDEV, read-only root): returning ``path``
         # then would hand executors a directory that does not exist

@@ -43,6 +43,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SMURF_DRIVER_MEM", "8g"))
+        # sized to the broadcast gather tier's ceiling: an Arrow
+        # collect of a _GATHER_MMAP_BYTES-sized corpus serializes
+        # ~3.5 GB (float64 embeddings); Spark's 1 GB default aborts
+        # that collect MID-TIER (the r11 emb6m rehearsal hit it at 6M
+        # vectors — both transports died). Above the gate nothing
+        # collects at all (the mmap artifact builds distributively).
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SMURF_MAX_RESULT_SIZE", "4g"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
