@@ -138,9 +138,17 @@ def stage_emb6m(emb_dir: str = "/root/repo/.scratch/emb6m") -> None:
     shards = similarity.auto_shard_count(n, n_bands)
     matrix_bytes = n * (similarity.DIM * 4 + 16)
     scratch = tempfile.mkdtemp(prefix="smurf_r11_emb6m_")
+    # threshold 0.5, not the registered 0.3: at 3000 amplification
+    # copies the cross-copy cosine noise floor sits AT ~0.3 and the
+    # output explodes into the billions of noise pairs (shard 0 alone
+    # staged >700 MB in the first attempt) — an output-volume
+    # property of the synthetic corpus, not of the plan. 0.5 keeps
+    # the planted within-copy near-dups (the real workload) while
+    # exercising exactly what this stage measures: the un-forced
+    # mmap transport and the auto shard count.
     t0 = time.monotonic()
     pairs = similarity.cosine_neardup_pairs_sharded(
-        emb, 0.3, band_cache=None, scratch_dir=scratch
+        emb, 0.5, band_cache=None, scratch_dir=scratch
     ).count()
     wall = round(time.monotonic() - t0, 2)
     _merge(

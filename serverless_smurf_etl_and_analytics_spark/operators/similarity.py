@@ -708,13 +708,15 @@ def _matrix_npy_artifact(
                         _narrowest_fixed_matrix(emb * SCALE),
                     )
 
-            int32_max = np.iinfo(np.int32).max
+            # _narrowest_fixed_matrix returns int64 exactly when a
+            # chunk's values cannot be represented in int32 — one
+            # such chunk widens the whole artifact
             dtype = np.int32
             n_rows, dim = 0, DIM
             for _, _, m in fixed_chunks():
                 n_rows += len(m)
                 dim = m.shape[1]
-                if m.dtype != np.int32 and np.abs(m).max() > int32_max:
+                if m.dtype == np.int64:
                     dtype = np.int64
             os.makedirs(tmp)
             mat = np.lib.format.open_memmap(
