@@ -201,8 +201,11 @@ def _maintain_doc_families(
     stats: dict,
 ) -> None:
     """Advance-or-build each document artifact family — the body of
-    :func:`ingest_documents`, factored out so the fused-tokenize pins
-    wrap it in one try/finally."""
+    :func:`ingest_documents`. (A fused-tokenize variant that shared
+    one persisted token walk across the families was prototyped in
+    r11, measured 2-5.5x slower at sf10, and reverted — see the
+    ``ingest_documents`` docstring and
+    ``benchmarks/scale_r11_summary.json`` ``doc_ingest_fuse_ab``.)"""
     if "shingle" in families:
         _advance_or_build(
             dedup.advance_shingle_artifact(committed, old_fp, new_fp, root)

@@ -638,6 +638,50 @@ def _swap_gather_bc(bc) -> None:
 # ~5.8M vectors at dim 64 int32.
 _GATHER_MMAP_BYTES = 1_500_000_000
 
+# rows per fancy-index gather slice inside the verify kernel. The
+# einsum over M[ia], M[ib] materializes int64 upcasts of both gathered
+# operands, so an UNsliced kernel's peak is proportional to whatever
+# batch size the Arrow config hands it (maxRecordsPerBatch is a
+# deployment knob, not ours to assume). 8192 rows x 64 dims bounds
+# the per-worker temporaries at ~13 MB regardless of batch config —
+# r12 insurance after the emb6m run OOM-killed its verify workers
+# (.scratch/emb6m4.log, stage 26).
+_GATHER_CHUNK_ROWS = 8192
+
+# ceiling on CONCURRENT verify tasks when the matrix rides the mmap
+# transport (corpora past _GATHER_MMAP_BYTES). 32 reused Python
+# workers each carrying a pandas/pyarrow runtime plus gather
+# temporaries — next to a driver JVM already sized for the join
+# stages — is the configuration that died at 6M vectors; 8 workers
+# give each 4x the headroom and the verify stage is gather-bound, not
+# CPU-bound, so the lost parallelism is cheap. Env-tunable per box
+# (SMURF_GATHER_MMAP_TASKS); the broadcast tier keeps full
+# parallelism (bench-scale plans unchanged).
+_GATHER_MMAP_TASKS = 8
+
+
+def _gather_mmap_tasks() -> int:
+    """Validated SMURF_GATHER_MMAP_TASKS (malformed/zero values
+    degrade to the default rather than failing the query)."""
+    import os
+
+    raw = os.environ.get("SMURF_GATHER_MMAP_TASKS")
+    try:
+        return max(1, int(raw)) if raw is not None else _GATHER_MMAP_TASKS
+    except (TypeError, ValueError):
+        return _GATHER_MMAP_TASKS
+
+
+def _part_sort_key(path: str) -> tuple[int, str]:
+    """Sort key placing parquet part files in NUMERIC part order
+    (part-2 < part-10 < part-100000), falling back to the full name
+    for anything unparseable so the sort stays total."""
+    import os
+    import re
+
+    m = re.match(r"part-(\d+)", os.path.basename(path))
+    return (int(m.group(1)) if m else -1, path)
+
 
 def _matrix_npy_artifact(
     bt: DataFrame,
@@ -692,8 +736,13 @@ def _matrix_npy_artifact(
             ).write.mode("overwrite").parquet(stage)
             import pyarrow.parquet as pq
 
+            # NUMERIC part order (ADVICE r11): lexicographic sort
+            # breaks past 99,999 parts ("part-100000" < "part-99999"),
+            # which would publish ids.npy unsorted and make every
+            # searchsorted gather silently wrong
             parts = sorted(
-                globmod.glob(os.path.join(stage, "part-*.parquet"))
+                globmod.glob(os.path.join(stage, "part-*.parquet")),
+                key=_part_sort_key,
             )
 
             def fixed_chunks():
@@ -736,6 +785,15 @@ def _matrix_npy_artifact(
                 at += k
             mat.flush()
             del mat
+            # the whole transport rests on ids being GLOBALLY strictly
+            # sorted (searchsorted gathers); the range-partitioned
+            # sort + numeric part order should guarantee it, but a
+            # violated assumption here corrupts every dot silently —
+            # verify before publish, fall back to broadcast if not
+            # (ADVICE r11)
+            if len(ids) > 1 and not bool(np.all(np.diff(ids) > 0)):
+                shutil.rmtree(tmp, ignore_errors=True)
+                return None
             np.save(os.path.join(tmp, "ids.npy"), ids)
             np.save(os.path.join(tmp, "n2.npy"), n2)
             try:
@@ -768,10 +826,40 @@ def _narrowest_fixed_matrix(x):
     be guarded: ``astype(np.int32)`` on a component with |v| >
     2^31/SCALE ~ 214.7 wraps SILENTLY and corrupts every dot it
     touches (ADVICE r10). The gather einsum accumulates in int64
-    either way, so both dtypes are value-identical downstream."""
+    either way, so both dtypes are value-identical downstream —
+    PROVIDED the int64 accumulator itself cannot overflow.
+
+    That proviso is checked, not assumed (ADVICE r11): by
+    Cauchy-Schwarz every |dot| <= max_row_norm^2, so the dots are
+    exact int64 iff the largest fixed-point row norm^2 fits int64 —
+    equivalently |v| <= sqrt(int64_max / dim) / SCALE (~38 at dim 64;
+    TIGHTER than the int32 representability bound of ~214, so a
+    matrix can be int32-clean and still dot-overflow). Rows past the
+    bound raise rather than return silently-wrong cosines; the mmap
+    artifact build's except-block turns that into the broadcast
+    fallback, whose own build re-raises it to the caller as a clear
+    error."""
     import numpy as np
 
     r = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+    if r.size:
+        # r is float64 here; norms^2 near 2^63 carry ~1e-16 relative
+        # float error — irrelevant at the factor-of-safety this bound
+        # protects (silent wraparound, not a tight resource limit)
+        max_n2 = float((r * r).sum(axis=1).max())
+        if max_n2 > float(np.iinfo(np.int64).max):
+            raise ValueError(
+                "fixed-point row norm^2 %.3g exceeds int64: dots may "
+                "overflow the exact accumulator (component bound |v| "
+                "<= sqrt(int64_max/dim)/SCALE ~ %.1f at dim %d); "
+                "rescale the embeddings"
+                % (
+                    max_n2,
+                    (float(np.iinfo(np.int64).max) / r.shape[1]) ** 0.5
+                    / SCALE,
+                    r.shape[1],
+                )
+            )
     if r.size == 0 or np.abs(r).max() <= np.iinfo(np.int32).max:
         return r.astype(np.int32)
     return r.astype(np.int64)
@@ -785,9 +873,35 @@ def _gather_transport(
     """Choose how the gather verify ships the matrix: a broadcast
     below ``_GATHER_MMAP_BYTES`` (fastest, per-worker copies), the
     mmap artifact above it (one page-cached copy per node). Returns
-    ``("bc", broadcast)`` or ``("mmap", path)``."""
-    matrix_bytes = n * (DIM * 4 + 16)
-    if matrix_bytes > _GATHER_MMAP_BYTES:
+    ``("bc", broadcast)`` or ``("mmap", path)``.
+
+    The size estimate assumes the int32 narrowing; a corpus with
+    components past 2^31/SCALE widens to int64 and doubles the real
+    footprint (ADVICE r11). Only when that doubling would FLIP the
+    decision — the window where the int32 estimate is under the gate
+    but the int64 one is over — is the narrowing probed with one
+    cheap codegen abs-max pass; outside the window both dtypes give
+    the same answer, so the common unit-range path (and every
+    bench-scale plan) stays probe-free."""
+    bytes_i32 = n * (DIM * 4 + 16)
+    bytes_i64 = n * (DIM * 8 + 16)
+    use_mmap = bytes_i32 > _GATHER_MMAP_BYTES
+    if not use_mmap and bytes_i64 > _GATHER_MMAP_BYTES:
+        try:
+            absmax = bt.agg(
+                F.max(
+                    F.array_max(
+                        F.transform("embedding", lambda v: F.abs(v))
+                    )
+                )
+            ).collect()[0][0]
+            use_mmap = (
+                absmax is None
+                or absmax * SCALE + 0.5 > 2_147_483_647
+            )
+        except Exception:
+            use_mmap = True  # unknown width: assume the wide one
+    if use_mmap:
         path = _matrix_npy_artifact(bt, fingerprint)
         if path is not None:
             return ("mmap", path)
@@ -866,6 +980,8 @@ def _gather_dots(cand: DataFrame, bt: DataFrame, transport=None) -> DataFrame:
                 np.load(os.path.join(handle, "n2.npy"), mmap_mode="r"),
             )
 
+    chunk_rows = _GATHER_CHUNK_ROWS
+
     def verify(batches):
         import numpy as np
         import pandas as pd
@@ -874,20 +990,34 @@ def _gather_dots(cand: DataFrame, bt: DataFrame, transport=None) -> DataFrame:
         for p in batches:
             if len(p) == 0:
                 continue
-            ia = np.searchsorted(ids_s, p["vec_a"].to_numpy(np.int64))
-            ib = np.searchsorted(ids_s, p["vec_b"].to_numpy(np.int64))
-            yield pd.DataFrame(
-                {
-                    "vec_a": p["vec_a"].values,
-                    "vec_b": p["vec_b"].values,
-                    "dot": np.einsum(
-                        "ij,ij->i", m[ia], m[ib], dtype=np.int64
-                    ),
-                    "n2_a": nn[ia],
-                    "n2_b": nn[ib],
-                }
-            )
+            va = p["vec_a"].to_numpy(np.int64)
+            vb = p["vec_b"].to_numpy(np.int64)
+            # fixed-size slices bound the gather/einsum temporaries
+            # (M[ia], M[ib] and their int64 upcasts) independently of
+            # the Arrow batch configuration — see _GATHER_CHUNK_ROWS
+            for lo in range(0, len(va), chunk_rows):
+                hi = lo + chunk_rows
+                ia = np.searchsorted(ids_s, va[lo:hi])
+                ib = np.searchsorted(ids_s, vb[lo:hi])
+                yield pd.DataFrame(
+                    {
+                        "vec_a": va[lo:hi],
+                        "vec_b": vb[lo:hi],
+                        "dot": np.einsum(
+                            "ij,ij->i", m[ia], m[ib], dtype=np.int64
+                        ),
+                        "n2_a": np.asarray(nn[ia]),
+                        "n2_b": np.asarray(nn[ib]),
+                    }
+                )
 
+    if kind == "mmap":
+        # mmap corpora are past the broadcast budget by definition —
+        # cap CONCURRENT Python workers for this stage so their
+        # runtimes + temporaries fit next to the JVM (the emb6m OOM).
+        # coalesce (not repartition): folds into the upstream shuffle
+        # reduce with zero extra exchange.
+        cand = cand.coalesce(_gather_mmap_tasks())
     return cand.mapInPandas(
         verify, "vec_a long, vec_b long, dot long, n2_a long, n2_b long"
     )
@@ -1212,11 +1342,16 @@ def auto_shard_count(
     if n_bands is None:
         n_bands = adaptive_band_config(n)[0]
     if budget_bytes is None:
-        budget_bytes = int(
-            os.environ.get(
-                "SMURF_NEARDUP_SPILL_BUDGET", _SHARD_SPILL_BUDGET
+        # a malformed or zero deployment knob degrades to the default
+        # instead of failing the query at plan time (ADVICE r11)
+        raw = os.environ.get("SMURF_NEARDUP_SPILL_BUDGET")
+        try:
+            budget_bytes = (
+                max(1, int(raw)) if raw is not None
+                else _SHARD_SPILL_BUDGET
             )
-        )
+        except (TypeError, ValueError):
+            budget_bytes = _SHARD_SPILL_BUDGET
     est = n * n_bands * _SHARD_SPILL_BYTES_PER_BAND_ROW
     return max(1, min(n_bands, math.ceil(est / budget_bytes)))
 

@@ -335,3 +335,139 @@ def test_matrix_artifact_returns_none_when_rename_fails(
     monkeypatch.setattr(similarity, "_GATHER_MMAP_BYTES", 0)
     kind, _ = similarity._gather_transport(bt, 5, (5, 99))
     assert kind == "bc"
+
+
+def test_chunked_verify_identical_to_unchunked(spark, emb, monkeypatch):
+    """r12: the fixed-size gather slices inside the verify kernel
+    (the worker-memory bound added after the emb6m OOM) are a pure
+    batching change — forcing a tiny chunk yields byte-identical
+    pairs to the full-batch kernel."""
+    base = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.cosine_neardup_pairs(
+            emb, 0.3, band_cache=None
+        ).collect()
+    }
+    monkeypatch.setattr(similarity, "_GATHER_CHUNK_ROWS", 3)
+    chunked = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.cosine_neardup_pairs(
+            emb, 0.3, band_cache=None
+        ).collect()
+    }
+    assert chunked == base and len(chunked) > 0
+
+
+def test_fixed_matrix_raises_on_possible_dot_overflow():
+    """ADVICE r11: int32-representable components can still overflow
+    the int64 dot accumulator (64 dims of |fixed| ~ 2e9 give dots
+    ~2.6e20 > 2^63). The narrowing guard must RAISE on rows whose
+    norm^2 exceeds int64 — never return silently-wrong cosines —
+    while rows inside the bound keep working."""
+    import numpy as np
+
+    nm = similarity._narrowest_fixed_matrix
+    # |v| = 200 -> |fixed| = 2e9: int32-clean, dot-unsafe at dim 64
+    with pytest.raises(ValueError, match="overflow"):
+        nm(np.full((1, 64), 200.0 * similarity.SCALE))
+    # |v| = 30 at dim 64: norm^2 = 64 * 9e16 = 5.76e18 < int64max
+    safe = nm(np.full((2, 64), 30.0 * similarity.SCALE))
+    assert safe.dtype == np.int32 and int(safe[0, 0]) == 300_000_000
+
+
+def test_part_sort_key_numeric_order():
+    """ADVICE r11: part files must merge in NUMERIC part order —
+    lexicographic order breaks past 99,999 parts."""
+    names = [
+        "/x/part-100000-uuid.snappy.parquet",
+        "/x/part-00009-uuid.snappy.parquet",
+        "/x/part-99999-uuid.snappy.parquet",
+        "/x/part-00010-uuid.snappy.parquet",
+    ]
+    assert [
+        similarity._part_sort_key(n)[0] for n in sorted(
+            names, key=similarity._part_sort_key
+        )
+    ] == [9, 10, 99999, 100000]
+    # lexicographic is provably wrong on the same list
+    assert sorted(names)[-1] != sorted(
+        names, key=similarity._part_sort_key
+    )[-1]
+
+
+def test_auto_shard_count_env_validation(monkeypatch):
+    """ADVICE r11: a malformed or zero SMURF_NEARDUP_SPILL_BUDGET
+    degrades to the default instead of raising at plan time."""
+    n_bands = similarity.adaptive_band_config(2_000_000)[0]
+    want = similarity.auto_shard_count(2_000_000, n_bands)
+    monkeypatch.setenv("SMURF_NEARDUP_SPILL_BUDGET", "6e9")
+    assert similarity.auto_shard_count(2_000_000, n_bands) == want
+    monkeypatch.setenv("SMURF_NEARDUP_SPILL_BUDGET", "")
+    assert similarity.auto_shard_count(2_000_000, n_bands) == want
+    # zero clamps to >= 1 byte: maximal sharding, never a crash
+    monkeypatch.setenv("SMURF_NEARDUP_SPILL_BUDGET", "0")
+    assert similarity.auto_shard_count(2_000_000, n_bands) == n_bands
+    monkeypatch.setenv("SMURF_NEARDUP_SPILL_BUDGET", "12000000000")
+    assert similarity.auto_shard_count(2_000_000, n_bands) == 2
+
+
+def test_gather_mmap_tasks_env_validation(monkeypatch):
+    """The mmap-tier verify concurrency cap is env-tunable and
+    malformed values degrade to the default."""
+    monkeypatch.delenv("SMURF_GATHER_MMAP_TASKS", raising=False)
+    assert similarity._gather_mmap_tasks() == similarity._GATHER_MMAP_TASKS
+    monkeypatch.setenv("SMURF_GATHER_MMAP_TASKS", "4")
+    assert similarity._gather_mmap_tasks() == 4
+    monkeypatch.setenv("SMURF_GATHER_MMAP_TASKS", "0")
+    assert similarity._gather_mmap_tasks() == 1
+    monkeypatch.setenv("SMURF_GATHER_MMAP_TASKS", "lots")
+    assert similarity._gather_mmap_tasks() == similarity._GATHER_MMAP_TASKS
+
+
+def test_gather_transport_probes_int64_window(
+    spark, emb, tmp_path, monkeypatch
+):
+    """ADVICE r11: the transport gate assumes the int32 narrowing; in
+    the window where an int64 widening would flip the decision, it
+    must PROBE the corpus abs-max — unit-range corpora keep the
+    broadcast, out-of-range corpora go to the mmap artifact (whose
+    real footprint the broadcast estimate would undercount 2x)."""
+    import numpy as np
+
+    monkeypatch.setenv("SMURF_ARTIFACT_CACHE", str(tmp_path / "cache"))
+    n = emb.count()
+    # gate inside (n*(DIM*4+16), n*(DIM*8+16)): decision depends on
+    # the narrowing, so the probe must run
+    monkeypatch.setattr(
+        similarity, "_GATHER_MMAP_BYTES", n * (similarity.DIM * 4 + 16) + 1
+    )
+    bt_unit = similarity.fixed_point(emb).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    kind, _ = similarity._gather_transport(bt_unit, n, (n, 101))
+    assert kind == "bc"
+    # same window, one component at |v|=250 (> 2^31/SCALE): widens to
+    # int64 -> real bytes past the gate -> mmap, and the artifact is
+    # stored wide
+    wide = spark.createDataFrame(
+        [(1, [250.0, 0.5]), (2, [1.0, -0.25]), (3, [0.1, 0.9])],
+        "vec_id long, embedding array<double>",
+    ).withColumn(
+        "n2",
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x * similarity.SCALE).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x * x,
+        ),
+    )
+    monkeypatch.setattr(
+        similarity, "_GATHER_MMAP_BYTES", 3 * (similarity.DIM * 4 + 16) + 1
+    )
+    kind, path = similarity._gather_transport(wide, 3, (3, 102))
+    assert kind == "mmap"
+    assert np.load(
+        os.path.join(path, "mat.npy"), mmap_mode="r"
+    ).dtype == np.int64
