@@ -37,55 +37,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # every registered query has a driver-verified green row in at least
 # one round and nothing outside the window has a changed plan.
 _VERIFY_FIRST = [
-    # ================= r11 window (first 50) =================
-    # --- r11 changed operators, verified first: x6's manifest counts
-    # rewired onto the shared store_daily MV (one fact scan); d9/d10's
-    # connected components were touched twice (a degree-1 peel
-    # prototype added then REVERTED after it A/B-measured 1.6x slower
-    # — see connected_components_star's docstring — so the shipped
-    # loop is the r10 form, re-verified here); the doc-family
-    # pipelines (d3/d4/d6/d8/d11/wn1) and sim2 gained cache-root
-    # threading and the gather matrix narrowing guard (defaults
-    # preserve the verified plans — re-proven here rather than
-    # assumed):
-    "x6_export_manifest", "d9_semantic_dedup_cc",
-    "d10_minhash_dup_groups", "d4_minhash_neardup",
-    "d6_simhash_neardup", "d3_lsh_candidate_pairs",
-    "d8_decontaminate", "d11_containment", "wn1_winnow_overlap",
-    "sim2_cosine_neardup",
-    # --- the remaining r8-green block (35 entries after the d11
-    # overlap above — staleness 3 this round, the mandatory body of
-    # the r11 window per the <=2-round freshness contract; local
-    # parity green every round, plans unchanged):
-    "co1_sku_copurchase", "coh1_cohort_retention",
-    "cp1_cusum_changepoint", "cube1_store_payment_cube",
-    "cur1_curated_corpus", "d12_editdist_neardup",
-    "dq1_profile_columns", "drift1_payment_tvd",
-    "e1_embedding_dim_profile", "ev_session_windows",
-    "ev_sliding_2h_hourly", "ev_tumbling_hourly",
-    "ewma1_smoothed_sales", "f2_array_sampler", "fun1_event_funnel",
-    "gap1_missing_days", "hll1_distinct_transactions",
-    "hll2_range_merge", "mo1_zorder_codes", "pack1_sequence_packing",
-    "pr1_pagerank_stores", "q1_payment_quantiles",
-    "rj1_busy_window_events", "scd1_latest_per_key",
-    "sk1_kmv_distinct_skus", "t10_familiarity",
-    "t7_repetition_filter", "t8_doc_frequency", "tf1_tfidf_keywords",
-    "tri1_copurchase_triangles", "u2_setops_assortment",
-    "w1_weighted_sample", "w2_window_sampler", "z1_robust_zscore",
-    "sim3_lsh_topk",
-    # --- 5 spare slots: head of the r9-green window in its r9 order
-    # (staleness 2 this round; the rest of that window comes due in
-    # r12):
-    "co2_copurchase_range_merge", "tri2_triangles_range",
-    "wn2_winnow_decontaminate", "a7_trailing_7day",
-    "a10_deviation_vs_trailing",
-    # ================= past the 50-window =================
-    # r12 ROTATION PREP: (0) commit CORRECTNESS_r11/BENCH_r11 if the
-    # driver has not; then lead with any r12 plan changes, then the
-    # remaining r9-green window in its r9 order (45 entries below,
-    # staleness 3 by r12), then the r10 window in its r10 order as
-    # spares. 45 + changes exceeds one 50-window if r12 changes >5
-    # plans — if so, slip this list's tail into r13 and say so here.
+    # ================= r12 window (first 50) =================
+    # --- r12 changed operators, verified first: the gather-verify
+    # kernel gained fixed-size chunking, an mmap-tier concurrency
+    # cap, and the dot-overflow guard in the fixed-point narrowing
+    # (small-corpus plan SHAPES unchanged — re-proven here rather
+    # than assumed); sim2/d7/d9 are the registered queries that ride
+    # that kernel:
+    "sim2_cosine_neardup", "d7_semantic_dedup",
+    "d9_semantic_dedup_cc",
+    # --- freshness repairs (VERDICT r11 demerit): aj2's last
+    # driver-green row is r8 (staleness 4 by now), aj1's is r10 —
+    # both as-of joins verified here, plans unchanged:
+    "aj2_order_next_event", "aj1_event_order_asof",
+    # --- the r9-green window remainder in its r9 order (staleness 3
+    # this round — the mandatory body of the r12 window under the
+    # <=2-round freshness contract; locally parity-green every round,
+    # plans unchanged):
     "a11_trend_recent_vs_earlier", "a12_trend_half_vs_half",
     "a13_trend_first_vs_last", "a8_company_trailing",
     "a9_product_trailing", "a16_product_range_stats",
@@ -104,6 +72,59 @@ _VERIFY_FIRST = [
     "qr2_cardinality_drift", "cm1_range_heavy_users",
     "hh1_heavy_hitters", "scd2_validity_intervals",
     "a1_store_day_metrics", "a2_payment_breakdown",
+    # --- 3 spare slots: head of the r10-green window in its r10
+    # order (staleness 2 this round; the rest of that window comes
+    # due in r13):
+    "x1_export_store_summaries", "x2_export_top_products",
+    "x3_export_anomalies",
+    # ================= past the 50-window =================
+    # r13 ROTATION PREP: lead with any r13 plan changes, then the
+    # remaining r10-green window below in its r10 order (43 entries,
+    # staleness 3 by r13 — they fit one window with up to 7 changes;
+    # slip the tail to r14 and say so here if r13 changes more), then
+    # the r11 window as spares. After the r12 window every registry
+    # entry's last driver-green row is r10+ (audit in the r12 session
+    # log: no entry exceeds staleness 2).
+    "x4_export_trends", "x5_export_recommendations",
+    "x6_export_manifest", "r1_daily_report_lines",
+    "a2_payment_per_store_day", "a3_top5_products_store_day",
+    "sd_nested_store_daily", "a4_payment_map_rollup",
+    "a4_company_daily", "a6_product_daily_exact",
+    "a6_product_daily_top5_parity", "j5_wide_pivot_timeseries",
+    "j5_wide_serialized", "a18_event_type_summary",
+    "p1_store_summary_projection", "p2_prefix_filter",
+    "p3_point_lookup", "p4_range_filter_daily", "p6_isin_filter",
+    "u1_union_tagged", "f1_scalar_sampler", "i1_anomaly_classify",
+    "i2_trend_insights", "i3_recommendations", "i4_combine_insights",
+    "i5_insight_summary", "d8_decontaminate", "t6_stratified_sample",
+    "cur2_train_eval_split", "mix1_source_mixing_weights",
+    "cap1_source_cap", "shuf1_deterministic_shuffle",
+    "hist1_log2_histogram", "hist2_histogram_range_merge",
+    "qr1_quality_report", "d5_simhash", "d6_simhash_neardup",
+    "bud1_token_budget_select", "rel1_release_order",
+    "src2_cross_source_dups", "sim3_lsh_topk",
+    "d10_minhash_dup_groups", "a19_dow_seasonality",
+    # --- r11 window (staleness 1) as the final spares, r11 order:
+    "d4_minhash_neardup", "d3_lsh_candidate_pairs", "d11_containment",
+    "wn1_winnow_overlap", "co1_sku_copurchase",
+    "coh1_cohort_retention", "cp1_cusum_changepoint",
+    "cube1_store_payment_cube", "cur1_curated_corpus",
+    "d12_editdist_neardup", "dq1_profile_columns",
+    "drift1_payment_tvd", "e1_embedding_dim_profile",
+    "ev_session_windows", "ev_sliding_2h_hourly",
+    "ev_tumbling_hourly", "ewma1_smoothed_sales", "f2_array_sampler",
+    "fun1_event_funnel", "gap1_missing_days",
+    "hll1_distinct_transactions", "hll2_range_merge",
+    "mo1_zorder_codes", "pack1_sequence_packing",
+    "pr1_pagerank_stores", "q1_payment_quantiles",
+    "rj1_busy_window_events", "scd1_latest_per_key",
+    "sk1_kmv_distinct_skus", "t10_familiarity",
+    "t7_repetition_filter", "t8_doc_frequency", "tf1_tfidf_keywords",
+    "tri1_copurchase_triangles", "u2_setops_assortment",
+    "w1_weighted_sample", "w2_window_sampler", "z1_robust_zscore",
+    "co2_copurchase_range_merge", "tri2_triangles_range",
+    "wn2_winnow_decontaminate", "a7_trailing_7day",
+    "a10_deviation_vs_trailing",
 ]
 
 
