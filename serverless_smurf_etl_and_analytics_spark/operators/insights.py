@@ -194,16 +194,24 @@ def llm_classify(txns: DataFrame, classify_fn=None) -> DataFrame:
     ``mapInPandas`` stage:
 
     - ``classify_fn(pdf) -> iterable of labels`` is the pluggable model
-      call (one batch = one prompt batch; a real backend would format
-      prompts from the rows and parse the model's JSON reply, the
-      markdown-fence extraction of ``:279-301``);
-    - the default is a DETERMINISTIC FAKE mirroring the documented
-      thresholds, so tests run offline and reproducibly.
+      call (one batch = one prompt batch; ``llm_adapter.make_classify_fn``
+      is the real backend: prompt-format -> OpenAI-compatible transport
+      -> the markdown-fence extraction of ``:279-301`` -> row-aligned
+      labels);
+    - with no explicit ``classify_fn``, the env gate
+      (``llm_adapter.classify_fn_from_env``: SMURF_LLM_BASE_URL) is
+      consulted, so a deployment reaches a real model by config alone;
+    - the offline default is a DETERMINISTIC FAKE mirroring the
+      documented thresholds, so tests run offline and reproducibly.
 
     Deliberately NOT in the oracle path: a model-backed classifier is
     nondeterministic by nature (SURVEY §5 — rows-only checks at best).
     """
+    from . import llm_adapter
     from .history import deviation_vs_trailing
+
+    if classify_fn is None:
+        classify_fn = llm_adapter.classify_fn_from_env()
 
     dev = deviation_vs_trailing(txns)
 

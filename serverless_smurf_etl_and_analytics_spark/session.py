@@ -55,6 +55,17 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
+    # deployment escape hatch for static (pre-session) confs — e.g.
+    # the scale rehearsals set
+    # spark.python.worker.faulthandler.enabled=true so a crashed
+    # Python worker leaves a traceback instead of a bare BrokenPipe
+    # (the r11 emb6m postmortem had nothing to read). Format:
+    # "k=v;k=v"; malformed entries are skipped.
+    extra = os.environ.get("SMURF_EXTRA_CONF", "")
+    for kv in extra.split(";"):
+        k, sep, v = kv.partition("=")
+        if sep and k.strip():
+            builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
 
 
