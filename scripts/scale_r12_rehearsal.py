@@ -272,7 +272,71 @@ def stage_cc100m(n_edges: int = 100_000_000) -> None:
     )
 
 
+def stage_x3ab(sf_dir: str = "/root/repo/.scratch/sf10") -> None:
+    """VERDICT r11 task 8: can the anomaly/trend export chains consume
+    a MATERIALIZED store_daily_cents (the maintained-corpus MV shape
+    x6 already rides within a process) instead of re-deriving the
+    daily aggregation from facts per dataset? Same-process A/B at
+    sf10: arm A = the shipped x3+x4 shapes (one fact scan each); arm
+    B = one timed daily materialization + both chains off the
+    read-back. The windows themselves run over the tiny daily table
+    either way — what the MV removes is the repeated 60M-row
+    scan+aggregate."""
+    import tempfile
+
+    from serverless_smurf_etl_and_analytics_spark import tables
+    from serverless_smurf_etl_and_analytics_spark.operators import (
+        export,
+        history,
+        insights,
+    )
+
+    spark = _spark()
+    txns = tables.transactions(spark, sf_dir)
+    out: dict = {}
+    t0 = time.monotonic()
+    rows_a3 = export.export_anomalies(txns).count()
+    a3 = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    rows_a4 = export.export_trends(txns).count()
+    a4 = round(time.monotonic() - t0, 2)
+    out["arm_a_shipped"] = {
+        "x3_sec": a3, "x4_sec": a4, "total_sec": round(a3 + a4, 2),
+        "x3_rows": rows_a3, "x4_rows": rows_a4,
+    }
+    mv = tempfile.mkdtemp(prefix="smurf_r12_dailymv_") + "/daily"
+    t0 = time.monotonic()
+    history.store_daily_cents(txns).write.mode("overwrite").parquet(mv)
+    build = round(time.monotonic() - t0, 2)
+    daily = spark.read.parquet(mv)
+    t0 = time.monotonic()
+    rows_b3 = export._export_anomalies_from(
+        insights.classify_anomalies_from_daily(daily)
+    ).count()
+    b3 = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    rows_b4 = export._export_trends_from(
+        insights.trend_insights_from_daily(daily)
+    ).count()
+    b4 = round(time.monotonic() - t0, 2)
+    out["arm_b_materialized_daily"] = {
+        "mv_build_sec": build,
+        "x3_from_mv_sec": b3, "x4_from_mv_sec": b4,
+        "total_sec": round(build + b3 + b4, 2),
+        "x3_rows": rows_b3, "x4_rows": rows_b4,
+    }
+    out["rows_match"] = rows_a3 == rows_b3 and rows_a4 == rows_b4
+    out["what"] = (
+        "same-process A/B: the shipped per-dataset fact scans vs one "
+        "materialized store_daily_cents feeding both window chains — "
+        "quantifies what a maintained daily MV saves the insight/"
+        "export family per additional consumer"
+    )
+    _merge("x3x4_daily_mv_ab_sf10", out)
+
+
 if __name__ == "__main__":
     stages = sys.argv[1:] or ["emb6m", "cc100m"]
     for s in stages:
-        {"emb6m": stage_emb6m, "cc100m": stage_cc100m}[s]()
+        {"emb6m": stage_emb6m, "cc100m": stage_cc100m,
+         "x3ab": stage_x3ab}[s]()
