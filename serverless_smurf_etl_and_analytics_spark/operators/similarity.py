@@ -1448,8 +1448,26 @@ def cosine_neardup_pairs_sharded(
             )
             .distinct()
         )
+        # STAGE the distinct-ed candidates before the verify (r12):
+        # pipelining the distinct's final aggregation, the Python
+        # gather kernel, and the parquet write into ONE task was the
+        # emb6m failure shape — ~10% of those tasks straggled with an
+        # IDLE Python worker (the JVM side still aggregating/spilling)
+        # until the worker socket reset and the job died, at 32 tasks
+        # (r11, .scratch/emb6m4.log) and at 24 (r12 repro with the
+        # faulthandler on). Staging makes the heavy reduce a
+        # PYTHON-FREE job and feeds the verify from uniform file
+        # splits — bare (long, long) pairs, so the extra write is a
+        # few bytes per candidate, and each stage is independently
+        # bounded and restartable (what a 1000-executor run wants
+        # anyway).
+        cand_path = os.path.join(scratch, f"cand_{s}")
+        cand.write.mode("overwrite").parquet(cand_path)
         pairs = _threshold_pairs(
-            _gather_dots(cand, bt, transport), threshold
+            _gather_dots(
+                emb.sparkSession.read.parquet(cand_path), bt, transport
+            ),
+            threshold,
         )
         path = os.path.join(scratch, f"shard_{s}")
         pairs.write.mode("overwrite").parquet(path)
