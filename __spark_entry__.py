@@ -83,8 +83,8 @@ _VERIFY_FIRST = [
     # staleness 3 by r13 — they fit one window with up to 7 changes;
     # slip the tail to r14 and say so here if r13 changes more), then
     # the r11 window as spares. After the r12 window every registry
-    # entry's last driver-green row is r10+ (audit in the r12 session
-    # log: no entry exceeds staleness 2).
+    # entry's last driver-green row is r10+ — no entry exceeds
+    # staleness 2 (per-query audit: benchmarks/staleness_audit_r12.json).
     "x4_export_trends", "x5_export_recommendations",
     "x6_export_manifest", "r1_daily_report_lines",
     "a2_payment_per_store_day", "a3_top5_products_store_day",
