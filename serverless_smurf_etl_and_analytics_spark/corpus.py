@@ -43,7 +43,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, joins, similarity, textops
+from .operators import (
+    dedup,
+    export,
+    history,
+    insights,
+    joins,
+    similarity,
+    textops,
+)
 from .operators.artifacts import cache_root
 from .sources import tablelog
 
@@ -290,12 +298,17 @@ def ingest_transactions(
     shard: DataFrame,
     cache: str | None = None,
 ) -> dict:
-    """Commit a transaction-line shard and maintain the co-purchase
-    daily partial artifact (co1/co2's materialized layer). Basket
-    caveat (``joins.co_pair_daily``): the shard must consist of
-    COMPLETE new baskets — a late line appended to an old order
-    changes that order's basket, so such corrections must instead
-    restate under a fresh key (full rebuild)."""
+    """Commit a transaction-line shard and maintain the fact-side
+    artifact families: the co-purchase daily partial (co1/co2's
+    materialized layer) and the store-day daily aggregate (the MV the
+    whole insight/export chain consumes — x3/x4/i1/i2/a7-a13; r12,
+    VERDICT r11 task 8). Basket caveat (``joins.co_pair_daily``): the
+    shard must consist of COMPLETE new baskets — a late line appended
+    to an old order changes that order's basket, so such corrections
+    must instead restate under a fresh key (full rebuild). The daily
+    family has NO such caveat (sum/count are decomposable), and is
+    skipped when the shard lacks the store/cents columns (a
+    keys-only corpus still maintains co)."""
     root = cache_root(cache)
     old_fp, version, new_fp, committed, current = _commit_pinned(
         spark, table_dir, shard, TXN_FP_COLS
@@ -311,6 +324,21 @@ def ingest_transactions(
         "co_pair_daily",
         stats,
     )
+    if {"store_id", "sale_date", "line_cents"}.issubset(
+        set(committed.columns)
+    ):
+        _advance_or_build(
+            history.advance_daily_artifact(committed, old_fp, new_fp, root)
+            if old_fp
+            else None,
+            lambda: history.cached_store_daily_cents(
+                current, cache=root, fingerprint=new_fp
+            ),
+            "store_daily",
+            stats,
+        )
+    else:
+        stats["store_daily"] = "skipped (shard lacks store/cents columns)"
     return stats
 
 
@@ -419,6 +447,56 @@ def cosine_neardup(
     return similarity.cosine_neardup_pairs(
         emb, threshold,
         band_cache=_query_cache(cache), fingerprint=fp,
+    )
+
+
+def store_daily(
+    spark: SparkSession,
+    table_dir: str,
+    cache: str | None = None,
+) -> DataFrame:
+    """The store-day daily aggregate of a maintained transaction
+    corpus, answered from the ledger-keyed artifact — the MV every
+    window/insight/export consumer shares. Falls back to the inline
+    aggregation only when the artifact is environmentally unavailable
+    (never silently stale: the key is the ledger fingerprint)."""
+    txns, fp, _ = snapshot_transactions(spark, table_dir)
+    daily = history.cached_store_daily_cents(
+        txns, cache=_query_cache(cache), fingerprint=fp
+    )
+    return daily if daily is not None else history.store_daily_cents(txns)
+
+
+def export_anomalies(
+    spark: SparkSession,
+    table_dir: str,
+    min_days: int = 3,
+    cache: str | None = None,
+) -> DataFrame:
+    """x3 (flattened anomaly dataset) over a maintained transaction
+    corpus: the window chain consumes the ledger-keyed daily artifact
+    instead of re-deriving the aggregation from facts — the measured
+    gap is ~2 s vs 42-150 s per consumer at 60M facts
+    (``benchmarks/scale_r12_summary.json`` ``x3x4_daily_mv_ab_sf10``;
+    VERDICT r11 task 8)."""
+    return export._export_anomalies_from(
+        insights.classify_anomalies_from_daily(
+            store_daily(spark, table_dir, cache), min_days
+        )
+    )
+
+
+def export_trends(
+    spark: SparkSession,
+    table_dir: str,
+    cache: str | None = None,
+) -> DataFrame:
+    """x4 (flattened trend dataset) over a maintained transaction
+    corpus — see :func:`export_anomalies`."""
+    return export._export_trends_from(
+        insights.trend_insights_from_daily(
+            store_daily(spark, table_dir, cache)
+        )
     )
 
 

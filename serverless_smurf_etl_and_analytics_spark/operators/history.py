@@ -38,6 +38,87 @@ def store_daily_cents(txns: DataFrame) -> DataFrame:
     )
 
 
+# Artifact gate: same rationale and value as joins._CO_ARTIFACT_MIN —
+# engage only where the inline daily aggregation is a real wall (sf1+),
+# never at the scales the driver verifies or the bench pins, so every
+# driver-green plan stays byte-identical to the inline form. The sf10
+# A/B that motivates the artifact: each additional consumer of the
+# daily grain costs ~2 s off the materialized table vs 42-150 s
+# re-deriving it from 60M facts (benchmarks/scale_r12_summary.json
+# ``x3x4_daily_mv_ab_sf10``; VERDICT r11 task 8).
+_DAILY_ARTIFACT_MIN = 1_000_000
+
+
+def cached_store_daily_cents(
+    txns: DataFrame,
+    cache: str | None = "auto",
+    fingerprint: tuple[int, int] | None = None,
+) -> DataFrame | None:
+    """find-or-build :func:`store_daily_cents` as a fingerprint-keyed
+    corpus artifact (key ``sdc_v1_n{n}_h{h}``), or None when gated
+    off / disabled / environmentally failed (caller falls back to the
+    inline aggregation).
+
+    The read-back RE-AGGREGATES by (store_id, sale_date): ledger
+    advances (:func:`advance_daily_artifact`) append the new shard's
+    own daily partial, so an advanced artifact may hold several
+    partial rows per key. sum and count are decomposable, so the
+    union-append is exact for ANY split of the fact rows into shards
+    — no complete-group caveat at all, unlike ``co_pair_daily``'s
+    complete-basket requirement. The re-agg runs over |stores|x|days|
+    rows (tiny at every scale), never the facts."""
+    import os
+
+    from .artifacts import atomic_write_parquet, cache_root
+    from .joins import txn_corpus_fingerprint
+
+    if cache is None:
+        return None
+    n_rows = fingerprint[0] if fingerprint else txns.count()
+    if cache == "auto" and n_rows < _DAILY_ARTIFACT_MIN:
+        return None
+    try:
+        root = cache_root(None if cache == "auto" else cache)
+        n, h = fingerprint or txn_corpus_fingerprint(txns)
+        path = atomic_write_parquet(
+            store_daily_cents(txns),
+            os.path.join(root, f"sdc_v1_n{n}_h{h}"),
+        )
+        return (
+            txns.sparkSession.read.parquet(path)
+            .groupBy("store_id", "sale_date")
+            .agg(
+                F.sum("sales_c").alias("sales_c"),
+                F.sum("txn_count").alias("txn_count"),
+            )
+        )
+    except Exception:
+        return None
+
+
+def advance_daily_artifact(
+    new_txns: DataFrame,
+    old_fp: tuple[int, int],
+    new_fp: tuple[int, int],
+    root: str | None = None,
+) -> str | None:
+    """O(shard) key advance for the daily-aggregate artifact — see
+    ``dedup.advance_shingle_artifact``. Appends the SHARD's own daily
+    partial under the grown corpus's key; consumers re-aggregate
+    (:func:`cached_store_daily_cents`), and because sum/count are
+    decomposable the result is exact under any shard split."""
+    from .artifacts import advance_artifact
+
+    return advance_artifact(
+        root,
+        f"sdc_v1_n{old_fp[0]}_h{old_fp[1]}",
+        f"sdc_v1_n{new_fp[0]}_h{new_fp[1]}",
+        lambda p: store_daily_cents(new_txns)
+        .write.mode("append")
+        .parquet(p),
+    )
+
+
 def _trailing(df: DataFrame, lo: int, hi: int, prefix: str) -> DataFrame:
     w = (
         Window.partitionBy("store_id")
