@@ -134,7 +134,15 @@ class MemSampler(threading.Thread):
         }
 
 
-def stage_emb6m(emb_dir: str = "/root/repo/.scratch/emb6m") -> None:
+def stage_emb6m(
+    emb_dir: str = "/root/repo/.scratch/emb6m",
+    key: str = "emb6m_end_to_end",
+    what: str = (
+        "the r11 crash case run to completion after the r12 "
+        "worker-memory bounds (chunked gather slices + mmap-tier "
+        "verify concurrency cap); faulthandler on"
+    ),
+) -> None:
     import tempfile
 
     from serverless_smurf_etl_and_analytics_spark.operators import similarity
@@ -161,7 +169,7 @@ def stage_emb6m(emb_dir: str = "/root/repo/.scratch/emb6m") -> None:
     ).count()
     wall = round(time.monotonic() - t0, 2)
     _merge(
-        "emb6m_end_to_end",
+        key,
         {
             "n_vectors": n,
             "band_config": [n_bands, planes],
@@ -176,10 +184,24 @@ def stage_emb6m(emb_dir: str = "/root/repo/.scratch/emb6m") -> None:
             "pairs": pairs,
             "wall_sec": wall,
             "memory": sampler.snapshot(),
-            "what": "the r11 crash case run to completion after the "
-            "r12 worker-memory bounds (chunked gather slices + "
-            "mmap-tier verify concurrency cap); faulthandler on",
+            "what": what,
         },
+    )
+
+
+def stage_emb10m() -> None:
+    """Stretch evidence past the fixed 6M ceiling: the same end-to-end
+    sharded near-dup at 10M vectors (5000 amplification copies of the
+    sf0.001 embeddings, same per-copy transform as
+    ``make_scaled_data.py``)."""
+    stage_emb6m(
+        emb_dir="/root/repo/.scratch/emb10m",
+        key="emb10m_end_to_end",
+        what=(
+            "headroom check past the fixed 6M crash point: same "
+            "staged-candidate + bounded-gather plan at 10M vectors "
+            "(2.7 GB matrix artifact, un-forced mmap)"
+        ),
     )
 
 
@@ -338,5 +360,5 @@ def stage_x3ab(sf_dir: str = "/root/repo/.scratch/sf10") -> None:
 if __name__ == "__main__":
     stages = sys.argv[1:] or ["emb6m", "cc100m"]
     for s in stages:
-        {"emb6m": stage_emb6m, "cc100m": stage_cc100m,
-         "x3ab": stage_x3ab}[s]()
+        {"emb6m": stage_emb6m, "emb10m": stage_emb10m,
+         "cc100m": stage_cc100m, "x3ab": stage_x3ab}[s]()
