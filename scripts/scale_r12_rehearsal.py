@@ -24,6 +24,17 @@ with SMURF_DRIVER_MEM=48g; emb6m additionally wants
 SMURF_NEARDUP_SPILL_BUDGET=24000000000 (4 shards on this box's 57 GB
 spill volume) and
 SMURF_EXTRA_CONF="spark.python.worker.faulthandler.enabled=true".
+
+emb10m postmortem (r12): 5/6 shards completed, then the last shard's
+verify hung on its final task — jstack showed the executor thread
+epoll-waiting on the Python worker socket with the worker equally
+idle: the worker-REUSE deadlock, surviving the staged-candidate fix
+at a ~1-in-46-task rate. For the next emb10m+ attempt ADD
+``spark.python.worker.reuse=false,spark.speculation=true`` to
+SMURF_EXTRA_CONF — a fresh worker per task costs ~4 s x (cap 8 x
+shards) ~ minutes at this scale and removes the reused-worker cleanup
+path the hang sits in; speculation re-launches any residual
+straggler instead of wedging the stage.
 """
 
 from __future__ import annotations
