@@ -42,6 +42,7 @@ behind scales with the SHARD (advance) or the MANIFEST (key).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators import (
     dedup,
@@ -49,6 +50,7 @@ from .operators import (
     history,
     insights,
     joins,
+    metrics,
     similarity,
     textops,
 )
@@ -61,6 +63,12 @@ from .sources import tablelog
 DOC_FP_COLS = ["doc_id", "text"]
 EMB_FP_COLS = ["vec_id", "embedding"]
 TXN_FP_COLS = ["transaction_id", "item_sku", "sale_date"]
+
+# columns the wide store-day daily family (sdc_v2) aggregates; the
+# product-store-day family (psd_v1) additionally needs item_sku
+_DAILY_COLS = {
+    "store_id", "sale_date", "line_cents", "discount_cents", "quantity"
+}
 
 # artifact families maintained per corpus kind, with the config the
 # REGISTERED queries use (d2-d4/d8/d11: bigram shingles + 8x4 MinHash;
@@ -134,13 +142,19 @@ def _advance_or_build(
     advanced: str | None, build, family: str, stats: dict
 ) -> None:
     """Record how a family was maintained: ``advanced`` (O(shard)
-    hard-link + append) or ``built`` (no prior artifact — full build
-    over the current corpus, which on first ingest is the shard)."""
+    hard-link + append), ``built`` (no prior artifact — full build
+    over the current corpus, which on first ingest is the shard), or
+    ``build-failed`` when the builder returned None (the cached_*
+    builders swallow environmental errors to None — ADVICE r12: the
+    ingest stats must not claim an artifact that was never
+    published). Every registered builder returns a non-None value on
+    success (a DataFrame read-back or an artifact path)."""
     if advanced is not None:
         stats[family] = "advanced"
     else:
-        build()
-        stats[family] = "built"
+        stats[family] = (
+            "built" if build() is not None else "build-failed"
+        )
 
 
 def ingest_documents(
@@ -324,14 +338,19 @@ def ingest_transactions(
         "co_pair_daily",
         stats,
     )
-    if {"store_id", "sale_date", "line_cents"}.issubset(
-        set(committed.columns)
-    ):
+    # column gates inspect the CURRENT corpus head, not just the
+    # incoming shard (ADVICE r12): a full-column shard appended to a
+    # keys-only corpus must not trigger a build over rows missing the
+    # metric columns. tablelog commits share one table schema, so
+    # head columns == shard columns in practice — the distinction
+    # matters only for schema-evolved tables.
+    cols = set(committed.columns) & set(current.columns)
+    if _DAILY_COLS.issubset(cols):
         _advance_or_build(
             history.advance_daily_artifact(committed, old_fp, new_fp, root)
             if old_fp
             else None,
-            lambda: history.cached_store_daily_cents(
+            lambda: history.cached_store_daily_metrics(
                 current, cache=root, fingerprint=new_fp
             ),
             "store_daily",
@@ -339,6 +358,23 @@ def ingest_transactions(
         )
     else:
         stats["store_daily"] = "skipped (shard lacks store/cents columns)"
+    if (_DAILY_COLS | {"item_sku"}).issubset(cols):
+        _advance_or_build(
+            metrics.advance_product_day_artifact(
+                committed, old_fp, new_fp, root
+            )
+            if old_fp
+            else None,
+            lambda: metrics.cached_product_day_rollup(
+                current, cache=root, fingerprint=new_fp
+            ),
+            "product_daily",
+            stats,
+        )
+    else:
+        stats["product_daily"] = (
+            "skipped (shard lacks store/sku/cents columns)"
+        )
     return stats
 
 
@@ -496,6 +532,85 @@ def export_trends(
     return export._export_trends_from(
         insights.trend_insights_from_daily(
             store_daily(spark, table_dir, cache)
+        )
+    )
+
+
+def store_daily_metrics(
+    spark: SparkSession,
+    table_dir: str,
+    cache: str | None = None,
+) -> DataFrame:
+    """The WIDE store-day daily aggregate of a maintained transaction
+    corpus (all four decomposable sums), answered from the same
+    ledger-keyed ``sdc_v2`` artifact as :func:`store_daily`."""
+    txns, fp, _ = snapshot_transactions(spark, table_dir)
+    daily = history.cached_store_daily_metrics(
+        txns, cache=_query_cache(cache), fingerprint=fp
+    )
+    return (
+        daily
+        if daily is not None
+        else history.store_daily_metrics_cents(txns)
+    )
+
+
+def export_store_summaries(
+    spark: SparkSession,
+    table_dir: str,
+    start: str,
+    end: str,
+    cache: str | None = None,
+) -> DataFrame:
+    """x1 (flattened store_summaries dataset) over a maintained
+    transaction corpus: the serving shape is a per-row function of
+    the wide daily sums, so it reads the ``sdc_v2`` artifact instead
+    of re-aggregating (range-pruned) facts — r13, completing the MV
+    consumption VERDICT r12 task 6 asked for (x3/x4 shipped r12)."""
+    return export._export_store_summaries_from_daily(
+        store_daily_metrics(spark, table_dir, cache), start, end
+    )
+
+
+def export_top_products(
+    spark: SparkSession,
+    table_dir: str,
+    start: str,
+    end: str,
+    k: int = 5,
+    cache: str | None = None,
+) -> DataFrame:
+    """x2 (flattened top-K products dataset) over a maintained
+    transaction corpus: ranks are computed per (store, day) group
+    over the ledger-keyed ``psd_v1`` per-SKU partial — exact, because
+    the rank input is the same re-aggregated sums the inline rollup
+    produces, and the range filter lands on a group key."""
+    txns, fp, _ = snapshot_transactions(spark, table_dir)
+    rollup = metrics.cached_product_day_rollup(
+        txns, cache=_query_cache(cache), fingerprint=fp
+    )
+    if rollup is None:
+        rollup = metrics.product_day_rollup(txns)
+    top5 = metrics.top_products_from_rollup(
+        rollup.filter(F.col("sale_date").between(start, end)), k
+    )
+    return export._export_top_products_from(top5)
+
+
+def export_recommendations(
+    spark: SparkSession,
+    table_dir: str,
+    min_days: int = 3,
+    cache: str | None = None,
+) -> DataFrame:
+    """x5 (flattened recommendations dataset) over a maintained
+    transaction corpus — recommendations are a per-row reshape of the
+    anomaly set, which derives from the same daily MV as x3."""
+    return export._export_recommendations_from(
+        insights.recommendations_from(
+            insights.classify_anomalies_from_daily(
+                store_daily(spark, table_dir, cache), min_days
+            )
         )
     )
 

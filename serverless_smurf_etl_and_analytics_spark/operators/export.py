@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..functions.money import dollars
 from .history import store_daily_cents
 from .insights import (
     classify_anomalies,
@@ -69,6 +70,35 @@ def export_store_summaries(
     )
 
 
+def _export_store_summaries_from_daily(
+    wide_daily: DataFrame, start: str, end: str
+) -> DataFrame:
+    """x1's serving shape off the WIDE store-day daily partial
+    (``history.store_daily_metrics_cents`` / the maintained ``sdc_v2``
+    artifact) — the same integer-cents math ``metrics.
+    store_day_metrics`` applies to its own aggregation, so the result
+    equals :func:`export_store_summaries` exactly (sale_date is a
+    group key, so filtering the full-history daily table to the range
+    yields precisely the range-filtered facts' groups)."""
+    net_c = F.col("sales_c") - F.col("disc_c")
+    return wide_daily.filter(
+        F.col("sale_date").between(start, end)
+    ).select(
+        F.col("sale_date").alias("date"),
+        "store_id",
+        F.concat(F.lit("Store "), F.col("store_id")).alias("store_name"),
+        dollars(F.col("sales_c")).alias("total_sales"),
+        F.col("txn_count").alias("transactions"),
+        F.col("item_count").alias("items_sold"),
+        (
+            F.round(net_c / F.col("txn_count")).cast("long")
+            / F.lit(100.0)
+        )
+        .cast("double")
+        .alias("average_transaction"),
+    )
+
+
 def export_top_products(txns: DataFrame, start: str, end: str) -> DataFrame:
     """Flattened top_products dataset
     (``export-to-quicksight/lambda_function.py:217-248``): the per-store
@@ -78,9 +108,14 @@ def export_top_products(txns: DataFrame, start: str, end: str) -> DataFrame:
     Range filter on the FACTS (exact: ranks are computed within each
     (store, day) group independently) — see
     :func:`export_store_summaries` for the measured rationale."""
-    top5 = top_products_per_store_day(
-        txns.filter(F.col("sale_date").between(start, end)), 5
+    return _export_top_products_from(
+        top_products_per_store_day(
+            txns.filter(F.col("sale_date").between(start, end)), 5
+        )
     )
+
+
+def _export_top_products_from(top5: DataFrame) -> DataFrame:
     return top5.select(
         F.col("sale_date").alias("date"),
         "store_id",

@@ -38,6 +38,24 @@ def store_daily_cents(txns: DataFrame) -> DataFrame:
     )
 
 
+def store_daily_metrics_cents(txns: DataFrame) -> DataFrame:
+    """The WIDE per-(store, day) daily partial: every decomposable sum
+    the export/insight consumers need — gross cents, discount cents,
+    line count, item count. Each column is a plain sum/count, so the
+    union-append advance stays exact under ANY shard split (the same
+    decomposability claim :func:`cached_store_daily_cents` carries;
+    countDistinct(transaction_id) is deliberately NOT here — it does
+    not decompose and no artifact consumer needs it). x1's serving
+    shape (``export-to-quicksight/lambda_function.py:180-214``) is a
+    pure per-row function of these four sums."""
+    return txns.groupBy("store_id", "sale_date").agg(
+        F.sum("line_cents").alias("sales_c"),
+        F.sum("discount_cents").alias("disc_c"),
+        F.count(F.lit(1)).alias("txn_count"),
+        F.sum("quantity").alias("item_count"),
+    )
+
+
 # Artifact gate: same rationale and value as joins._CO_ARTIFACT_MIN —
 # engage only where the inline daily aggregation is a real wall (sf1+),
 # never at the scales the driver verifies or the bench pins, so every
@@ -54,19 +72,38 @@ def cached_store_daily_cents(
     cache: str | None = "auto",
     fingerprint: tuple[int, int] | None = None,
 ) -> DataFrame | None:
-    """find-or-build :func:`store_daily_cents` as a fingerprint-keyed
-    corpus artifact (key ``sdc_v1_n{n}_h{h}``), or None when gated
-    off / disabled / environmentally failed (caller falls back to the
+    """find-or-build the store-day daily artifact and return it in
+    :func:`store_daily_cents`'s shape, or None when gated off /
+    disabled / environmentally failed (caller falls back to the
     inline aggregation).
 
-    The read-back RE-AGGREGATES by (store_id, sale_date): ledger
-    advances (:func:`advance_daily_artifact`) append the new shard's
-    own daily partial, so an advanced artifact may hold several
-    partial rows per key. sum and count are decomposable, so the
-    union-append is exact for ANY split of the fact rows into shards
-    — no complete-group caveat at all, unlike ``co_pair_daily``'s
-    complete-basket requirement. The re-agg runs over |stores|x|days|
-    rows (tiny at every scale), never the facts."""
+    The stored artifact is the WIDE partial
+    (:func:`store_daily_metrics_cents`, key ``sdc_v2_n{n}_h{h}`` —
+    r13 widened from the v1 two-sum form so x1's item/discount sums
+    ride the same family; a v1-keyed corpus simply misses once and
+    rebuilds wide). The read-back RE-AGGREGATES by (store_id,
+    sale_date): ledger advances (:func:`advance_daily_artifact`)
+    append the new shard's own daily partial, so an advanced artifact
+    may hold several partial rows per key. Every column is a sum, so
+    the union-append is exact for ANY split of the fact rows into
+    shards — no complete-group caveat at all, unlike
+    ``co_pair_daily``'s complete-basket requirement. The re-agg runs
+    over |stores|x|days| rows (tiny at every scale), never the
+    facts."""
+    wide = cached_store_daily_metrics(txns, cache, fingerprint)
+    if wide is None:
+        return None
+    return wide.select("store_id", "sale_date", "sales_c", "txn_count")
+
+
+def cached_store_daily_metrics(
+    txns: DataFrame,
+    cache: str | None = "auto",
+    fingerprint: tuple[int, int] | None = None,
+) -> DataFrame | None:
+    """The wide form of :func:`cached_store_daily_cents`: the same
+    ``sdc_v2`` artifact, re-aggregated and returned with all four
+    decomposable sums — the input x1's serving shape derives from."""
     import os
 
     from .artifacts import atomic_write_parquet, cache_root
@@ -81,17 +118,24 @@ def cached_store_daily_cents(
         root = cache_root(None if cache == "auto" else cache)
         n, h = fingerprint or txn_corpus_fingerprint(txns)
         path = atomic_write_parquet(
-            store_daily_cents(txns),
-            os.path.join(root, f"sdc_v1_n{n}_h{h}"),
+            store_daily_metrics_cents(txns),
+            os.path.join(root, f"sdc_v2_n{n}_h{h}"),
         )
         return (
             txns.sparkSession.read.parquet(path)
             .groupBy("store_id", "sale_date")
             .agg(
                 F.sum("sales_c").alias("sales_c"),
+                F.sum("disc_c").alias("disc_c"),
                 F.sum("txn_count").alias("txn_count"),
+                F.sum("item_count").alias("item_count"),
             )
         )
+    except AssertionError:
+        # the test suite's scan/build ban hooks raise AssertionError
+        # from inside this try (ADVICE r12): a banned lookup must fail
+        # the test, never degrade to the silent inline fallback
+        raise
     except Exception:
         return None
 
@@ -103,17 +147,18 @@ def advance_daily_artifact(
     root: str | None = None,
 ) -> str | None:
     """O(shard) key advance for the daily-aggregate artifact — see
-    ``dedup.advance_shingle_artifact``. Appends the SHARD's own daily
-    partial under the grown corpus's key; consumers re-aggregate
-    (:func:`cached_store_daily_cents`), and because sum/count are
-    decomposable the result is exact under any shard split."""
+    ``dedup.advance_shingle_artifact``. Appends the SHARD's own wide
+    daily partial under the grown corpus's key; consumers
+    re-aggregate (:func:`cached_store_daily_cents` /
+    :func:`cached_store_daily_metrics`), and because every column is
+    a sum the result is exact under any shard split."""
     from .artifacts import advance_artifact
 
     return advance_artifact(
         root,
-        f"sdc_v1_n{old_fp[0]}_h{old_fp[1]}",
-        f"sdc_v1_n{new_fp[0]}_h{new_fp[1]}",
-        lambda p: store_daily_cents(new_txns)
+        f"sdc_v2_n{old_fp[0]}_h{old_fp[1]}",
+        f"sdc_v2_n{new_fp[0]}_h{new_fp[1]}",
+        lambda p: store_daily_metrics_cents(new_txns)
         .write.mode("append")
         .parquet(p),
     )

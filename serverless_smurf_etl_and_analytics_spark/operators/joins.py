@@ -408,6 +408,10 @@ def cached_co_pair_daily(
         return txns.sparkSession.read.parquet(path).select(
             "order_date", "item_sku", "partner_sku", "co_count"
         )
+    except AssertionError:
+        # test-suite scan/build ban hooks must propagate, never
+        # degrade to the silent inline fallback (ADVICE r12)
+        raise
     except Exception:
         return None
 

@@ -21,6 +21,7 @@ from serverless_smurf_etl_and_analytics_spark.operators import (
     export,
     history,
     joins,
+    metrics,
     similarity,
     textops,
 )
@@ -70,6 +71,7 @@ def _open_gates(monkeypatch):
     monkeypatch.setattr(similarity, "_BAND_CACHE_MIN", 0)
     monkeypatch.setattr(joins, "_CO_ARTIFACT_MIN", 0)
     monkeypatch.setattr(history, "_DAILY_ARTIFACT_MIN", 0)
+    monkeypatch.setattr(metrics, "_PSD_ARTIFACT_MIN", 0)
 
 
 def test_document_corpus_ingest_then_zero_scan_queries(
@@ -183,26 +185,42 @@ def test_transaction_corpus_daily_artifact_feeds_insight_exports(
     a = txns.filter(F.col("transaction_id") % 2 == 0)
     b = txns.filter(F.col("transaction_id") % 2 == 1)
 
+    start, end = "1992-01-01", "1998-12-31"
     # inline expectations over the FULL corpus, before any banning
+    x1_inline = _rows(export.export_store_summaries(txns, start, end))
+    x2_inline = _rows(export.export_top_products(txns, start, end))
     x3_inline = _rows(export.export_anomalies(txns))
     x4_inline = _rows(export.export_trends(txns))
+    x5_inline = _rows(export.export_recommendations(txns))
     daily_inline = _rows(history.store_daily_cents(txns))
 
     s1 = corpus.ingest_transactions(spark, t, a)
     s2 = corpus.ingest_transactions(spark, t, b)
     assert s1["store_daily"] == "built"
     assert s2["store_daily"] == "advanced"
+    assert s1["product_daily"] == "built"
+    assert s2["product_daily"] == "advanced"
 
-    # the advanced artifact's key must be present (the query below
+    # the advanced artifacts' keys must be present (the queries below
     # would otherwise silently fall back to the inline aggregation)
     n, h = s2["fingerprint"]
-    assert os.path.isdir(os.path.join(root, f"sdc_v1_n{n}_h{h}"))
+    assert os.path.isdir(os.path.join(root, f"sdc_v2_n{n}_h{h}"))
+    assert os.path.isdir(os.path.join(root, f"psd_v1_n{n}_h{h}"))
 
     _open_gates(monkeypatch)
     _ban_scans_and_builds(monkeypatch)
     assert _rows(corpus.store_daily(spark, t)) == daily_inline
+    assert (
+        _rows(corpus.export_store_summaries(spark, t, start, end))
+        == x1_inline
+    )
+    assert (
+        _rows(corpus.export_top_products(spark, t, start, end))
+        == x2_inline
+    )
     assert _rows(corpus.export_anomalies(spark, t)) == x3_inline
     assert _rows(corpus.export_trends(spark, t)) == x4_inline
+    assert _rows(corpus.export_recommendations(spark, t)) == x5_inline
 
 
 def test_keys_only_transaction_shard_skips_daily_family(
@@ -219,7 +237,52 @@ def test_keys_only_transaction_shard_skips_daily_family(
     )
     s1 = corpus.ingest_transactions(spark, t, txns)
     assert s1["store_daily"].startswith("skipped")
+    assert s1["product_daily"].startswith("skipped")
     assert s1["co_pair_daily"] == "built"
+
+
+def test_failed_family_build_is_recorded_not_claimed(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12: when a family builder returns None (the cached_*
+    builders swallow environmental errors to None), the ingest stats
+    must record ``build-failed`` — never claim ``built`` for an
+    artifact that was not published."""
+    monkeypatch.setenv("SMURF_ARTIFACT_CACHE", str(tmp_path / "cache"))
+    t = str(tmp_path / "txns")
+    txns = tables.transactions(spark, SF_DIR)
+    monkeypatch.setattr(
+        history, "cached_store_daily_metrics", lambda *a, **k: None
+    )
+    s1 = corpus.ingest_transactions(spark, t, txns)
+    assert s1["store_daily"] == "build-failed"
+    assert s1["co_pair_daily"] == "built"
+    assert s1["product_daily"] == "built"
+
+
+def test_banned_lookup_failure_propagates(spark, tmp_path, monkeypatch):
+    """ADVICE r12: an AssertionError raised INSIDE the cached lookup
+    (the suite's scan/build ban hooks patch atomic_write_parquet and
+    the fingerprint aggregates in that try block) must propagate, not
+    degrade to the silent inline fallback."""
+    import pytest
+
+    from serverless_smurf_etl_and_analytics_spark.operators import artifacts
+
+    monkeypatch.setenv("SMURF_ARTIFACT_CACHE", str(tmp_path / "cache"))
+    txns = tables.transactions(spark, SF_DIR)
+
+    def boom(*a, **k):
+        raise AssertionError("banned build")
+
+    monkeypatch.setattr(artifacts, "atomic_write_parquet", boom)
+    root = str(tmp_path / "cache")
+    with pytest.raises(AssertionError, match="banned build"):
+        history.cached_store_daily_metrics(txns, cache=root)
+    with pytest.raises(AssertionError, match="banned build"):
+        metrics.cached_product_day_rollup(txns, cache=root)
+    with pytest.raises(AssertionError, match="banned build"):
+        joins.cached_co_pair_daily(txns, cache=root)
 
 
 def test_ingest_advance_survives_nondeterministic_shard(
