@@ -37,23 +37,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # every registered query has a driver-verified green row in at least
 # one round and nothing outside the window has a changed plan.
 _VERIFY_FIRST = [
-    # ================= r12 window (first 50) =================
-    # --- r12 changed operators, verified first: the gather-verify
-    # kernel gained fixed-size chunking, an mmap-tier concurrency
-    # cap, and the dot-overflow guard in the fixed-point narrowing
-    # (small-corpus plan SHAPES unchanged — re-proven here rather
-    # than assumed); sim2/d7/d9 are the registered queries that ride
-    # that kernel:
-    "sim2_cosine_neardup", "d7_semantic_dedup",
-    "d9_semantic_dedup_cc",
-    # --- freshness repairs (VERDICT r11 demerit): aj2's last
-    # driver-green row is r8 (staleness 4 by now), aj1's is r10 —
-    # both as-of joins verified here, plans unchanged:
+    # ================= r13 window (first 50) =================
+    # --- refactor-adjacent first: r13 extracted composition-
+    # preserving helpers under x1/x2's plans (export.py
+    # _export_top_products_from / metrics.top_products_from_rollup /
+    # product_day_partial) — plans are byte-identical to r12 by
+    # construction, re-proven here rather than assumed:
+    # --- then the mandatory body: the 38 staleness-2 entries from
+    # benchmarks/staleness_audit_r12.json (the r10-green block minus
+    # r11/r12 re-greens), in their r10 order — they fit this window
+    # with 10 spares;
+    # --- spares: head of the r11-green window (staleness 1) in its
+    # r11 order.
+    "x1_export_store_summaries", "x2_export_top_products",
+    "x4_export_trends", "x5_export_recommendations",
+    "r1_daily_report_lines", "a2_payment_per_store_day",
+    "a3_top5_products_store_day", "sd_nested_store_daily",
+    "a4_payment_map_rollup", "a4_company_daily", "a6_product_daily_exact",
+    "a6_product_daily_top5_parity", "j5_wide_pivot_timeseries",
+    "j5_wide_serialized", "a18_event_type_summary",
+    "p1_store_summary_projection", "p2_prefix_filter", "p3_point_lookup",
+    "p4_range_filter_daily", "p6_isin_filter", "u1_union_tagged",
+    "f1_scalar_sampler", "i1_anomaly_classify", "i2_trend_insights",
+    "i3_recommendations", "i4_combine_insights", "i5_insight_summary",
+    "t6_stratified_sample", "cur2_train_eval_split",
+    "mix1_source_mixing_weights", "cap1_source_cap",
+    "shuf1_deterministic_shuffle", "hist1_log2_histogram",
+    "hist2_histogram_range_merge", "qr1_quality_report", "d5_simhash",
+    "bud1_token_budget_select", "rel1_release_order",
+    "src2_cross_source_dups", "a19_dow_seasonality", "d4_minhash_neardup",
+    "d3_lsh_candidate_pairs", "d11_containment", "wn1_winnow_overlap",
+    "co1_sku_copurchase", "coh1_cohort_retention", "cp1_cusum_changepoint",
+    "cube1_store_payment_cube", "cur1_curated_corpus",
+    "d12_editdist_neardup",
+    # ================= past the 50-window =================
+    # r14 ROTATION PREP: lead with any r14 plan changes, then the
+    # r11-green remainder below (staleness 2 by r14) and the r12
+    # window after it (staleness 2 by r14 only for entries not
+    # re-greened since r12) — audit: benchmarks/staleness_audit_r13.json.
+    "sim2_cosine_neardup", "d7_semantic_dedup", "d9_semantic_dedup_cc",
     "aj2_order_next_event", "aj1_event_order_asof",
-    # --- the r9-green window remainder in its r9 order (staleness 3
-    # this round — the mandatory body of the r12 window under the
-    # <=2-round freshness contract; locally parity-green every round,
-    # plans unchanged):
     "a11_trend_recent_vs_earlier", "a12_trend_half_vs_half",
     "a13_trend_first_vs_last", "a8_company_trailing",
     "a9_product_trailing", "a16_product_range_stats",
@@ -62,63 +85,24 @@ _VERIFY_FIRST = [
     "j7_store_region_rollup", "a14_kpi_for_range",
     "a15_top_products_reagg", "a17_distinct_dates", "t1_text_stats",
     "t2_lang_id", "t3_fingerprint", "t4_token_count_bpe",
-    "t5_rolling_fingerprint", "d1_exact_dedup",
-    "d2_minhash_signatures", "mm1_binary_fingerprint_dedup",
-    "mm2_modality_stats", "mm3_pairing_integrity", "sim1_cosine_topk",
-    "sim4_ivf_topk", "t9_pii_scrub", "c1_kmeans_clusters",
-    "pq1_pq_codes", "ivfpq1_topk", "pq2_adc_topk", "pq4_adc_rerank",
-    "pq3_residual_codes", "src1_corpus_datasheet",
-    "sk2_kmv_range_merge", "sk3_kmv_set_overlap",
-    "qr2_cardinality_drift", "cm1_range_heavy_users",
-    "hh1_heavy_hitters", "scd2_validity_intervals",
-    "a1_store_day_metrics", "a2_payment_breakdown",
-    # --- 3 spare slots: head of the r10-green window in its r10
-    # order (staleness 2 this round; the rest of that window comes
-    # due in r13):
-    "x1_export_store_summaries", "x2_export_top_products",
-    "x3_export_anomalies",
-    # ================= past the 50-window =================
-    # r13 ROTATION PREP: lead with any r13 plan changes, then the
-    # remaining r10-green window below in its r10 order (43 entries,
-    # staleness 3 by r13 — they fit one window with up to 7 changes;
-    # slip the tail to r14 and say so here if r13 changes more), then
-    # the r11 window as spares. After the r12 window every registry
-    # entry's last driver-green row is r10+ — no entry exceeds
-    # staleness 2 (per-query audit: benchmarks/staleness_audit_r12.json).
-    "x4_export_trends", "x5_export_recommendations",
-    "x6_export_manifest", "r1_daily_report_lines",
-    "a2_payment_per_store_day", "a3_top5_products_store_day",
-    "sd_nested_store_daily", "a4_payment_map_rollup",
-    "a4_company_daily", "a6_product_daily_exact",
-    "a6_product_daily_top5_parity", "j5_wide_pivot_timeseries",
-    "j5_wide_serialized", "a18_event_type_summary",
-    "p1_store_summary_projection", "p2_prefix_filter",
-    "p3_point_lookup", "p4_range_filter_daily", "p6_isin_filter",
-    "u1_union_tagged", "f1_scalar_sampler", "i1_anomaly_classify",
-    "i2_trend_insights", "i3_recommendations", "i4_combine_insights",
-    "i5_insight_summary", "d8_decontaminate", "t6_stratified_sample",
-    "cur2_train_eval_split", "mix1_source_mixing_weights",
-    "cap1_source_cap", "shuf1_deterministic_shuffle",
-    "hist1_log2_histogram", "hist2_histogram_range_merge",
-    "qr1_quality_report", "d5_simhash", "d6_simhash_neardup",
-    "bud1_token_budget_select", "rel1_release_order",
-    "src2_cross_source_dups", "sim3_lsh_topk",
-    "d10_minhash_dup_groups", "a19_dow_seasonality",
-    # --- r11 window (staleness 1) as the final spares, r11 order:
-    "d4_minhash_neardup", "d3_lsh_candidate_pairs", "d11_containment",
-    "wn1_winnow_overlap", "co1_sku_copurchase",
-    "coh1_cohort_retention", "cp1_cusum_changepoint",
-    "cube1_store_payment_cube", "cur1_curated_corpus",
-    "d12_editdist_neardup", "dq1_profile_columns",
-    "drift1_payment_tvd", "e1_embedding_dim_profile",
-    "ev_session_windows", "ev_sliding_2h_hourly",
-    "ev_tumbling_hourly", "ewma1_smoothed_sales", "f2_array_sampler",
-    "fun1_event_funnel", "gap1_missing_days",
-    "hll1_distinct_transactions", "hll2_range_merge",
-    "mo1_zorder_codes", "pack1_sequence_packing",
-    "pr1_pagerank_stores", "q1_payment_quantiles",
-    "rj1_busy_window_events", "scd1_latest_per_key",
-    "sk1_kmv_distinct_skus", "t10_familiarity",
+    "t5_rolling_fingerprint", "d1_exact_dedup", "d2_minhash_signatures",
+    "mm1_binary_fingerprint_dedup", "mm2_modality_stats",
+    "mm3_pairing_integrity", "sim1_cosine_topk", "sim4_ivf_topk",
+    "t9_pii_scrub", "c1_kmeans_clusters", "pq1_pq_codes", "ivfpq1_topk",
+    "pq2_adc_topk", "pq4_adc_rerank", "pq3_residual_codes",
+    "src1_corpus_datasheet", "sk2_kmv_range_merge", "sk3_kmv_set_overlap",
+    "qr2_cardinality_drift", "cm1_range_heavy_users", "hh1_heavy_hitters",
+    "scd2_validity_intervals", "a1_store_day_metrics",
+    "a2_payment_breakdown", "x3_export_anomalies", "x6_export_manifest",
+    "d8_decontaminate", "d6_simhash_neardup", "sim3_lsh_topk",
+    "d10_minhash_dup_groups", "dq1_profile_columns", "drift1_payment_tvd",
+    "e1_embedding_dim_profile", "ev_session_windows",
+    "ev_sliding_2h_hourly", "ev_tumbling_hourly", "ewma1_smoothed_sales",
+    "f2_array_sampler", "fun1_event_funnel", "gap1_missing_days",
+    "hll1_distinct_transactions", "hll2_range_merge", "mo1_zorder_codes",
+    "pack1_sequence_packing", "pr1_pagerank_stores",
+    "q1_payment_quantiles", "rj1_busy_window_events",
+    "scd1_latest_per_key", "sk1_kmv_distinct_skus", "t10_familiarity",
     "t7_repetition_filter", "t8_doc_frequency", "tf1_tfidf_keywords",
     "tri1_copurchase_triangles", "u2_setops_assortment",
     "w1_weighted_sample", "w2_window_sampler", "z1_robust_zscore",

@@ -104,14 +104,23 @@ def amplify(src: str, out: str, copies: int) -> None:
     # handled by list_concat of [r+1..64] and [1..r]. Beyond 64 copies
     # the rotation wraps (copy 64 would be byte-identical to copy 0),
     # so each 64-copy BLOCK b = i//64 > 0 additionally sign-flips the
-    # dims d where (d*(2b+1)) mod 64 < 32. A fixed per-copy sign
+    # dims d where (d*(2b+1)) mod 257 < 128. A fixed per-copy sign
     # pattern cancels in every within-copy dot product ((-a)(-b)=ab),
     # so within-copy cosines — and the planted near-dup pairs — are
     # still preserved EXACTLY, while same-rotation copies from
     # different blocks disagree on ~half the signs and their cross
-    # cosines drop to noise. Block 0 flips nothing, so runs with
-    # copies <= 64 (the standard sf1 build) are byte-identical to the
-    # pre-block-extension script.
+    # cosines drop to noise. The flip modulus is 257 (prime, > 2*64):
+    # the r12 scheme used mod 64, whose flip pattern repeats with
+    # period 32 in b, so copies 2048 apart got identical rotation AND
+    # identical flips — byte-identical embeddings that planted
+    # cosine-1.0 cross-copy pairs in any run past 2048 copies and
+    # inflated its recorded pair count (ADVICE r12). mod 257 makes
+    # the pattern period 257 blocks = 16448 copies. Block 0 still
+    # flips nothing, so runs with copies <= 64 (the standard sf1
+    # build) remain byte-identical to the pre-block-extension script;
+    # 65..2048-copy outputs differ from the r12 scheme's (recorded
+    # scaling numbers before r13 used the old flips — same structure,
+    # different bytes).
     write(
         "embeddings",
         "SELECT vec_id + {i} * 2000 AS vec_id, "
@@ -119,7 +128,7 @@ def amplify(src: str, out: str, copies: int) -> None:
         "list_zip(list_concat(embedding[(({i}*7)%64)+1:64], "
         "embedding[1:({i}*7)%64]), range(1, 65)), "
         "z -> CASE WHEN ({i} // 64) > 0 AND "
-        "(z[2] * (2*({i} // 64) + 1)) % 64 < 32 "
+        "(z[2] * (2*({i} // 64) + 1)) % 257 < 128 "
         "THEN -z[1] ELSE z[1] END)::FLOAT[] AS embedding, label "
         "FROM '{src}/embeddings.parquet'",
     )

@@ -139,7 +139,7 @@ def _commit_pinned(
 
 
 def _advance_or_build(
-    advanced: str | None, build, family: str, stats: dict
+    advance, build, family: str, stats: dict
 ) -> None:
     """Record how a family was maintained: ``advanced`` (O(shard)
     hard-link + append), ``built`` (no prior artifact — full build
@@ -148,13 +148,19 @@ def _advance_or_build(
     builders swallow environmental errors to None — ADVICE r12: the
     ingest stats must not claim an artifact that was never
     published). Every registered builder returns a non-None value on
-    success (a DataFrame read-back or an artifact path)."""
-    if advanced is not None:
+    success (a DataFrame read-back or an artifact path). Both arms
+    are thunks so ``{family}_sec`` records the per-family maintenance
+    wall — the number the scale rehearsals track per rung."""
+    import time
+
+    t0 = time.monotonic()
+    if advance() is not None:
         stats[family] = "advanced"
     else:
         stats[family] = (
             "built" if build() is not None else "build-failed"
         )
+    stats[f"{family}_sec"] = round(time.monotonic() - t0, 2)
 
 
 def ingest_documents(
@@ -230,7 +236,9 @@ def _maintain_doc_families(
     ``benchmarks/scale_r11_summary.json`` ``doc_ingest_fuse_ab``.)"""
     if "shingle" in families:
         _advance_or_build(
-            dedup.advance_shingle_artifact(committed, old_fp, new_fp, root)
+            lambda: dedup.advance_shingle_artifact(
+                committed, old_fp, new_fp, root
+            )
             if old_fp
             else None,
             lambda: dedup.shingle_rows(
@@ -241,7 +249,9 @@ def _maintain_doc_families(
         )
     if "minhash" in families:
         _advance_or_build(
-            dedup.advance_minhash_artifact(committed, old_fp, new_fp, root)
+            lambda: dedup.advance_minhash_artifact(
+                committed, old_fp, new_fp, root
+            )
             if old_fp
             else None,
             lambda: dedup.minhash_signatures(
@@ -252,7 +262,7 @@ def _maintain_doc_families(
         )
     if "simhash" in families:
         _advance_or_build(
-            dedup.advance_simhash_artifact(
+            lambda: dedup.advance_simhash_artifact(
                 committed, old_fp, new_fp, root, SIMHASH_BITS
             )
             if old_fp
@@ -265,7 +275,9 @@ def _maintain_doc_families(
         )
     if "winnow" in families:
         _advance_or_build(
-            textops.advance_winnow_artifact(committed, old_fp, new_fp, root)
+            lambda: textops.advance_winnow_artifact(
+                committed, old_fp, new_fp, root
+            )
             if old_fp
             else None,
             lambda: textops.cached_winnow_fps(
@@ -294,7 +306,9 @@ def ingest_embeddings(
     )
     stats: dict = {"version": version, "fingerprint": new_fp}
     _advance_or_build(
-        similarity.advance_band_artifact(committed, old_fp, new_fp, root)
+        lambda: similarity.advance_band_artifact(
+            committed, old_fp, new_fp, root
+        )
         if old_fp
         else None,
         lambda: similarity.materialize_band_artifact(
@@ -329,7 +343,7 @@ def ingest_transactions(
     )
     stats: dict = {"version": version, "fingerprint": new_fp}
     _advance_or_build(
-        joins.advance_co_artifact(committed, old_fp, new_fp, root)
+        lambda: joins.advance_co_artifact(committed, old_fp, new_fp, root)
         if old_fp
         else None,
         lambda: joins.cached_co_pair_daily(
@@ -347,7 +361,9 @@ def ingest_transactions(
     cols = set(committed.columns) & set(current.columns)
     if _DAILY_COLS.issubset(cols):
         _advance_or_build(
-            history.advance_daily_artifact(committed, old_fp, new_fp, root)
+            lambda: history.advance_daily_artifact(
+                committed, old_fp, new_fp, root
+            )
             if old_fp
             else None,
             lambda: history.cached_store_daily_metrics(
@@ -360,7 +376,7 @@ def ingest_transactions(
         stats["store_daily"] = "skipped (shard lacks store/cents columns)"
     if (_DAILY_COLS | {"item_sku"}).issubset(cols):
         _advance_or_build(
-            metrics.advance_product_day_artifact(
+            lambda: metrics.advance_product_day_artifact(
                 committed, old_fp, new_fp, root
             )
             if old_fp
