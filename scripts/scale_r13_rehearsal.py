@@ -19,9 +19,9 @@
   walls — the O(shard) claim says shard-2 advance cost stays flat
   vs the r12 sf10 record (247 s build / 149 s advance) scaled by
   shard size, not corpus size.
-- ``x1x2x5ab``: same-process A/B at sf10 for the remaining export
-  consumers (VERDICT r12 task 6): shipped fact-scan x1/x2/x5 vs the
-  same consumers off the materialized wide-daily (sdc_v2) and
+- ``x1x2x5ab``: same-process A/B (r13: at sf30) for the remaining
+  export consumers (VERDICT r12 task 6): shipped fact-scan x1/x2/x5
+  vs the same consumers off the materialized wide-daily (sdc_v2) and
   product-store-day (psd_v1) artifacts.
 
 ``python scripts/scale_r13_rehearsal.py STAGE [STAGE...]``; results
@@ -76,8 +76,9 @@ def stage_gen_sf30() -> None:
 
 
 # same per-copy transform as make_scaled_data.py's embeddings entry
-# (keep in sync!), with the mod-257 flip scheme. src is sf0.001
-# (2000 vectors/copy), so 5000 copies = 10M vectors.
+# (keep in sync!), with the mod-257 flip scheme. src is sf0.1
+# (2000 vectors/copy — the source every emb rehearsal amplifies; the
+# vec_id stride is sized to it), so 5000 copies = 10M vectors.
 _EMB_COPY_SQL = (
     "SELECT vec_id + {i} * 2000 AS vec_id, "
     "list_transform("
@@ -92,7 +93,7 @@ _EMB_COPY_SQL = (
 
 def stage_gen_emb10m(
     copies: int = 5000,
-    src: str = "/root/testdata/sf0.001",
+    src: str = "/root/testdata/sf0.1",
     out: str | None = None,
     chunk: int = 250,
 ) -> None:
@@ -121,16 +122,17 @@ def stage_gen_emb10m(
 
 
 def _true_pairs_per_copy(
-    src: str = "/root/testdata/sf0.001", threshold: float = 0.5
+    src: str = "/root/testdata/sf0.1", threshold: float = 0.5
 ) -> int:
     """Brute-force ground-truth near-dup pair count WITHIN one copy
     (rotation+flip preserve within-copy inner products exactly, so
-    every copy plants exactly this many within-copy true pairs).
-    At the rehearsal threshold 0.5 this is ZERO (the base corpus's
-    max within-copy cosine is 0.479), so every pair an emb run
-    reports is CROSS-COPY — a property of the amplifier's sign-flip
-    structure, not a linear-scaling count (see ``stage_emb10m``).
-    2000x64 floats — trivial driver-side numpy."""
+    every copy plants exactly this many within-copy true pairs). At
+    the rehearsal threshold 0.5 this is 14 per copy on the sf0.1
+    base (max within-copy cosine 0.601) — 70k planted pairs at 5000
+    copies, a small fraction of what a run reports: the bulk is
+    CROSS-COPY structural similarity from the sign-flip amplifier
+    (see ``stage_emb10m``). 2000x64 floats — trivial driver-side
+    numpy."""
     import duckdb
     import numpy as np
 
@@ -288,10 +290,12 @@ def stage_txn30(sf_dir: str | None = None) -> None:
 def stage_x1x2x5ab(sf_dir: str | None = None) -> None:
     """VERDICT r12 task 6: can x1/x2/x5 consume the maintained
     artifacts instead of re-scanning facts per consumer? Same-process
-    A/B at sf10: arm A = the shipped fact-scan shapes; arm B = one
-    timed materialization of the wide daily + per-SKU partials, then
-    all three consumers off the read-backs (the maintained-corpus MV
-    shape, sans ledger)."""
+    A/B: arm A = the shipped fact-scan shapes; arm B = one timed
+    materialization of the wide daily + per-SKU partials, then all
+    three consumers off the read-backs (the maintained-corpus MV
+    shape, sans ledger). Records under a key suffixed with the
+    dataset name (r13 runs it at sf30 — the same rung the txn30
+    ingest measures, 3x the r12 x3/x4 A/B scale)."""
     import tempfile
 
     from serverless_smurf_etl_and_analytics_spark import tables
@@ -302,7 +306,7 @@ def stage_x1x2x5ab(sf_dir: str | None = None) -> None:
         metrics,
     )
 
-    sf_dir = sf_dir or f"{_REPO}/.scratch/sf10"
+    sf_dir = sf_dir or f"{_REPO}/.scratch/sf30"
     spark = _spark()
     txns = tables.transactions(spark, sf_dir)
     start, end = "1992-01-01", "1998-12-31"
@@ -375,7 +379,7 @@ def stage_x1x2x5ab(sf_dir: str | None = None) -> None:
         "shapes (wide daily for x1/x5, per-SKU partial for x2) — the "
         "per-additional-consumer saving of VERDICT r12 task 6"
     )
-    _merge("x1x2x5_mv_ab_sf10", out)
+    _merge(f"x1x2x5_mv_ab_{os.path.basename(sf_dir.rstrip('/'))}", out)
 
 
 def F_between(start: str, end: str):

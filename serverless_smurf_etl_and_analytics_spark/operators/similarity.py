@@ -1472,6 +1472,17 @@ def cosine_neardup_pairs_sharded(
         path = os.path.join(scratch, f"shard_{s}")
         pairs.write.mode("overwrite").parquet(path)
         paths.append(path)
+        # the staged candidates are fully consumed by the verify that
+        # just materialized shard_s: drop them NOW so peak scratch is
+        # one live candidate stage + the (tiny) pair outputs, not the
+        # SUM of every shard's candidates — the r13 emb10m run died
+        # on exactly that (8 retained cand dirs ~47 GB + shuffle
+        # spill exhausted a 77 GB volume at shard 7/8). Keep for
+        # postmortems with SMURF_NEARDUP_KEEP_STAGING=1.
+        if os.environ.get("SMURF_NEARDUP_KEEP_STAGING") != "1":
+            import shutil
+
+            shutil.rmtree(cand_path, ignore_errors=True)
     return emb.sparkSession.read.parquet(*paths).distinct()
 
 
