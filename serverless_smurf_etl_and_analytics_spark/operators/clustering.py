@@ -631,8 +631,22 @@ def ivfpq_topk(
     import numpy as np
     import pandas as pd
 
-    assignments, coarse_cent, _ = kmeans_train(emb, coarse_k, coarse_iters)
-    codes_df, codebooks = pq_train_encode(emb, m, ksub, pq_iters)
+    # the coarse quantizer and the PQ codebooks are INDEPENDENT
+    # training loops over the same corpus — run them from two driver
+    # threads so each loop's per-iteration jobs back-fill the
+    # executors idled by the other loop's collect barriers (guide
+    # §2.6 "overlap independent jobs"; Lloyd iterations are
+    # inherently sequential WITHIN a loop, so this is the only
+    # parallelism the composition admits). Models are deterministic
+    # int64 fixed point, so concurrent training is bit-identical to
+    # sequential.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_km = pool.submit(kmeans_train, emb, coarse_k, coarse_iters)
+        f_pq = pool.submit(pq_train_encode, emb, m, ksub, pq_iters)
+        assignments, coarse_cent, _ = f_km.result()
+        codes_df, codebooks = f_pq.result()
     db = codes_df.join(
         assignments.select("vec_id", F.col("cluster_id").alias("list_id")),
         "vec_id",

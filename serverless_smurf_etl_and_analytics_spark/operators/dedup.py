@@ -557,7 +557,16 @@ def append_simhash_artifact(
 
 
 def _simhash_inline(docs: DataFrame, bits: int) -> DataFrame:
-    """The inline (recompute) SimHash plan — see :func:`simhash`."""
+    """The inline (recompute) SimHash plan — see :func:`simhash`.
+
+    The projections are generated as SQL STRINGS (selectExpr /
+    F.expr), not Column-object chains: the 128-bit build is ~2000
+    expression nodes, and constructing them through py4j cost ~2.3 s
+    of driver wall PER CALL (~1.4 ms/round-trip, measured r13) —
+    paid on every bench sample since plans are rebuilt per query
+    call. One SQL parse of the same expressions is milliseconds, and
+    the resulting plan/values are identical (oracle parity +
+    test_dedup_artifacts pin the values)."""
     # explicit repartition after the distinct: the packed vote
     # projection + aggregation is CPU-dense but byte-small, and AQE
     # would coalesce the distinct's shuffle output to one task
@@ -566,45 +575,56 @@ def _simhash_inline(docs: DataFrame, bits: int) -> DataFrame:
         token_rows(docs).select("doc_id", "tok").distinct()
         .repartition(p, "doc_id")
     )
-    h = F.md5("tok")
-    pack_tbl = F.array(*[F.lit(x) for x in _PACK])
+    pack_sql = "array(" + ",".join(f"{x}L" for x in _PACK) + ")"
     packed = [
-        F.element_at(
-            pack_tbl, (F.position(F.substring(h, k + 1, 1), F.lit(HEX)))
-            .cast("int"),
-        ).alias(f"p_{k}")
+        f"element_at({pack_sql}, cast(position(substring(md5(tok),"
+        f" {k + 1}, 1), '{HEX}') as int)) AS p_{k}"
         for k in range(bits // 4)
     ]
-    summed = t.select("doc_id", *packed).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        *[F.sum(f"p_{k}").alias(f"s_{k}") for k in range(bits // 4)],
+    summed = t.selectExpr("doc_id", *packed).groupBy("doc_id").agg(
+        F.expr("count(1)").alias("n_tok"),
+        *[F.expr(f"sum(p_{k})").alias(f"s_{k}") for k in range(bits // 4)],
     )
     d = docs.select("doc_id").join(summed, "doc_id", "left")
-    n_tok = F.coalesce(F.col("n_tok"), F.lit(0))
-    guarded_n = F.when(n_tok <= _MAX_DOC_TOKENS, n_tok).otherwise(
-        F.raise_error(
-            F.format_string(
-                "simhash vote lanes overflow past %d distinct tokens"
-                " per doc; got %s",
-                F.lit(_MAX_DOC_TOKENS),
-                n_tok,
-            )
-        ).cast("long")
+    # the overflow guard is HOISTED to one CASE around the whole
+    # signature instead of being inlined into each of the 128 bit
+    # terms (the r12 form): the per-bit compare uses the raw token
+    # count — identical bit values whenever the doc is within bound —
+    # and an out-of-bound doc still fails the job loudly with the
+    # same message before any signature char is emitted. Tree size
+    # drops ~8x (the eagerly-analyzed projection was the measured
+    # driver wall), values and the raise contract are unchanged
+    # (tests/test_properties.py pins both).
+    n_sql = "coalesce(n_tok, 0)"
+    raise_sql = (
+        f"cast(raise_error(format_string("
+        f"'simhash vote lanes overflow past %d distinct tokens"
+        f" per doc; got %s', {_MAX_DOC_TOKENS}, {n_sql})) as string)"
     )
 
-    def bit_char(b: int):
-        cnt = F.shiftright(
-            F.coalesce(F.col(f"s_{b // 4}"), F.lit(0)), 16 * (b % 4)
-        ).bitwiseAND(F.lit(0xFFFF))
-        return F.when(cnt * 2 > guarded_n, F.lit("1")).otherwise(
-            F.lit("0")
+    def bit_sql(b: int) -> str:
+        cnt = (
+            f"(shiftright(coalesce(s_{b // 4}, 0), {16 * (b % 4)})"
+            f" & {0xFFFF})"
+        )
+        return f"CASE WHEN ({cnt} * 2) > {n_sql} THEN '1' ELSE '0' END"
+
+    def guarded_concat(n_chars: int) -> str:
+        body = "concat(" + ", ".join(
+            bit_sql(b) for b in range(n_chars)
+        ) + ")"
+        return (
+            f"CASE WHEN {n_sql} <= {_MAX_DOC_TOKENS} THEN {body}"
+            f" ELSE {raise_sql} END"
         )
 
-    sig = F.concat(*[bit_char(b) for b in range(bits)])
     return d.select(
         "doc_id",
-        sig.alias("simhash"),
-        F.substring(sig, 1, 8).alias("block"),
+        F.expr(guarded_concat(bits)).alias("simhash"),
+        # block == the first 8 signature chars; concat of the first 8
+        # one-char bit terms is byte-equal to substring(simhash, 1, 8)
+        # without re-deriving the full 128-char expression
+        F.expr(guarded_concat(min(8, bits))).alias("block"),
     )
 
 
@@ -801,7 +821,21 @@ def _simhash_neardup_pairs_wide(
             for st, ln in bounds
         ]
     )
-    s = simhash(docs, bits, cache=cache, fingerprint=fingerprint).select(
+    # persist the (doc_id, simhash) projection BEFORE deriving the
+    # word/band slices: the inline signature is one ~47 KB concat-of-
+    # 128-votes expression, and without a materialization barrier
+    # CollapseProject substitutes it into every conv(substring(...))
+    # term — 4 words + 7 bands + the Generate's size-filter made the
+    # r13 d6 plan carry two 332 KB filter conditions (811 KB plan
+    # text, all janino-compiled). Behind the persist the slices read a
+    # materialized column; the vote pipeline still runs exactly once
+    # (guide §2.3 "project before the exchange" / §7.2 duplicated
+    # subtrees). Values are unchanged — only where the string
+    # materializes moves.
+    sh = simhash(docs, bits, cache=cache, fingerprint=fingerprint).select(
+        "doc_id", "simhash"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    s = sh.select(
         "doc_id", sig_arr.alias("sig"), band_arr.alias("bands")
     )
     p = docs.sparkSession.sparkContext.defaultParallelism

@@ -119,7 +119,7 @@ def adaptive_band_config(
     return n_bands, band_planes
 
 
-def _dot_fixed_point(ea, eb):
+def _dot_fixed_point(ea, eb, nondet: bool = False):
     """Exact fixed-point dot product of two embedding columns: int64
     matmul over Arrow batches — value-identical to the interpreted
     zip_with form and the DuckDB oracle, ~1000x its per-row cost.
@@ -127,7 +127,18 @@ def _dot_fixed_point(ea, eb):
     SparkSession — and the closure is fully self-contained: a reference
     to any module-level symbol would make cloudpickle serialize it by
     module path, which Python workers can't import unless the repo is
-    on their PYTHONPATH.)"""
+    on their PYTHONPATH.)
+
+    ``nondet=True`` marks the UDF non-deterministic (optimization
+    guide §4.4): when a downstream FILTER references the dot (the
+    _threshold_pairs cosine gate), the optimizer otherwise pushes the
+    filter below the projection and evaluates the UDF TWICE — one
+    ArrowEvalPython feeding the filter, a second recomputing the same
+    dot for the output projection, with the embedding arrays shipped
+    across the Python boundary both times (observed in the sim2/d7
+    r13 plans). The function is pure — the flag only pins a single
+    evaluation; values are unchanged. Kept opt-in so plans without a
+    UDF-referencing filter (sim3/sim4/pq4) stay byte-identical."""
     scale = SCALE
 
     def dot(sa, sb):
@@ -152,7 +163,10 @@ def _dot_fixed_point(ea, eb):
         )
         return pd.Series((a * b).sum(axis=1))
 
-    return F.pandas_udf(dot, "long")(ea, eb)
+    udf = F.pandas_udf(dot, "long")
+    if nondet:
+        udf = udf.asNondeterministic()
+    return udf(ea, eb)
 
 
 def band_bits(emb: DataFrame, n_planes: int) -> DataFrame:
@@ -1293,13 +1307,16 @@ def cosine_neardup_pairs(
         # UDF — the zip_with form is interpreted (~0.8 ms/pair: 29 s
         # of CPU at 36k candidates). Embeddings ride on the band rows,
         # so the verify reads them off the self-join output directly.
+        # nondet pins ONE ArrowEvalPython: _threshold_pairs filters on
+        # the dot, and a deterministic UDF under a pushed filter is
+        # evaluated twice (guide §4.4; r13 plan diff: 2 -> 1 evals).
         dots = cand.select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.n2").alias("n2_a"),
             F.col("b.n2").alias("n2_b"),
             _dot_fixed_point(
-                F.col("a.embedding"), F.col("b.embedding")
+                F.col("a.embedding"), F.col("b.embedding"), nondet=True
             ).alias("dot"),
         )
     return _threshold_pairs(dots, threshold)
