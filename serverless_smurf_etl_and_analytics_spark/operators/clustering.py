@@ -858,5 +858,16 @@ def pq_train_encode_residual(
                 {"vec_id": pdf["vec_id"].values, "embedding": list(r)}
             )
 
-    res_df = joined.mapInPandas(residuals, schema=res_schema)
+    # persist the residual frame: pq_train_encode re-reads its input
+    # on every pass (size gate count, seed collect, one partial pass
+    # per iteration, the final encode) — unpersisted, each pass
+    # re-runs the kmeans label mapInPandas + join + residual subtract
+    # chain (r13: ~5 redundant upstream recomputes inside pq3's
+    # construction). Cached, the chain runs once (guide §5: reused
+    # and expensive to recompute).
+    from pyspark.storagelevel import StorageLevel
+
+    res_df = joined.mapInPandas(residuals, schema=res_schema).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return pq_train_encode(res_df, m, ksub, n_iter)

@@ -166,7 +166,16 @@ def triangles_from_topk(topk: "DataFrame") -> "DataFrame":
     corpus size while the fact-derived wrapper above stays the
     standalone/bench form (law-tested equal)."""
     from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
 
+    # persist the undirected edge set: it feeds all three legs of the
+    # wedge/closure joins, and without a materialization barrier the
+    # whole upstream co-purchase pipeline (fact scan, basket
+    # self-join, count aggregate, top-k window) executes three times
+    # in one census (r13 plan: 6 parquet scans of the fact table, no
+    # exchange reuse). The edge set is bounded at <= 3n rows by the
+    # top-k construction, so the cached footprint is tiny at any
+    # corpus size (guide §7.2 duplicated subtrees / §5 caching).
     und = (
         topk.select(
             F.least("item_sku", "partner_sku").alias("a"),
@@ -175,6 +184,7 @@ def triangles_from_topk(topk: "DataFrame") -> "DataFrame":
         )
         .groupBy("a", "b")
         .agg(F.max("co_count").alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e1 = und.alias("e1")
     e2 = und.alias("e2")
