@@ -103,6 +103,45 @@ def _make_helpers(scale: int):
 # the gated default changes no verified plan; explicit roots bypass).
 _MODEL_ARTIFACT_MIN = 10_000
 
+# corpus-size ceiling for the DRIVER tier of the Lloyd trainers: below
+# it the whole corpus collects once and the n_iter x (scan + Arrow +
+# shuffle + collect) distributed loop becomes a single numpy loop —
+# the dedup.connected_components small-graph tier applied to training
+# (r13, guide §2.6/§5: the per-iteration cost at small n is pure job
+# scheduling + Python-worker round trips, not arithmetic). The math is
+# the SAME int64 fixed-point kernel (to_fixed/nearest), partial sums
+# are exact integers, so both tiers are bit-identical (law-tested in
+# tests/test_clustering.py). 100k 64-dim vectors collect ~50 MB —
+# far under the 4g driver result cap; above the ceiling the
+# distributed loop runs unchanged.
+_DRIVER_TIER_DEFAULT = 100_000
+
+
+def _driver_tier_max() -> int:
+    import os
+
+    raw = os.environ.get("SMURF_TRAINER_DRIVER_TIER_MAX", "")
+    try:
+        return int(raw) if raw.strip() else _DRIVER_TIER_DEFAULT
+    except ValueError:
+        return _DRIVER_TIER_DEFAULT
+
+
+def _collect_fixed(emb: DataFrame):
+    """Collect (vec_id, embedding) sorted by vec_id and convert to the
+    fixed-point matrix — the driver tier's one corpus pass. Row order
+    is deterministic (sorted ids), so every downstream artifact is
+    reproducible."""
+    import numpy as np
+    import pandas as pd
+
+    to_fixed, nearest = _make_helpers(SCALE)
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    iv = to_fixed(pd.Series([r["embedding"] for r in rows]))
+    return ids, iv, nearest
+
 
 def _model_paths_ok(*paths: str) -> bool:
     import os
@@ -142,11 +181,12 @@ def kmeans_train(
     deterministic, so re-writing any missing dir reproduces identical
     content and `atomic_write_parquet` keeps whatever already
     committed)."""
+    n_known = fingerprint[0] if fingerprint else None
     if cache is not None:
         try:
-            if cache != "auto" or (
-                fingerprint[0] if fingerprint else emb.count()
-            ) >= _MODEL_ARTIFACT_MIN:
+            if n_known is None and cache == "auto":
+                n_known = emb.count()
+            if cache != "auto" or n_known >= _MODEL_ARTIFACT_MIN:
                 import os
 
                 from .artifacts import atomic_write_parquet, cache_root
@@ -201,15 +241,61 @@ def kmeans_train(
                 return asg, cent, costs
         except Exception:
             pass
-    return _kmeans_train_inline(emb, k, n_iter)
+    return _kmeans_train_inline(emb, k, n_iter, n=n_known)
+
+
+def _kmeans_train_driver(
+    emb: DataFrame, k: int, n_iter: int
+) -> tuple[DataFrame, list[list[int]], list[float]]:
+    """Driver-numpy k-means tier: one collect, then the identical
+    int64 Lloyd updates in-process. Seeds, assignment ties, partial
+    sums and centroid rounding restate :func:`_kmeans_train_inline`'s
+    math exactly (integer sums are order-free), so the model and
+    assignments are bit-identical to the distributed loop; only the
+    float monitoring ``costs`` may differ in the last ulp (summation
+    order — never fed back, same caveat as the distributed form)."""
+    import numpy as np
+    import pandas as pd
+
+    ids, iv, nearest = _collect_fixed(emb)
+    cent = iv[ids < k].copy()
+    costs: list[float] = []
+    for _ in range(n_iter):
+        a, d2 = nearest(iv, cent)
+        costs.append(float(d2.sum(dtype=np.float64)))
+        new_cent = cent.copy()
+        for cid in np.unique(a):
+            sel = iv[a == cid]
+            q = sel.sum(axis=0).astype(np.float64) / sel.shape[0]
+            new_cent[cid] = np.where(
+                q >= 0, np.floor(q + 0.5), np.ceil(q - 0.5)
+            ).astype(np.int64)
+        cent = new_cent
+    a, d2 = nearest(iv, cent)
+    assignments = emb.sparkSession.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": a.astype("int64"),
+                "dist2": d2.astype("int64"),
+            }
+        ),
+        schema=_ASSIGN_SCHEMA,
+    )
+    return assignments, cent.tolist(), costs
 
 
 def _kmeans_train_inline(
-    emb: DataFrame, k: int, n_iter: int
+    emb: DataFrame, k: int, n_iter: int, n: int | None = None
 ) -> tuple[DataFrame, list[list[int]], list[float]]:
     """The inline (retrain) k-means plan — see :func:`kmeans_train`."""
     import numpy as np
     import pandas as pd
+
+    if n is None:
+        n = emb.count()
+    if 0 < n <= _driver_tier_max():
+        return _kmeans_train_driver(emb, k, n_iter)
 
     to_fixed, nearest = _make_helpers(SCALE)
     seed_rows = sorted(
@@ -357,11 +443,12 @@ def pq_train_encode(
     is fingerprinted like any corpus). Gate/fallback/self-healing
     rules match kmeans_train.
     """
+    n_known = fingerprint[0] if fingerprint else None
     if cache is not None:
         try:
-            if cache != "auto" or (
-                fingerprint[0] if fingerprint else emb.count()
-            ) >= _MODEL_ARTIFACT_MIN:
+            if n_known is None and cache == "auto":
+                n_known = emb.count()
+            if cache != "auto" or n_known >= _MODEL_ARTIFACT_MIN:
                 import os
 
                 from .artifacts import atomic_write_parquet, cache_root
@@ -407,15 +494,70 @@ def pq_train_encode(
                 return codes_df, cbs
         except Exception:
             pass
-    return _pq_train_encode_inline(emb, m, ksub, n_iter)
+    return _pq_train_encode_inline(emb, m, ksub, n_iter, n=n_known)
+
+
+def _pq_train_encode_driver(
+    emb: DataFrame, m: int, ksub: int, n_iter: int
+) -> tuple[DataFrame, list]:
+    """Driver-numpy PQ tier — :func:`_kmeans_train_driver`'s twin for
+    the per-subspace codebooks: one collect, the identical int64
+    subspace Lloyd updates, and the encode pass in-process. Codes,
+    codebooks and qerr are bit-identical to the distributed loop
+    (exact integer partial sums, same tie rules)."""
+    import numpy as np
+    import pandas as pd
+
+    ids, iv, nearest = _collect_fixed(emb)
+    seeds = iv[ids < ksub]
+    dim = iv.shape[1]
+    dsub = dim // m
+    cent = np.stack(
+        [seeds[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+    )
+    for _ in range(n_iter):
+        new_cent = cent.copy()
+        for s in range(m):
+            sub = iv[:, s * dsub : (s + 1) * dsub]
+            a, _ = nearest(sub, cent[s])
+            for cid in np.unique(a):
+                sel = sub[a == cid]
+                q = sel.sum(axis=0).astype(np.float64) / sel.shape[0]
+                new_cent[s, cid] = np.where(
+                    q >= 0, np.floor(q + 0.5), np.ceil(q - 0.5)
+                ).astype(np.int64)
+        cent = new_cent
+    codes = np.empty((len(ids), m), dtype=np.int64)
+    qerr = np.zeros(len(ids), dtype=np.int64)
+    for s in range(m):
+        sub = iv[:, s * dsub : (s + 1) * dsub]
+        a, d2 = nearest(sub, cent[s])
+        codes[:, s] = a
+        qerr += d2.astype(np.int64)
+    codes_df = emb.sparkSession.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": ids,
+                "codes": [c.tolist() for c in codes],
+                "qerr": qerr,
+            }
+        ),
+        schema=_PQ_CODE_SCHEMA,
+    )
+    return codes_df, cent.tolist()
 
 
 def _pq_train_encode_inline(
-    emb: DataFrame, m: int, ksub: int, n_iter: int
+    emb: DataFrame, m: int, ksub: int, n_iter: int, n: int | None = None
 ) -> tuple[DataFrame, list]:
     """The inline (retrain) PQ plan — see :func:`pq_train_encode`."""
     import numpy as np
     import pandas as pd
+
+    if n is None:
+        n = emb.count()
+    if 0 < n <= _driver_tier_max():
+        return _pq_train_encode_driver(emb, m, ksub, n_iter)
 
     to_fixed, nearest = _make_helpers(SCALE)
     seed_rows = sorted(

@@ -75,7 +75,11 @@ def test_kmeans_matches_numpy_reference(spark):
     assert np.allclose(costs, ref_costs, rtol=1e-9)
 
 
-def test_kmeans_deterministic_and_monotone(spark):
+def test_kmeans_deterministic_and_monotone(spark, monkeypatch):
+    # force the DISTRIBUTED tier: this test proves partition
+    # invariance of the cluster loop, which the driver tier (one
+    # collect, no partitions) would satisfy vacuously
+    monkeypatch.setenv("SMURF_TRAINER_DRIVER_TIER_MAX", "0")
     emb = tables.load(spark, SF_DIR, "embeddings")
     a1, c1, costs1 = clustering.kmeans_train(emb, K, ITERS)
     a2, c2, costs2 = clustering.kmeans_train(
@@ -108,7 +112,9 @@ def test_kmeans_rows_sit_in_nearest_cluster(spark):
 # ---- product quantization (pq1/pq2) --------------------------------------
 
 
-def test_pq_codes_partition_invariant(spark):
+def test_pq_codes_partition_invariant(spark, monkeypatch):
+    # force the DISTRIBUTED tier (see test_kmeans_deterministic_...)
+    monkeypatch.setenv("SMURF_TRAINER_DRIVER_TIER_MAX", "0")
     emb = tables.load(spark, SF_DIR, "embeddings")
     a, cb_a = clustering.pq_train_encode(emb)
     b, cb_b = clustering.pq_train_encode(emb.repartition(13))
@@ -339,3 +345,32 @@ def test_model_artifact_gate_keeps_inline_below_min(spark):
     _, auto_c, _ = clustering.kmeans_train(emb, cache="auto")
     _, inline_c, _ = clustering._kmeans_train_inline(emb, 16, 5)
     assert auto_c == inline_c
+
+
+def test_driver_tier_equals_distributed_tier(spark, monkeypatch):
+    """r13 tier law: the driver-numpy trainer tier (small corpora —
+    one collect, in-process Lloyd) must produce BIT-IDENTICAL models,
+    assignments, codes and qerr to the distributed loop, exactly like
+    the connected-components small-graph tier. Float ``costs`` may
+    differ only by summation order."""
+    emb = tables.load(spark, SF_DIR, "embeddings")
+
+    monkeypatch.setenv("SMURF_TRAINER_DRIVER_TIER_MAX", "0")
+    da, dc, dcosts = clustering.kmeans_train(emb, K, ITERS, cache=None)
+    dpd = da.toPandas().sort_values("vec_id").reset_index(drop=True)
+    dcodes, dcb = clustering.pq_train_encode(emb, cache=None)
+    dcp = dcodes.toPandas().sort_values("vec_id").reset_index(drop=True)
+
+    monkeypatch.setenv("SMURF_TRAINER_DRIVER_TIER_MAX", "1000000")
+    va, vc, vcosts = clustering.kmeans_train(emb, K, ITERS, cache=None)
+    vpd = va.toPandas().sort_values("vec_id").reset_index(drop=True)
+    vcodes, vcb = clustering.pq_train_encode(emb, cache=None)
+    vcp = vcodes.toPandas().sort_values("vec_id").reset_index(drop=True)
+
+    assert dc == vc
+    assert dpd["cluster_id"].tolist() == vpd["cluster_id"].tolist()
+    assert dpd["dist2"].tolist() == vpd["dist2"].tolist()
+    assert np.allclose(dcosts, vcosts, rtol=1e-9)
+    assert dcb == vcb
+    assert [list(c) for c in dcp["codes"]] == [list(c) for c in vcp["codes"]]
+    assert dcp["qerr"].tolist() == vcp["qerr"].tolist()

@@ -200,7 +200,7 @@ def test_salted_join_equals_plain_join_under_skew(spark):
     assert n_salts == 8
 
 
-def test_pq_training_survives_duplicate_heavy_corpus(spark):
+def test_pq_training_survives_duplicate_heavy_corpus(spark, monkeypatch):
     """PQ under mass duplication: 300 copies of one vector on top of
     the real corpus. Most subspace clusters go empty (the dup mass
     pins a few centroids); the empty-cluster carry-over must keep
@@ -210,6 +210,9 @@ def test_pq_training_survives_duplicate_heavy_corpus(spark):
         clustering,
     )
 
+    # force the DISTRIBUTED tier: partition invariance under skew is
+    # exactly what the driver tier would satisfy vacuously
+    monkeypatch.setenv("SMURF_TRAINER_DRIVER_TIER_MAX", "0")
     emb = tables.load(spark, SF_DIR, "embeddings")
     base = emb.limit(1).collect()[0]
     dups = spark.createDataFrame(
