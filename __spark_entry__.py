@@ -38,17 +38,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # one round and nothing outside the window has a changed plan.
 _VERIFY_FIRST = [
     # ================= r13 window (first 50) =================
-    # --- refactor-adjacent first: r13 extracted composition-
-    # preserving helpers under x1/x2's plans (export.py
-    # _export_top_products_from / metrics.top_products_from_rollup /
-    # product_day_partial) — plans are byte-identical to r12 by
-    # construction, re-proven here rather than assumed:
-    # --- then the mandatory body: the 38 staleness-2 entries from
-    # benchmarks/staleness_audit_r12.json (the r10-green block minus
-    # r11/r12 re-greens), in their r10 order — they fit this window
-    # with 10 spares;
-    # --- spares: head of the r11-green window (staleness 1) in its
-    # r11 order.
+    # --- r13 is the first OPTIMIZATION round: the 20 queries whose
+    # physical plans changed this round lead (similarity double-eval
+    # fix + simhash expression-tree shrink, tri/pq shared-subtree
+    # persists, kmeans/PQ driver-numpy trainer tier, KMV shared
+    # base / persisted distinct, co-purchase basket-explode form —
+    # plan diffs committed under plans/r13/*_{before,after}.txt):
+    "sim2_cosine_neardup", "d7_semantic_dedup", "d9_semantic_dedup_cc",
+    "d5_simhash", "d6_simhash_neardup", "sim1_cosine_topk",
+    "sim3_lsh_topk", "sim4_ivf_topk", "tri1_copurchase_triangles",
+    "tri2_triangles_range", "pq1_pq_codes", "pq2_adc_topk",
+    "pq3_residual_codes", "pq4_adc_rerank", "c1_kmeans_clusters",
+    "ivfpq1_topk", "sk1_kmv_distinct_skus", "sk3_kmv_set_overlap",
+    "co1_sku_copurchase", "co2_copurchase_range_merge",
+    "pr1_pagerank_stores",
+    # --- then the refactor-adjacent x1/x2 (r13 build prep extracted
+    # composition-preserving helpers under their plans) and the r12
+    # staleness-2 audit body in its r10 order; the tail entries that
+    # no longer fit the 50-window were all additionally re-proven
+    # green against the DuckDB oracle locally this round (the full
+    # 136-query drive_driver run).
     "x1_export_store_summaries", "x2_export_top_products",
     "x4_export_trends", "x5_export_recommendations",
     "r1_daily_report_lines", "a2_payment_per_store_day",
@@ -63,11 +72,11 @@ _VERIFY_FIRST = [
     "t6_stratified_sample", "cur2_train_eval_split",
     "mix1_source_mixing_weights", "cap1_source_cap",
     "shuf1_deterministic_shuffle", "hist1_log2_histogram",
-    "hist2_histogram_range_merge", "qr1_quality_report", "d5_simhash",
+    "hist2_histogram_range_merge", "qr1_quality_report",
     "bud1_token_budget_select", "rel1_release_order",
     "src2_cross_source_dups", "a19_dow_seasonality", "d4_minhash_neardup",
     "d3_lsh_candidate_pairs", "d11_containment", "wn1_winnow_overlap",
-    "co1_sku_copurchase", "coh1_cohort_retention", "cp1_cusum_changepoint",
+    "coh1_cohort_retention", "cp1_cusum_changepoint",
     "cube1_store_payment_cube", "cur1_curated_corpus",
     "d12_editdist_neardup",
     # ================= past the 50-window =================
@@ -75,7 +84,6 @@ _VERIFY_FIRST = [
     # r11-green remainder below (staleness 2 by r14) and the r12
     # window after it (staleness 2 by r14 only for entries not
     # re-greened since r12) — audit: benchmarks/staleness_audit_r13.json.
-    "sim2_cosine_neardup", "d7_semantic_dedup", "d9_semantic_dedup_cc",
     "aj2_order_next_event", "aj1_event_order_asof",
     "a11_trend_recent_vs_earlier", "a12_trend_half_vs_half",
     "a13_trend_first_vs_last", "a8_company_trailing",
@@ -87,26 +95,24 @@ _VERIFY_FIRST = [
     "t2_lang_id", "t3_fingerprint", "t4_token_count_bpe",
     "t5_rolling_fingerprint", "d1_exact_dedup", "d2_minhash_signatures",
     "mm1_binary_fingerprint_dedup", "mm2_modality_stats",
-    "mm3_pairing_integrity", "sim1_cosine_topk", "sim4_ivf_topk",
-    "t9_pii_scrub", "c1_kmeans_clusters", "pq1_pq_codes", "ivfpq1_topk",
-    "pq2_adc_topk", "pq4_adc_rerank", "pq3_residual_codes",
-    "src1_corpus_datasheet", "sk2_kmv_range_merge", "sk3_kmv_set_overlap",
+    "mm3_pairing_integrity",
+    "t9_pii_scrub",
+    "src1_corpus_datasheet", "sk2_kmv_range_merge",
     "qr2_cardinality_drift", "cm1_range_heavy_users", "hh1_heavy_hitters",
     "scd2_validity_intervals", "a1_store_day_metrics",
     "a2_payment_breakdown", "x3_export_anomalies", "x6_export_manifest",
-    "d8_decontaminate", "d6_simhash_neardup", "sim3_lsh_topk",
+    "d8_decontaminate",
     "d10_minhash_dup_groups", "dq1_profile_columns", "drift1_payment_tvd",
     "e1_embedding_dim_profile", "ev_session_windows",
     "ev_sliding_2h_hourly", "ev_tumbling_hourly", "ewma1_smoothed_sales",
     "f2_array_sampler", "fun1_event_funnel", "gap1_missing_days",
     "hll1_distinct_transactions", "hll2_range_merge", "mo1_zorder_codes",
-    "pack1_sequence_packing", "pr1_pagerank_stores",
+    "pack1_sequence_packing",
     "q1_payment_quantiles", "rj1_busy_window_events",
-    "scd1_latest_per_key", "sk1_kmv_distinct_skus", "t10_familiarity",
+    "scd1_latest_per_key", "t10_familiarity",
     "t7_repetition_filter", "t8_doc_frequency", "tf1_tfidf_keywords",
-    "tri1_copurchase_triangles", "u2_setops_assortment",
+    "u2_setops_assortment",
     "w1_weighted_sample", "w2_window_sampler", "z1_robust_zscore",
-    "co2_copurchase_range_merge", "tri2_triangles_range",
     "wn2_winnow_decontaminate", "a7_trailing_7day",
     "a10_deviation_vs_trailing",
 ]

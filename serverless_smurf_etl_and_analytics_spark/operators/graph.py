@@ -25,17 +25,39 @@ from pyspark.sql import functions as F
 SCALE = 1_000_000_000  # rank fixed-point: 1.0 == 1e9
 DAMP_PM = 850  # damping 0.85 in per-mille
 
+# directed-edge ceiling for the DRIVER tier of the PageRank loop —
+# the dedup.connected_components ≤5M-edge small-graph tier applied to
+# the rank fixed point (r13, guide §2.6/§5: at small graphs the five
+# distributed join+aggregate rounds cost pure job scheduling, not
+# arithmetic). The kernel is the same int64 math (share and base are
+# integer divisions; segmented sums via np.add.reduceat stay int64),
+# so both tiers are bit-identical — law-tested in
+# tests/test_graph_dedup.py. 5M edges collect as three int64 columns
+# (~120 MB) — far under the driver result cap; above the ceiling the
+# distributed loop runs unchanged.
+_DRIVER_PR_MAX = 5_000_000
 
-def purchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
-    """Undirected bipartite edge list: customer node 2*custkey,
-    store node 2*suppkey+1 (disjoint integer id spaces), one edge per
-    distinct (customer, store) purchase relationship, emitted in both
-    directions for the undirected walk."""
+
+def _driver_pr_max() -> int:
+    import os
+
+    raw = os.environ.get("SMURF_PAGERANK_DRIVER_TIER_MAX", "")
+    try:
+        return int(raw) if raw.strip() else _DRIVER_PR_MAX
+    except ValueError:
+        return _DRIVER_PR_MAX
+
+
+def _purchase_pairs(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Distinct undirected (customer node, store node) purchase pairs:
+    customer node 2*custkey, store node 2*suppkey+1 (disjoint integer
+    id spaces) — the single fact-scan subtree both pagerank tiers
+    share."""
     ok = orders.select(
         F.col("o_orderkey").alias("l_orderkey"),
         F.col("o_custkey").alias("cust"),
     )
-    pairs = (
+    return (
         lineitem.select("l_orderkey", F.col("l_suppkey").alias("supp"))
         .join(F.broadcast(ok), "l_orderkey")
         .select(
@@ -44,6 +66,11 @@ def purchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _pair_directions(pairs: DataFrame) -> DataFrame:
+    """Emit the undirected pair table in both directions for the
+    walk."""
     fwd = pairs.select(
         F.col("c_node").alias("src"), F.col("s_node").alias("dst")
     )
@@ -51,6 +78,14 @@ def purchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
         F.col("s_node").alias("src"), F.col("c_node").alias("dst")
     )
     return fwd.unionByName(rev)
+
+
+def purchase_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Undirected bipartite edge list: one edge per distinct
+    (customer, store) purchase relationship, emitted in both
+    directions for the undirected walk (see :func:`_purchase_pairs`
+    for the node id scheme)."""
+    return _pair_directions(_purchase_pairs(lineitem, orders))
 
 
 def pagerank(
@@ -72,18 +107,33 @@ def pagerank(
     """
     from pyspark.storagelevel import StorageLevel
 
-    # persist the DEGREE-ANNOTATED edge table: every iteration joins
-    # it against the fresh rank table, and a cached hash-partitioned
-    # left side means each scatter step shuffles only the k-node rank
-    # table, not the edges — without this, every iteration re-derives
-    # the lineitem join + degree aggregate (cache lifetime is
-    # session-owned, released by session.clear_operator_caches like
-    # the shared MV layer)
-    edges = purchase_edges(lineitem, orders)
+    # r13: the whole graph derives from the UNDIRECTED pair table —
+    # the one genuinely expensive subtree (fact scan + broadcast dim
+    # join + distinct). The driver tier probes it with limit(cap + 1)
+    # — ONE job that is simultaneously the size gate and the collect
+    # (a probe that comes back under the cap IS the complete pair
+    # set), replacing the r12 form's separate materialize + count +
+    # collect passes over a degree-annotated edge cache (guide
+    # §2.1/§5). Under the cap the five distributed join+aggregate
+    # rounds collapse to a numpy fixed point with the identical int64
+    # trajectory (tier-equality law in tests/test_graph_dedup.py);
+    # past it, the probe cost is one bounded partial pass and the
+    # distributed loop runs unchanged.
+    pairs = _purchase_pairs(lineitem, orders)
+    cap = _driver_pr_max() // 2  # undirected cap: 2 directed edges/pair
+    if cap > 0:
+        probe = pairs.limit(cap + 1).toPandas()
+        if len(probe) <= cap:
+            out = _pagerank_driver(probe, pairs.sparkSession, n_iter, top_k)
+            if out is not None:
+                return out
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    edges = _pair_directions(pairs)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = e.select(F.col("src").alias("node"), "outdeg").distinct()
-    n = nodes.count()
+    n = nodes.count()  # materializes e; the pair cache is now redundant
+    pairs.unpersist()
     base = ((SCALE // n) * (1000 - DAMP_PM)) // 1000
     ranks = nodes.select(
         "node", F.lit(SCALE // n).cast("long").alias("r")
@@ -131,6 +181,61 @@ def pagerank(
         "rank_fp",
         "n_customers",
     )
+
+
+def _pagerank_driver(pdf, spark, n_iter: int, top_k: int):
+    """Driver tier of :func:`pagerank`: directions, degrees and the
+    identical int64 fixed point in numpy over the collected pair
+    table. Segmented in-sums use ``np.add.reduceat`` over a
+    dst-sorted edge order — exact int64, no float accumulation. The
+    both-directions construction means every node appears as both
+    source and destination, matching the distributed loop's
+    inner-join domain exactly."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    c_node = pdf["c_node"].to_numpy(np.int64)
+    s_node = pdf["s_node"].to_numpy(np.int64)
+    m = c_node.size
+    src = np.concatenate([c_node, s_node])
+    nodes = np.unique(src)
+    n = int(nodes.size)
+    if n == 0:
+        return None
+    sidx = np.searchsorted(nodes, src)
+    # dst is src with the two direction halves swapped, so its index
+    # array is the same lookup rearranged — no second searchsorted
+    didx = np.concatenate([sidx[m:], sidx[:m]])
+    outdeg = np.bincount(sidx, minlength=n)[sidx]
+    # any within-segment order works: the segmented sum is exact int64
+    order = np.argsort(didx)
+    dsort = didx[order]
+    starts = np.flatnonzero(np.r_[True, dsort[1:] != dsort[:-1]])
+    if starts.size != n or not np.array_equal(dsort[starts], np.arange(n)):
+        return None  # a node with no in-edges: not our graph shape
+    base = ((SCALE // n) * (1000 - DAMP_PM)) // 1000
+    r = np.full(n, SCALE // n, dtype=np.int64)
+    for _ in range(n_iter):
+        c = ((r[sidx] * DAMP_PM) // 1000) // outdeg
+        r = base + np.add.reduceat(c[order], starts)
+    odd = nodes % 2 == 1
+    supp = (nodes[odd] - 1) // 2
+    rank_fp = r[odd]
+    n_cust = np.diff(np.r_[starts, didx.size])[odd]
+    sel = np.lexsort((supp, -rank_fp))[:top_k]
+    rows = [
+        (i + 1, int(supp[j]), int(rank_fp[j]), int(n_cust[j]))
+        for i, j in enumerate(sel)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("rank_pos", T.LongType(), False),
+            T.StructField("supp_key", T.LongType(), True),
+            T.StructField("rank_fp", T.LongType(), True),
+            T.StructField("n_customers", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema=schema)
 
 
 def copurchase_triangles(txns) -> "DataFrame":

@@ -255,31 +255,44 @@ def sku_copurchase_topk(txns: DataFrame, k: int = 3) -> DataFrame:
     Lambda approximates with heuristics). Deterministic order:
     co-purchase count desc, partner asc.
 
-    Scale design: the self-join key is transaction_id, whose group
-    size is the basket's line count (single digits) — so the pair
-    explosion is bounded per key and the join co-shuffles both sides
-    on the same key (one shuffle; never all-pairs across baskets).
-    The co-occurrence counts partial-aggregate map-side; the final
-    per-SKU top-k window runs over each SKU's partner list (bounded
-    by its co-purchase degree; a popular-SKU-heavy corpus would swap
-    the window for a per-SKU TakeOrdered)."""
-    ts = txns.select("transaction_id", "item_sku").distinct()
-    pairs = (
-        ts.alias("a")
-        .join(
-            ts.alias("b"),
-            (F.col("a.transaction_id") == F.col("b.transaction_id"))
-            & (F.col("a.item_sku") != F.col("b.item_sku")),
+    Scale design: baskets assemble with ONE keyed aggregation
+    (collect_set per transaction_id — bounded by the basket's line
+    count, single digits) and the ordered pairs explode from each set
+    row-locally, so the plan is one fact scan and two shuffles (basket
+    agg + pair count) instead of the r12 self-join form's two scans,
+    join, and three shuffles; the pair multiset is identical (all
+    (a, b), a != b, from each basket's distinct SKUs — never
+    all-pairs across baskets). The co-occurrence counts
+    partial-aggregate map-side; the final per-SKU top-k window runs
+    over each SKU's partner list (bounded by its co-purchase degree;
+    a popular-SKU-heavy corpus would swap the window for a per-SKU
+    TakeOrdered)."""
+    co = _basket_pairs(
+        txns.groupBy("transaction_id").agg(
+            F.collect_set("item_sku").alias("skus")
         )
-        .select(
-            F.col("a.item_sku").alias("item_sku"),
-            F.col("b.item_sku").alias("partner_sku"),
-        )
-    )
-    co = pairs.groupBy("item_sku", "partner_sku").agg(
-        F.count(F.lit(1)).cast("long").alias("co_count")
     )
     return _co_topk(co, k)
+
+
+def _basket_pairs(baskets: DataFrame, *extra_keys: str) -> DataFrame:
+    """Explode each basket's distinct-SKU set into ordered pairs and
+    count per (*extra_keys, item_sku, partner_sku) — the shared pair
+    kernel of co1/co_pair_daily. Both explodes are row-local (no
+    shuffle); output rows per basket = s*(s-1) for s distinct SKUs,
+    exactly the self-join multiset."""
+    pairs = (
+        baskets.select(
+            *extra_keys, F.explode("skus").alias("item_sku"), "skus"
+        )
+        .select(
+            *extra_keys, "item_sku", F.explode("skus").alias("partner_sku")
+        )
+        .filter(F.col("item_sku") != F.col("partner_sku"))
+    )
+    return pairs.groupBy(*extra_keys, "item_sku", "partner_sku").agg(
+        F.count(F.lit(1)).cast("long").alias("co_count")
+    )
 
 
 def _co_topk(co: DataFrame, k: int) -> DataFrame:
@@ -311,28 +324,19 @@ def co_pair_daily(txns: DataFrame) -> DataFrame:
     caveat, inherent to basket semantics: a late line appended to an
     old order changes that order's basket, so its (single) shard must
     be recomputed — pipelines seal baskets after a grace window, the
-    same late-data discipline as the streaming watermark layer."""
-    ts = txns.select("transaction_id", "item_sku").distinct()
-    odate = txns.groupBy("transaction_id").agg(
-        F.min("sale_date").alias("order_date")
+    same late-data discipline as the streaming watermark layer.
+
+    Plan (r13): the basket set AND the order date come out of ONE
+    aggregation over one fact scan (collect_set + min share the
+    transaction_id grain), pairs explode row-locally — the r12
+    two-scan self-join + odate-join form cost three scans and two
+    joins for the same rows (:func:`_basket_pairs` law-covers the
+    pair multiset)."""
+    baskets = txns.groupBy("transaction_id").agg(
+        F.collect_set("item_sku").alias("skus"),
+        F.min("sale_date").alias("order_date"),
     )
-    pairs = (
-        ts.alias("a")
-        .join(
-            ts.alias("b"),
-            (F.col("a.transaction_id") == F.col("b.transaction_id"))
-            & (F.col("a.item_sku") != F.col("b.item_sku")),
-        )
-        .select(
-            F.col("a.transaction_id").alias("transaction_id"),
-            F.col("a.item_sku").alias("item_sku"),
-            F.col("b.item_sku").alias("partner_sku"),
-        )
-        .join(odate, "transaction_id")
-    )
-    return pairs.groupBy(
-        "order_date", "item_sku", "partner_sku"
-    ).agg(F.count(F.lit(1)).cast("long").alias("co_count"))
+    return _basket_pairs(baskets, "order_date")
 
 
 def co_merge_topk(daily: DataFrame, k: int = 3) -> DataFrame:

@@ -80,12 +80,10 @@ def kmv_distinct(
     # the second distinct collapses 32-bit hash collisions so the
     # sketch is over distinct HASHES (the KMV estimator's domain),
     # exactly like the oracle's DISTINCT (g, h)
-    hashed = (
-        df.select(F.col(group).cast("string").alias("g"), F.col(value).alias("v"))
-        .distinct()
-        .select("g", _hash32(F.col("v")).alias("h"))
-        .distinct()
-    )
+    base = df.select(
+        F.col(group).cast("string").alias("g"), F.col(value).alias("v")
+    ).distinct()
+    hashed = base.select("g", _hash32(F.col("v")).alias("h")).distinct()
 
     def keep_kmin(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -105,9 +103,12 @@ def kmv_distinct(
         F.count(F.lit(1)).alias("n_hashes_kept"),
         F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_hash"),
     )
-    exact = df.groupBy(F.col(group).cast("string").alias("g")).agg(
-        F.countDistinct(value).alias("n_exact")
-    )
+    # exact audit off the SAME distinct base as the sketch (count of
+    # non-null v per g over distinct (g, v) == countDistinct(v)): the
+    # two branches share one canonical Exchange subtree, so the fact
+    # table is scanned and deduped ONCE (ReusedExchange; r13 — the
+    # separate countDistinct derivation scanned it a second time)
+    exact = base.groupBy("g").agg(F.count("v").alias("n_exact"))
     j = sketch.join(exact, "g")
     est = F.when(
         F.col("kth_hash").isNotNull(),
@@ -294,11 +295,20 @@ def kmv_set_overlap(txns: DataFrame, k: int = KMV_K) -> DataFrame:
     array_intersect / filter are per-row built-ins. The exact audit
     joins distinct (store, sku) with itself on sku — catalog-bounded,
     never the fact table row count."""
-    hashed = (
-        txns.select("store_id", "item_sku").distinct()
-        .select("store_id", _hash32(F.col("item_sku")).alias("h"))
-        .distinct()
+    from pyspark.storagelevel import StorageLevel
+
+    # persist the distinct (store, sku) table: the sketch derivation
+    # reads it once and the exact-intersection audit self-joins it
+    # (two more reads); unpersisted, the planner materializes each
+    # side separately — 4 fact scans in one query (r13 plan). The
+    # frame is catalog-bounded (stores x assortment, never fact-sized)
+    # so the cached footprint is safe at any corpus size (guide §5).
+    skus = txns.select("store_id", "item_sku").distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    hashed = skus.select(
+        "store_id", _hash32(F.col("item_sku")).alias("h")
+    ).distinct()
     w = Window.partitionBy("store_id").orderBy("h")
     sk = (
         hashed.withColumn("rn", F.row_number().over(w))
@@ -335,8 +345,8 @@ def kmv_set_overlap(txns: DataFrame, k: int = KMV_K) -> DataFrame:
         "est_inter",
         F.expr("n_common * est_union div n_kept"),
     )
-    # exact audit: true SKU intersection per pair
-    skus = txns.select("store_id", "item_sku").distinct()
+    # exact audit: true SKU intersection per pair (same persisted
+    # distinct table as the sketch derivation)
     inter = (
         skus.select(F.col("store_id").alias("store_a"), "item_sku")
         .join(

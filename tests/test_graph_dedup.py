@@ -154,10 +154,12 @@ def test_cc_tiers_agree_on_synthetic_and_corpus(spark, monkeypatch):
     assert results[0][-1], "empty near-dup graph at sf0.001"
 
 
-def test_pagerank_partition_invariance_and_laws(spark):
+def test_pagerank_partition_invariance_and_laws(spark, monkeypatch):
     """Fixed-point PageRank: identical output under repartitioning
     (integer arithmetic leaves no room for float drift), ranks
-    positive, rank_pos a clean 1..k in rank order."""
+    positive, rank_pos a clean 1..k in rank order — and the r13
+    driver-numpy tier is bit-identical to the distributed loop
+    (same tier-forcing law as connected_components)."""
     from serverless_smurf_etl_and_analytics_spark import tables
     from serverless_smurf_etl_and_analytics_spark.operators import graph
 
@@ -168,10 +170,12 @@ def test_pagerank_partition_invariance_and_laws(spark):
     a = sorted(
         graph.pagerank(li, od).collect(), key=lambda r: r["rank_pos"]
     )
+    monkeypatch.setattr(graph, "_DRIVER_PR_MAX", 0)  # force distributed
     b = sorted(
         graph.pagerank(li.repartition(13), od.repartition(7)).collect(),
         key=lambda r: r["rank_pos"],
     )
+    monkeypatch.undo()
     assert a == b
     assert [r["rank_pos"] for r in a] == list(range(1, len(a) + 1))
     ranks = [r["rank_fp"] for r in a]
