@@ -164,6 +164,8 @@ def curate_corpus(
     min_tokens: int = 30,
     min_uniq_pct: int = 30,
     neardup_threshold: float = 0.5,
+    _removals: DataFrame | None = None,
+    _stats: DataFrame | None = None,
 ) -> DataFrame:
     """cur1: the end-to-end curation pipeline as ONE query — the
     composition every training-data run actually executes, built
@@ -185,21 +187,36 @@ def curate_corpus(
     sized removal set (bounded by the duplicate count) into an
     anti-join.
     """
+    from pyspark.storagelevel import StorageLevel
+
     from .dedup import minhash_neardup_pairs
     from .textops import tokens_col
 
-    stats = docs.select(
-        "doc_id",
-        F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(tokens_col(F.col("text"))))
-        .cast("long")
-        .alias("n_unique"),
-    )
-    removals = (
-        minhash_neardup_pairs(docs, neardup_threshold)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    # r13: the per-doc token stats feed BOTH the quality gate and the
+    # final output join — persist so the corpus is tokenized once per
+    # session, not once per consumer (same session-owned lifetime as
+    # the shingle cache inside minhash_neardup_pairs; released by
+    # session.clear_operator_caches). ``_stats``/``_removals`` let
+    # corpus_datasheet thread in ITS copies of the same subtrees so
+    # the datasheet runs one LSH pair search and one tokenize pass,
+    # not two of each (the composition is unchanged — identical
+    # expressions, shared instead of rebuilt).
+    stats = _stats
+    if stats is None:
+        stats = docs.select(
+            "doc_id",
+            F.size(tokens_col(F.col("text"))).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(tokens_col(F.col("text"))))
+            .cast("long")
+            .alias("n_unique"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    removals = _removals
+    if removals is None:
+        removals = (
+            minhash_neardup_pairs(docs, neardup_threshold)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
     gated = (
         docs.join(stats, "doc_id")
         .filter(
@@ -228,10 +245,16 @@ def corpus_datasheet(
     per rate, no float accumulation).
 
     Scale: the stats scan and the LSH pair search are the same
-    bounded plans cur1 uses (shared subtrees cache-substitute when
-    both run in one session); the final rollup is a tiny group-by on
-    the (source, lang) grain.
+    bounded plans cur1 uses — and (r13) they are COMPUTED once and
+    shared: the per-doc stats table and the duplicate-removal set are
+    persisted here and threaded into curate_corpus, so the datasheet
+    runs one tokenize pass and one LSH pair search instead of two of
+    each (guide §2.1 — the r12 composition rebuilt both subtrees
+    inside the survivor branch). The final rollup is a tiny group-by
+    on the (source, lang) grain.
     """
+    from pyspark.storagelevel import StorageLevel
+
     from .dedup import minhash_neardup_pairs
     from .textops import tokens_col
 
@@ -243,13 +266,15 @@ def corpus_datasheet(
         F.size(F.array_distinct(tokens_col(F.col("text"))))
         .cast("long")
         .alias("n_unique"),
-    )
-    removals = (
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # removal set: bounded by the duplicate count (never corpus-sized)
+    removal_ids = (
         minhash_neardup_pairs(docs, neardup_threshold)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
-        .withColumn("is_dup", F.lit(1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    removals = removal_ids.withColumn("is_dup", F.lit(1))
     # forward EVERY knob to curate_corpus so n_curated/curated_bp are
     # computed under the same thresholds as dup_bp/quality_bp — with a
     # non-default threshold the datasheet would otherwise be
@@ -259,6 +284,8 @@ def corpus_datasheet(
         min_tokens=min_tokens,
         min_uniq_pct=min_uniq_pct,
         neardup_threshold=neardup_threshold,
+        _removals=removal_ids,
+        _stats=stats.select("doc_id", "n_tokens", "n_unique"),
     ).select("doc_id").withColumn("kept", F.lit(1))
     j = stats.join(removals, "doc_id", "left").join(
         survivors, "doc_id", "left"
