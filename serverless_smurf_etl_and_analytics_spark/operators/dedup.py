@@ -458,6 +458,15 @@ def minhash_neardup_pairs(
         docs, lsh_candidate_pairs(docs, fingerprint, cache),
         fingerprint, cache,
     )
+    # persist the THRESHOLD-INDEPENDENT verified table (bounded by the
+    # LSH candidate count — dup-scaled, never corpus-scaled): d4, d10's
+    # group assembly, src2's source matrix and the curation survivor
+    # branches all consume this exact subtree, and without the barrier
+    # each one re-runs the signature build + band self-join + verify
+    # joins from the shingle cache up (r13 measured src2 at ~2.2x d4
+    # for precisely this reason; guide §2.1 reuse / §5 caching). Same
+    # session-owned lifetime as the shingle cache above.
+    verified = verified.persist(StorageLevel.MEMORY_AND_DISK)
     return verified.filter(F.col("jaccard") >= threshold)
 
 

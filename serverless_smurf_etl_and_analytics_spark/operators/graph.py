@@ -119,15 +119,28 @@ def pagerank(
     # trajectory (tier-equality law in tests/test_graph_dedup.py);
     # past it, the probe cost is one bounded partial pass and the
     # distributed loop runs unchanged.
-    pairs = _purchase_pairs(lineitem, orders)
+    # r13 session 2: persist the pair table FIRST and gate on count()
+    # over the cached relation instead of limit(cap+1).toPandas() —
+    # the CollectLimit probe ran executeTake's partition ramp (1, 4,
+    # 16, ... sequential reduce jobs over the distinct's output) and,
+    # being unpersisted, re-derived the whole fact-scan + broadcast +
+    # distinct chain on EVERY call (guide §5 driver cost, §2.1 reuse).
+    # Now: one materializing count (simultaneously the size gate), one
+    # parallel cache read for the driver-tier collect, and the cached
+    # pair table serves both tiers — the distributed loop consumed it
+    # already. The cache is bounded: the driver tier keeps it only
+    # under the ≤2.5M-pair cap, and the distributed tier releases it
+    # once the degree-annotated edge cache materializes, as before.
+    pairs = _purchase_pairs(lineitem, orders).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cap = _driver_pr_max() // 2  # undirected cap: 2 directed edges/pair
-    if cap > 0:
-        probe = pairs.limit(cap + 1).toPandas()
-        if len(probe) <= cap:
-            out = _pagerank_driver(probe, pairs.sparkSession, n_iter, top_k)
-            if out is not None:
-                return out
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    if cap > 0 and pairs.count() <= cap:
+        out = _pagerank_driver(
+            pairs.toPandas(), pairs.sparkSession, n_iter, top_k
+        )
+        if out is not None:
+            return out
     edges = _pair_directions(pairs)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)

@@ -83,6 +83,18 @@ def kmv_distinct(
     base = df.select(
         F.col(group).cast("string").alias("g"), F.col(value).alias("v")
     ).distinct()
+    # materialize the distinct (g, v) base: the sketch branch and the
+    # exact-audit branch below both consume it, but Catalyst collapses
+    # the sketch side's double-distinct into a direct (g, hash) dedup,
+    # so without a barrier the two branches plan SEPARATE fact scans +
+    # dedups (r13 plan read: 2 scans, no ReusedExchange). The base is
+    # bounded by |groups| x |distinct values| — dimension-scaled for
+    # every registered caller (stores x SKUs), safe to cache at any
+    # corpus size (guide §2.1 reuse / §5 caching; session-owned
+    # lifetime like the dedup shingle cache).
+    from pyspark.storagelevel import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     hashed = base.select("g", _hash32(F.col("v")).alias("h")).distinct()
 
     def keep_kmin(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -394,18 +406,33 @@ def kmv_cardinality_drift(
     rows; the join is store-grain. At 100 TB the daily sketch table is
     the only thing read."""
 
-    def est(start: str, end: str, sfx: str) -> DataFrame:
-        d = kmv_daily_sketches(
-            txns.filter(F.col("sale_date").between(start, end)), k
-        )
-        return kmv_merge_daily(d, k).select(
+    # ONE daily-sketch build covering both windows, persisted, then
+    # each side filters the bounded sketch table before its merge
+    # (r13, guide §2.1): the md5-per-row sketch derivation is the
+    # dominant cost and the two windows each ran their own fact scan +
+    # (store, day) aggregation. Per-day sketches are a pure function of
+    # each (store, day)'s rows, so filtering days after building is
+    # row-identical to building on the filtered facts. The cached
+    # table is |stores| x |days in either window| rows of <= k hashes
+    # — bounded at any corpus size; session-owned lifetime like the
+    # dedup shingle cache.
+    from pyspark.storagelevel import StorageLevel
+
+    in_a = F.col("sale_date").between(start_a, end_a)
+    in_b = F.col("sale_date").between(start_b, end_b)
+    d_all = kmv_daily_sketches(txns.filter(in_a | in_b), k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    def est(flt, sfx: str) -> DataFrame:
+        return kmv_merge_daily(d_all.filter(flt), k).select(
             "store_id",
             F.col("n_days_merged").alias(f"days_{sfx}"),
             F.col("est_distinct").alias(f"est_{sfx}"),
         )
 
-    a = est(start_a, end_a, "a")
-    b = est(start_b, end_b, "b")
+    a = est(in_a, "a")
+    b = est(in_b, "b")
     j = a.join(b, "store_id", "full").select(
         "store_id",
         F.coalesce("days_a", F.lit(0)).alias("days_a"),

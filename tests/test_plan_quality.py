@@ -134,19 +134,43 @@ def test_profile_plan_has_no_expand(spark):
 @pytest.mark.parametrize(
     ("name", "max_exchanges"),
     [
-        # stacked same-partitioning windows: one real exchange over
-        # the store-day grain (readings of the cached MV included);
-        # a couple of tiny post-agg exchanges are tolerated, the
-        # guard is against reverting to one-shuffle-per-median chains
-        ("cp1_cusum_changepoint", 3),
-        ("z1_robust_zscore", 3),
-        ("ewma1_smoothed_sales", 3),
+        # stacked same-partitioning windows over the store-day MV:
+        # since r13 the MV is persisted already clustered by store_id
+        # and sorted by (store_id, sale_date), so the consumer side of
+        # the plan — everything ABOVE the cached relation, whose own
+        # build internals are excluded from the count — must add NO
+        # store_id exchange at all; a couple of tiny post-agg
+        # exchanges are tolerated, the guard is against reverting to
+        # one-shuffle-per-median chains
+        ("cp1_cusum_changepoint", 2),
+        ("z1_robust_zscore", 2),
+        ("ewma1_smoothed_sales", 2),
     ],
 )
 def test_quality_windows_stay_on_few_exchanges(spark, name, max_exchanges):
-    plan = _plan(spark, name)
+    plan = _plan(spark, name).split("InMemoryRelation")[0]
     n = plan.count("Exchange hashpartitioning")
     assert n <= max_exchanges, f"{name}: {n} hash exchanges\n{plan[:1500]}"
+
+
+def test_store_day_windows_reuse_mv_layout(spark):
+    """The store-day MV is persisted hash-clustered by store_id and
+    sorted by (store_id, sale_date) (history.store_daily_cents, r13):
+    the trailing-window consumers must plan their Window directly over
+    the cached relation — zero Exchange and zero Sort above the
+    InMemoryTableScan (the whole point of emitting the MV in its
+    consumers' layout, guide §2.4). The layout is only visible to the
+    planner once the cache is materialized (a not-yet-built cached
+    relation reports unknown partitioning, so the session's FIRST
+    consumer conservatively keeps its own exchange), hence the
+    materializing count before the plan reads."""
+    registry.QUERIES["a7_trailing_7day"](spark, SF_DIR).count()
+    for name in ("a7_trailing_7day", "a10_deviation_vs_trailing"):
+        plan = _plan(spark, name)
+        assert "InMemoryTableScan" in plan, name
+        top = plan.split("InMemoryRelation")[0]
+        assert "Exchange" not in top, f"{name}:\n{top[:1500]}"
+        assert "+- Sort" not in top, f"{name}:\n{top[:1500]}"
 
 
 def test_heavy_hitters_single_fact_scan(spark):
