@@ -423,7 +423,14 @@ def product_range_stats(
         .agg(
             F.sum("quantity").alias("total_units"),
             (F.sum("line_cents") - F.sum("discount_cents")).alias("rev_c"),
-            F.countDistinct("sale_date").alias("days_sold"),
+            # the range filter bounds distinct dates per SKU (≤ the
+            # window length), so the distinct count folds into the one
+            # aggregation as a per-group set instead of a second
+            # shuffle keyed (sku, date) (guide §2.4); == countDistinct,
+            # sale_date non-null.
+            F.size(F.collect_set("sale_date")).cast("long").alias(
+                "days_sold"
+            ),
         )
     )
     ranked = g.select(

@@ -256,5 +256,8 @@ def insight_summary(txns: DataFrame) -> DataFrame:
     (``combine-insights/lambda_function.py:169-204``)."""
     return combine_insights(txns).groupBy("insight_type").agg(
         F.count(F.lit(1)).alias("insight_count"),
+        # the distinct shuffle here runs over the already-tiny insight
+        # set (post-classify anomaly/trend rows), so folding it into a
+        # collect_set measured no faster at sf0.1 (r13) — left as-is.
         F.countDistinct("store_id").alias("stores_affected"),
     )

@@ -227,7 +227,12 @@ def company_payment_map(txns: DataFrame) -> DataFrame:
             ),
             ",",
         ).alias("payment_breakdown_str"),
-        F.countDistinct("method").alias("methods"),
+        # per_method's grain IS (sale_date, method), so within each
+        # sale_date group every method row is already distinct:
+        # count(method) == countDistinct(method) here, without the
+        # two-level distinct-aggregation plan (guide §2.4). method is
+        # a map key (never null), so null-skipping parity holds.
+        F.count("method").alias("methods"),
         dollars(F.sum("net_c")).alias("total_net"),
     )
 
@@ -435,18 +440,20 @@ def product_daily_exact(txns: DataFrame) -> DataFrame:
         F.sum("quantity").alias("units_sold"),
         F.sum("line_cents").alias("sales_c"),
         F.sum("discount_cents").alias("disc_c"),
-        F.countDistinct("store_id").alias("store_count"),
-        F.concat_ws(",", F.sort_array(F.collect_set("store_id"))).alias(
-            "stores_sold_at"
-        ),
+        # store_count derives from the SAME collect_set the string
+        # column needs: countDistinct alongside it planned a second
+        # aggregation level keyed (date, sku, store) with its own
+        # Exchange (guide §2.4); size(set) == countDistinct exactly
+        # (both null-skipping; store_id is non-null).
+        F.sort_array(F.collect_set("store_id")).alias("stores_set"),
     )
     return g.select(
         "sale_date",
         "item_sku",
         "units_sold",
         dollars(F.col("sales_c") - F.col("disc_c")).alias("revenue"),
-        "store_count",
-        "stores_sold_at",
+        F.size("stores_set").cast("long").alias("store_count"),
+        F.concat_ws(",", "stores_set").alias("stores_sold_at"),
     )
 
 
@@ -459,16 +466,14 @@ def product_daily_top5_parity(txns: DataFrame, k: int = 5) -> DataFrame:
     g = top.groupBy("sale_date", "item_sku").agg(
         F.sum("units").alias("units_sold"),
         F.sum(cents(F.col("revenue"))).alias("rev_c"),
-        F.countDistinct("store_id").alias("store_count"),
-        F.concat_ws(",", F.sort_array(F.collect_set("store_id"))).alias(
-            "stores_sold_at"
-        ),
+        # same one-level-aggregation form as product_daily_exact above
+        F.sort_array(F.collect_set("store_id")).alias("stores_set"),
     )
     return g.select(
         "sale_date",
         "item_sku",
         "units_sold",
         dollars(F.col("rev_c")).alias("revenue"),
-        "store_count",
-        "stores_sold_at",
+        F.size("stores_set").cast("long").alias("store_count"),
+        F.concat_ws(",", "stores_set").alias("stores_sold_at"),
     )

@@ -37,7 +37,13 @@ def kpi_for_range(txns: DataFrame, start: str, end: str) -> DataFrame:
         F.sum("line_cents").alias("sales_c"),
         F.count(F.lit(1)).alias("total_transactions"),
         F.sum("quantity").alias("total_items"),
-        F.countDistinct("store_id").alias("stores_reporting"),
+        # the store catalog is bounded (11 here, dimension-sized at any
+        # scale): size(collect_set) keeps the whole KPI row a single
+        # aggregation pass instead of a distinct pre-shuffle keyed by
+        # store_id (guide §2.4); == countDistinct, store_id non-null.
+        F.size(F.collect_set("store_id")).cast("long").alias(
+            "stores_reporting"
+        ),
         pay("A").alias("pay_a_c"),
         pay("N").alias("pay_n_c"),
         pay("R").alias("pay_r_c"),
@@ -65,7 +71,9 @@ def top_products_reagg(txns: DataFrame, date: str, k: int = 10) -> DataFrame:
     g = top5.groupBy("item_sku").agg(
         F.sum("units").alias("units"),
         F.sum(F.round(F.col("revenue") * 100).cast("long")).alias("rev_c"),
-        F.countDistinct("store_id").alias("store_count"),
+        # bounded store catalog — same single-aggregation form as
+        # kpi_for_range above (guide §2.4)
+        F.size(F.collect_set("store_id")).cast("long").alias("store_count"),
     )
     from pyspark.sql import Window
 
