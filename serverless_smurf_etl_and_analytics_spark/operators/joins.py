@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .. import tables
 from .history import store_daily_cents
@@ -274,13 +275,36 @@ def sku_copurchase_topk(txns: DataFrame, k: int = 3) -> DataFrame:
     partial-aggregate map-side; the final per-SKU top-k window runs
     over each SKU's partner list (bounded by its co-purchase degree;
     a popular-SKU-heavy corpus would swap the window for a per-SKU
-    TakeOrdered)."""
+    TakeOrdered).
+
+    r13: derives from the session-shared per-day partial table
+    (:func:`_co_daily_shared`) — merge-over-all-days == the direct
+    basket count exactly (each order falls in one order_date shard;
+    the additivity law in test_copurchase_daily compares against
+    :func:`_sku_copurchase_direct` below), and co1/co2/tri1/tri2 then
+    share ONE basket scan + explode per session (guide §2.1)."""
+    return co_merge_topk(_co_daily_shared(txns), k)
+
+
+def _sku_copurchase_direct(txns: DataFrame, k: int = 3) -> DataFrame:
+    """The direct (no daily-partial) co1 form — the comparison side of
+    the additivity law, and the plan co1 shipped before r13."""
     co = _basket_pairs(
         txns.groupBy("transaction_id").agg(
             F.collect_set("item_sku").alias("skus")
         )
     )
     return _co_topk(co, k)
+
+
+def _co_daily_shared(txns: DataFrame) -> DataFrame:
+    """:func:`co_pair_daily`, persisted once per session: co1, the
+    co2/tri2 range merges and tri1's census all consume this exact
+    subtree, so the basket aggregation + pair explode materializes
+    once per session instead of once per consumer (guide §2.1 reuse /
+    §5 caching; session-owned lifetime like the dedup shingle cache —
+    ``session.clear_operator_caches`` frees it)."""
+    return co_pair_daily(txns).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _basket_pairs(baskets: DataFrame, *extra_keys: str) -> DataFrame:
@@ -482,7 +506,7 @@ def co_range_topk(
     ship)."""
     daily = cached_co_pair_daily(txns, cache, fingerprint)
     if daily is None:
-        daily = co_pair_daily(txns)
+        daily = _co_daily_shared(txns)
     return co_merge_topk(
         daily.filter(F.col("order_date").between(start, end)), k
     )

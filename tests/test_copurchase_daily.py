@@ -29,9 +29,12 @@ def _order_dates(txns):
 
 
 def test_co_merge_over_all_shards_equals_direct(spark):
+    # the direct (basket-count, no daily grain) form is the law's
+    # comparison side — co1 itself rides the merge form since r13
     txns = tables.transactions(spark, SF_DIR)
     daily = joins.co_pair_daily(txns)
     got = _rows(joins.co_merge_topk(daily, 3))
+    assert got == _rows(joins._sku_copurchase_direct(txns, 3))
     assert got == _rows(joins.sku_copurchase_topk(txns, 3))
     assert got, "empty co table"
 
