@@ -38,11 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # one round and nothing outside the window has a changed plan.
 _VERIFY_FIRST = [
     # ================= r13 window (first 50) =================
-    # --- r13 is the first OPTIMIZATION round: the 20 queries whose
+    # --- r13 is the first OPTIMIZATION round: the 24 queries whose
     # physical plans changed this round lead (similarity double-eval
     # fix + simhash expression-tree shrink, tri/pq shared-subtree
     # persists, kmeans/PQ driver-numpy trainer tier, KMV shared
-    # base / persisted distinct, co-purchase basket-explode form —
+    # base / persisted distinct, co-purchase shared daily-pair table,
+    # bounded-distinct folding in a6/a4pm/a14/a15/a16 —
     # plan diffs committed under plans/r13/*_{before,after}.txt):
     "sim2_cosine_neardup", "d7_semantic_dedup", "d9_semantic_dedup_cc",
     "d5_simhash", "d6_simhash_neardup", "sim1_cosine_topk",
@@ -52,6 +53,8 @@ _VERIFY_FIRST = [
     "ivfpq1_topk", "sk1_kmv_distinct_skus", "sk3_kmv_set_overlap",
     "co1_sku_copurchase", "co2_copurchase_range_merge",
     "pr1_pagerank_stores",
+    "a14_kpi_for_range", "a15_top_products_reagg",
+    "a16_product_range_stats",
     # --- then the refactor-adjacent x1/x2 (r13 build prep extracted
     # composition-preserving helpers under their plans) and the r12
     # staleness-2 audit body in its r10 order; the tail entries that
@@ -77,21 +80,23 @@ _VERIFY_FIRST = [
     "src2_cross_source_dups", "a19_dow_seasonality", "d4_minhash_neardup",
     "d3_lsh_candidate_pairs", "d11_containment", "wn1_winnow_overlap",
     "coh1_cohort_retention", "cp1_cusum_changepoint",
-    "cube1_store_payment_cube", "cur1_curated_corpus",
-    "d12_editdist_neardup",
     # ================= past the 50-window =================
     # r14 ROTATION PREP: lead with any r14 plan changes, then the
-    # r11-green remainder below (staleness 2 by r14) and the r12
-    # window after it (staleness 2 by r14 only for entries not
-    # re-greened since r12) — audit: benchmarks/staleness_audit_r13.json.
+    # entries displaced from this round's window (cube1/cur1/d12 —
+    # r12-green, plans unchanged since), the r11-green remainder
+    # (staleness 2 by r14) and the r12 window after it (staleness 2 by
+    # r14 only for entries not re-greened since r12) — audit:
+    # benchmarks/staleness_audit_r13.json.
+    "cube1_store_payment_cube", "cur1_curated_corpus",
+    "d12_editdist_neardup",
     "aj2_order_next_event", "aj1_event_order_asof",
     "a11_trend_recent_vs_earlier", "a12_trend_half_vs_half",
     "a13_trend_first_vs_last", "a8_company_trailing",
-    "a9_product_trailing", "a16_product_range_stats",
+    "a9_product_trailing",
     "j1_missing_stores_anti", "j3_brand_revenue",
     "j5_dense_date_store_grid", "j6_top_customers",
-    "j7_store_region_rollup", "a14_kpi_for_range",
-    "a15_top_products_reagg", "a17_distinct_dates", "t1_text_stats",
+    "j7_store_region_rollup",
+    "a17_distinct_dates", "t1_text_stats",
     "t2_lang_id", "t3_fingerprint", "t4_token_count_bpe",
     "t5_rolling_fingerprint", "d1_exact_dedup", "d2_minhash_signatures",
     "mm1_binary_fingerprint_dedup", "mm2_modality_stats",

@@ -200,10 +200,34 @@ def test_token_stream_tokenizes_once(spark, name):
     assert "Reused" in final, final[:2500]
 
 
+def _strip_cached_subplans(plan: str) -> str:
+    """Drop every InMemoryRelation's STORED child plan from a plan
+    string: once a cached relation has materialized under AQE its
+    toString prints the stored plan twice (own Final + Initial Plan
+    sections), so substring-counting "Scan parquet" over the raw
+    string counts phantom scans that never execute (the reader is the
+    InMemoryTableScan). Keeps the relation line itself."""
+    out = []
+    skip_indent = None
+    for line in plan.splitlines():
+        indent = len(line) - len(line.rstrip("\n").lstrip())
+        if skip_indent is not None:
+            if line.strip() and indent > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in line:
+            skip_indent = indent
+        out.append(line)
+    return "\n".join(out)
+
+
 def test_sketch_drift_reads_no_facts_twice_per_window(spark):
     """qr2 answers from the per-day sketch layer: each window derives
-    its sketches from one scan, so the whole two-window monitor must
-    touch the fact table at most twice (once per window) — never the
-    4+ scans a naive est+exact-per-window plan would cost."""
-    plan = _plan(spark, "qr2_cardinality_drift")
+    its sketches from the ONE persisted daily-sketch table, so the
+    executed plan must read the fact table at most twice (once per
+    window) outside cached-relation bodies — never the 4+ scans a
+    naive est+exact-per-window plan would cost. Counted on the
+    cache-stripped plan so the assertion is invariant to whether the
+    shared daily table has already materialized this session."""
+    plan = _strip_cached_subplans(_plan(spark, "qr2_cardinality_drift"))
     assert plan.count("Scan parquet") <= 2, plan[:1500]
