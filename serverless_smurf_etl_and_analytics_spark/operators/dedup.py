@@ -938,9 +938,17 @@ def semantic_dedup(
     never dropped."""
     from .similarity import cosine_neardup_pairs
 
+    # the verified pair table is persisted (r14, guide §2.1): d7 and
+    # d9 build the IDENTICAL pairs-at-0.4 subtree (same corpus, same
+    # threshold), so Spark's cache manager dedupes the two persists
+    # into one session-lifetime materialization — the candidate join +
+    # Arrow verify runs once and both consumers (greedy agg here, the
+    # label-prop components in semantic_dedup_cc) read cached rows.
+    # Same caller-owned lifetime as every operator cache
+    # (session.clear_operator_caches).
     pairs = cosine_neardup_pairs(
         emb, threshold, fingerprint=emb_fingerprint
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     drops = pairs.groupBy("vec_b").agg(
         F.min("vec_a").alias("dup_of"),
         F.count(F.lit(1)).alias("n_neardups"),
@@ -1351,9 +1359,14 @@ def semantic_dedup_cc(
     neighbor (tests/test_graph_dedup.py asserts both laws)."""
     from .similarity import cosine_neardup_pairs
 
+    # persisted for the same cache-manager dedupe as semantic_dedup
+    # (one shared pairs-at-threshold materialization per session);
+    # doubly important here because connected_components drives
+    # ITERATIVE jobs over the pairs at plan-build time — uncached,
+    # every label-prop round re-ran the candidate join + verify.
     pairs = cosine_neardup_pairs(
         emb, threshold, fingerprint=emb_fingerprint
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     comp = connected_components(pairs)
     dropped = comp.filter(F.col("v") != F.col("component"))
     return dropped.join(

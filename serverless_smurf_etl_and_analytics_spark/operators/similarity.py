@@ -1269,20 +1269,26 @@ def cosine_neardup_pairs(
     a = eb.alias("a")
     b = eb.alias("b")
     # keep a pair only at its FIRST matching band: for band i, all
-    # earlier bands must mismatch — exactly-once without a distinct
-    first_match = None
-    for i in range(n_bands):
-        mism = F.lit(True)
-        for j in range(i):
-            mism = mism & (
-                F.element_at(F.col("a.buckets"), j + 1)
-                != F.element_at(F.col("b.buckets"), j + 1)
+    # earlier bands must mismatch — exactly-once without a distinct.
+    # Built as ONE SQL string (r14): the Column-composed form cost
+    # ~0.37 s of py4j round trips per plan build; the CASE expression
+    # is the identical CaseWhen tree.
+    first_match = F.expr(
+        "CASE "
+        + " ".join(
+            "WHEN a.band_idx = {i} THEN {m}".format(
+                i=i,
+                m=" AND ".join(
+                    f"(element_at(a.buckets, {j + 1}) != "
+                    f"element_at(b.buckets, {j + 1}))"
+                    for j in range(i)
+                )
+                or "true",
             )
-        first_match = (
-            F.when(F.col("a.band_idx") == i, mism)
-            if first_match is None
-            else first_match.when(F.col("a.band_idx") == i, mism)
+            for i in range(n_bands)
         )
+        + " END"
+    )
     # SHUFFLE_HASH: both sides are the same bounded band projection —
     # hash-building one side beats sorting 2x(n_bands * n) rows, and
     # the skew-handling story stays with AQE (measured 35 s -> 22 s
@@ -1310,6 +1316,15 @@ def cosine_neardup_pairs(
         # nondet pins ONE ArrowEvalPython: _threshold_pairs filters on
         # the dot, and a deterministic UDF under a pushed filter is
         # evaluated twice (guide §4.4; r13 plan diff: 2 -> 1 evals).
+        # r14 MEASURED-AND-KEPT note (guide §1.1): the all-JVM
+        # replacement — fixed-point iv rounded once per band row, dot
+        # as 64 unrolled codegen multiply-adds, nondet-flagged to keep
+        # a single eval — was built, proven bit-identical (law tests
+        # green), and benched SLOWER: same-session interleaved min-of-7
+        # collect 0.49 s (this kernel) vs 0.89 s (JVM form), subset
+        # bench d7 1.13 vs 1.53 s. One einsum over the whole candidate
+        # batch beats 72k x 128 per-pair array extractions even paying
+        # the Arrow round trip, so the Python boundary STAYS.
         dots = cand.select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
