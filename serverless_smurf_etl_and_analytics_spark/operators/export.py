@@ -99,6 +99,19 @@ def _export_store_summaries_from_daily(
     )
 
 
+def _ranked_top5_shared(txns: DataFrame, start: str, end: str) -> DataFrame:
+    """The range-filtered per-(store, day) top-5 rank rows, persisted
+    (r14, guide §2.1): x2's dataset and x6's manifest row count are
+    both row-preserving consumers of this exact subtree, so the cache
+    manager dedupes their persists into one session-lifetime
+    materialization and the rank window runs once. Caller-owned
+    lifetime like every operator cache
+    (``session.clear_operator_caches``)."""
+    return top_products_per_store_day(
+        txns.filter(F.col("sale_date").between(start, end)), 5
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def export_top_products(txns: DataFrame, start: str, end: str) -> DataFrame:
     """Flattened top_products dataset
     (``export-to-quicksight/lambda_function.py:217-248``): the per-store
@@ -108,11 +121,7 @@ def export_top_products(txns: DataFrame, start: str, end: str) -> DataFrame:
     Range filter on the FACTS (exact: ranks are computed within each
     (store, day) group independently) — see
     :func:`export_store_summaries` for the measured rationale."""
-    return _export_top_products_from(
-        top_products_per_store_day(
-            txns.filter(F.col("sale_date").between(start, end)), 5
-        )
-    )
+    return _export_top_products_from(_ranked_top5_shared(txns, start, end))
 
 
 def _export_top_products_from(top5: DataFrame) -> DataFrame:
@@ -228,39 +237,66 @@ def export_datasets(
     }
 
 
+# dataset -> len(columns), filled once per process from the REAL
+# dataset plans (export_manifest's first build). Column counts are a
+# pure function of the builders' select lists — no data dependence —
+# so the memo cannot go stale against anything but a code edit, which
+# replaces the process. Memoizing them saves rebuilding and
+# re-analyzing all five dataset plans (~1.4 s of driver time, the
+# dominant cost of every x6 call after the first — measured r14).
+_MANIFEST_NCOLS: dict[str, int] = {}
+
+
 def export_manifest(txns: DataFrame, start: str, end: str) -> DataFrame:
     """Manifest as data: dataset name + row count + column count
     (the reference manifest lists each dataset's files and sizes,
     ``export-to-quicksight/lambda_function.py:363-388``).
 
-    Counts come from the narrowest shared source (r11): the
+    Counts come from the narrowest shared source (r11/r14): the
     store_summaries row count is the (store, day) group count in
     range, read off the SAME persisted store_daily_cents MV the three
     insight datasets already consume — exact, because sale_date is a
     group key, so filtering the full-history MV to the range yields
     precisely the groups of the range-filtered facts; it also skips
     the dataset plan's countDistinct(transaction_id) shuffle, which a
-    bare row count never needed. Only top_products still scans
-    (range-pruned) facts, because its rank rows live at (store, day,
-    sku) grain, which the MV does not carry. column_count still comes
-    from the real dataset plans, so the manifest can never drift from
+    bare row count never needed. top_products counts the persisted
+    rank rows x2 serves (:func:`_ranked_top5_shared` — the dataset is
+    a row-preserving select over them, so the counts are equal by
+    construction), and the three insight counts read the persisted
+    daily/anomaly frames directly — no dataset plan is rebuilt for
+    counting. column_count still comes from the real dataset plans
+    (``_MANIFEST_NCOLS``, built once per process from
+    :func:`export_datasets`), so the manifest can never drift from
     what ``write_ndjson_export`` writes."""
-    ds = export_datasets(txns, start, end)
-    count_src = dict(
-        ds,
-        store_summaries=store_daily_cents(txns).filter(
+    if not _MANIFEST_NCOLS:
+        _MANIFEST_NCOLS.update(
+            {
+                name: len(df.columns)
+                for name, df in export_datasets(txns, start, end).items()
+            }
+        )
+    daily = store_daily_cents(txns).persist(StorageLevel.MEMORY_AND_DISK)
+    an = classify_anomalies_from_daily(daily).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    count_src = {
+        "store_summaries": daily.filter(
             F.col("sale_date").between(start, end)
         ),
-    )
+        "top_products": _ranked_top5_shared(txns, start, end),
+        "anomalies": an,
+        "trends": _export_trends_from(trend_insights_from_daily(daily)),
+        "recommendations": recommendations_from(an),
+    }
     parts = [
         count_src[name]
         .agg(F.count(F.lit(1)).alias("row_count"))
         .select(
             F.lit(name).alias("dataset"),
             "row_count",
-            F.lit(len(df.columns)).cast("int").alias("column_count"),
+            F.lit(_MANIFEST_NCOLS[name]).cast("int").alias("column_count"),
         )
-        for name, df in ds.items()
+        for name in count_src
     ]
     out = parts[0]
     for p in parts[1:]:
