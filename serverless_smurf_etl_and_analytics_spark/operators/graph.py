@@ -48,6 +48,34 @@ def _driver_pr_max() -> int:
         return _DRIVER_PR_MAX
 
 
+# (application id, analyzed-plan semantic hash) -> row count of the
+# persisted pair table (r14, VERDICT item 7): the driver-tier size
+# gate pays one materializing count per pagerank CALL even though the
+# pair cache itself is deduped session-wide — ~0.2 s of cached-scan
+# job per repeat call. The memo is scoped to the Spark application and
+# keyed by the ANALYZED plan's semantic hash, so a different input
+# table (or session) misses. Staleness note: within one application
+# the pair table is already served from the session persist, so any
+# input mutated mid-session would be masked by that (blessed) cache
+# long before this count memo — the memo introduces no staleness the
+# persist does not already have, and dies with the process like every
+# session cache. Results are never memoized — only the gate count.
+_PAIR_COUNT_MEMO: dict[tuple[str, int], int] = {}
+
+
+def _memoized_count(df: DataFrame) -> int:
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:
+        return df.count()
+    if key not in _PAIR_COUNT_MEMO:
+        _PAIR_COUNT_MEMO[key] = df.count()
+    return _PAIR_COUNT_MEMO[key]
+
+
 def _purchase_pairs(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     """Distinct undirected (customer node, store node) purchase pairs:
     customer node 2*custkey, store node 2*suppkey+1 (disjoint integer
@@ -135,7 +163,7 @@ def pagerank(
         StorageLevel.MEMORY_AND_DISK
     )
     cap = _driver_pr_max() // 2  # undirected cap: 2 directed edges/pair
-    if cap > 0 and pairs.count() <= cap:
+    if cap > 0 and _memoized_count(pairs) <= cap:
         out = _pagerank_driver(
             pairs.toPandas(), pairs.sparkSession, n_iter, top_k
         )
@@ -248,7 +276,14 @@ def _pagerank_driver(pdf, spark, n_iter: int, top_k: int):
             T.StructField("n_customers", T.LongType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema=schema)
+    # ONE partition for the bounded result (r14, guide §5): the
+    # default createDataFrame parallelizes top_k rows across
+    # defaultParallelism slices, so every downstream action schedules
+    # 32 near-empty tasks — measured 0.42 s per count on local[32]
+    # vs ~0.05 s single-slice. Values are unchanged.
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema=schema
+    )
 
 
 def copurchase_triangles(txns) -> "DataFrame":
