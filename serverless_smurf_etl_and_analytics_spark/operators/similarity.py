@@ -138,7 +138,21 @@ def _dot_fixed_point(ea, eb, nondet: bool = False):
     across the Python boundary both times (observed in the sim2/d7
     r13 plans). The function is pure — the flag only pins a single
     evaluation; values are unchanged. Kept opt-in so plans without a
-    UDF-referencing filter (sim3/sim4/pq4) stay byte-identical."""
+    UDF-referencing filter (sim3/sim4/pq4) stay byte-identical.
+
+    r14 measured-and-REJECTED (do not retry): replacing this kernel
+    with pure-JVM unrolled fixed-point dots (per-side iv arrays via
+    one F.expr SQL string, 64 codegen multiply-adds per pair) was
+    built twice — for the sim2/d7/d9 riding tier (~70k pairs) AND for
+    the small-pair scorers sim3/sim4/pq4 — proven bit-identical, and
+    benched SLOWER both times (interleaved min-of-5 subset bench:
+    d7 1.13 vs 1.53 s; sim4 0.68 vs 0.95 s; pq4 1.38 vs 1.63 s).
+    With reused Python workers an ArrowEvalPython pass costs ~50 ms
+    while the 64-term expression trees cost more than that in
+    analyzer/optimizer walks per plan build — at sf0.1 the suite is
+    driver-bound, not boundary-bound. (A pair-count regime where the
+    JVM form wins was not found: big batches favor the einsum, small
+    batches are dominated by plan-build cost either way.)"""
     scale = SCALE
 
     def dot(sa, sb):
