@@ -1096,11 +1096,20 @@ def connected_components_star(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_edges = e.count()  # one materialization of the expensive pairs
+    # gate count memoized per (application, plan) like the pr1 probe
+    # (r14): repeat calls over the session-cached canonical edges paid
+    # ~0.2 s of cached-scan job for an invariant number
+    from .graph import _memoized_count
+
+    n_edges = _memoized_count(e)  # materializes the pairs on first use
     if n_edges <= _DRIVER_CC_MAX:
-        out = _cc_driver_numpy(e)
-        e.unpersist()
-        return out
+        # e stays persisted (r14): d9/d10/curation each rebuild this
+        # exact canonical edge plan per call, and the cache manager
+        # dedupes their persists into the session entry — freeing it
+        # here made every repeat call pay the distinct + verify chain
+        # again. Bounded by the near-dup edge count; session-owned
+        # lifetime like the shingle/verified caches upstream.
+        return _cc_driver_numpy(e)
     cur = _ckpt_fresh(e.filter(F.col("s") != F.col("d")))
     # vertices with ONLY self-loop edges: singleton roots (tiny —
     # bounded by the near-dup vertex set, like every loop state here)
@@ -1218,10 +1227,15 @@ def _cc_driver_numpy(e: DataFrame) -> DataFrame:
         if np.array_equal(nxt, lab):
             break
         lab = nxt
+    # ONE partition for the bounded label map (r14, guide §5): the
+    # arrow-parallelized createDataFrame spreads a few hundred rows
+    # over defaultParallelism slices, charging every downstream action
+    # ~32 near-empty tasks of scheduling (the same fix as the pr1
+    # driver tier). Values unchanged.
     return e.sparkSession.createDataFrame(
         pd.DataFrame({"v": verts, "component": verts[lab]}),
         "v long, component long",
-    )
+    ).coalesce(1)
 
 
 def _edge_checksum(e: DataFrame) -> tuple:
