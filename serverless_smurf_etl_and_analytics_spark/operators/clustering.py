@@ -185,7 +185,9 @@ def kmeans_train(
     if cache is not None:
         try:
             if n_known is None and cache == "auto":
-                n_known = emb.count()
+                from .memo import memoized_count
+
+                n_known = memoized_count(emb)
             if cache != "auto" or n_known >= _MODEL_ARTIFACT_MIN:
                 import os
 
@@ -193,7 +195,11 @@ def kmeans_train(
                 from .similarity import corpus_fingerprint
 
                 root = cache_root(None if cache == "auto" else cache)
-                n, h = fingerprint or corpus_fingerprint(emb)
+                from .memo import plan_scalar
+
+                n, h = fingerprint or plan_scalar(
+                    emb, "emb_fp", lambda: corpus_fingerprint(emb)
+                )
                 base = os.path.join(
                     root, f"km_v1_n{n}_h{h}_k{k}_i{n_iter}"
                 )
@@ -293,7 +299,9 @@ def _kmeans_train_inline(
     import pandas as pd
 
     if n is None:
-        n = emb.count()
+        from .memo import memoized_count
+
+        n = memoized_count(emb)
     if 0 < n <= _driver_tier_max():
         return _kmeans_train_driver(emb, k, n_iter)
 
@@ -447,7 +455,9 @@ def pq_train_encode(
     if cache is not None:
         try:
             if n_known is None and cache == "auto":
-                n_known = emb.count()
+                from .memo import memoized_count
+
+                n_known = memoized_count(emb)
             if cache != "auto" or n_known >= _MODEL_ARTIFACT_MIN:
                 import os
 
@@ -455,7 +465,11 @@ def pq_train_encode(
                 from .similarity import corpus_fingerprint
 
                 root = cache_root(None if cache == "auto" else cache)
-                n, h = fingerprint or corpus_fingerprint(emb)
+                from .memo import plan_scalar
+
+                n, h = fingerprint or plan_scalar(
+                    emb, "emb_fp", lambda: corpus_fingerprint(emb)
+                )
                 base = os.path.join(
                     root, f"pq_v1_n{n}_h{h}_m{m}_k{ksub}_i{n_iter}"
                 )
@@ -555,7 +569,9 @@ def _pq_train_encode_inline(
     import pandas as pd
 
     if n is None:
-        n = emb.count()
+        from .memo import memoized_count
+
+        n = memoized_count(emb)
     if 0 < n <= _driver_tier_max():
         return _pq_train_encode_driver(emb, m, ksub, n_iter)
 

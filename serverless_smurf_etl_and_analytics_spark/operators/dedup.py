@@ -87,7 +87,13 @@ def _doc_artifact(
 
     if cache is None:
         return None
-    n_docs = fingerprint[0] if fingerprint else docs.count()
+    from .memo import memoized_count, plan_scalar
+
+    # both gate scalars are memoized per (application, plan) — every
+    # shingle/simhash-gated query paid a corpus-scan job (or two) at
+    # each plan build for values invariant within the session
+    # (operators/memo.py, r14)
+    n_docs = fingerprint[0] if fingerprint else memoized_count(docs)
     if cache == "auto" and n_docs < _DOC_ARTIFACT_MIN:
         return None
     # the artifact is an OPTIMIZATION: if the cache root is unwritable,
@@ -97,7 +103,9 @@ def _doc_artifact(
     # are environmental)
     try:
         root = cache_root(None if cache == "auto" else cache)
-        n, h = fingerprint or text_corpus_fingerprint(docs)
+        n, h = fingerprint or plan_scalar(
+            docs, "text_fp", lambda: text_corpus_fingerprint(docs)
+        )
         path = atomic_write_parquet(
             build(), os.path.join(root, key_fmt.format(n=n, h=h))
         )
@@ -757,7 +765,12 @@ def simhash_neardup_pairs(
     )
     a = eb.alias("a")
     b = eb.alias("b")
-    if eb.count() <= BROADCAST_MAX_BAND_ROWS:
+    from .memo import memoized_count
+
+    # broadcast-sizing gate memoized per (application, plan) — the
+    # count doubles as the cache materialization on first use, and
+    # repeat calls skip the ~0.15 s cached-scan job (memo.py, r14)
+    if memoized_count(eb) <= BROADCAST_MAX_BAND_ROWS:
         b = F.broadcast(b)
     # exactly-once without a distinct shuffle: keep a pair only at its
     # first matching band (all earlier bands must differ), and verify
@@ -860,7 +873,12 @@ def _simhash_neardup_pairs_wide(
     )
     a = eb.alias("a")
     b = eb.alias("b")
-    if eb.count() <= BROADCAST_MAX_BAND_ROWS:
+    from .memo import memoized_count
+
+    # broadcast-sizing gate memoized per (application, plan) — the
+    # count doubles as the cache materialization on first use, and
+    # repeat calls skip the ~0.15 s cached-scan job (memo.py, r14)
+    if memoized_count(eb) <= BROADCAST_MAX_BAND_ROWS:
         b = F.broadcast(b)
     # exactly-once without a distinct shuffle: keep a pair only at its
     # first matching band (all earlier bands must differ); candidate

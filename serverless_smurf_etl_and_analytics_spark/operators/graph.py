@@ -48,32 +48,11 @@ def _driver_pr_max() -> int:
         return _DRIVER_PR_MAX
 
 
-# (application id, analyzed-plan semantic hash) -> row count of the
-# persisted pair table (r14, VERDICT item 7): the driver-tier size
-# gate pays one materializing count per pagerank CALL even though the
-# pair cache itself is deduped session-wide — ~0.2 s of cached-scan
-# job per repeat call. The memo is scoped to the Spark application and
-# keyed by the ANALYZED plan's semantic hash, so a different input
-# table (or session) misses. Staleness note: within one application
-# the pair table is already served from the session persist, so any
-# input mutated mid-session would be masked by that (blessed) cache
-# long before this count memo — the memo introduces no staleness the
-# persist does not already have, and dies with the process like every
-# session cache. Results are never memoized — only the gate count.
-_PAIR_COUNT_MEMO: dict[tuple[str, int], int] = {}
-
-
-def _memoized_count(df: DataFrame) -> int:
-    try:
-        key = (
-            df.sparkSession.sparkContext.applicationId,
-            df._jdf.queryExecution().analyzed().semanticHash(),
-        )
-    except Exception:
-        return df.count()
-    if key not in _PAIR_COUNT_MEMO:
-        _PAIR_COUNT_MEMO[key] = df.count()
-    return _PAIR_COUNT_MEMO[key]
+# session-scoped gate-count memo (r14, VERDICT item 7): the driver-tier
+# size gate pays one materializing count per pagerank CALL even though
+# the pair cache itself is deduped session-wide — ~0.2 s of cached-scan
+# job per repeat call. Scope/staleness rationale: operators/memo.py.
+from .memo import memoized_count as _memoized_count  # noqa: E402
 
 
 def _purchase_pairs(lineitem: DataFrame, orders: DataFrame) -> DataFrame:

@@ -1229,7 +1229,9 @@ def cosine_neardup_pairs(
     # (corpus size for the adaptive config/gates, content hash for the
     # cache key) without a single corpus scan — the maintained-
     # pipeline cold path (tablelog.ledger_fingerprint)
-    n = fingerprint[0] if fingerprint else emb.count()
+    from .memo import memoized_count, plan_scalar
+
+    n = fingerprint[0] if fingerprint else memoized_count(emb)
     if n_bands is None or band_planes is None:
         auto = adaptive_band_config(n)
         n_bands = auto[0] if n_bands is None else n_bands
@@ -1258,7 +1260,10 @@ def cosine_neardup_pairs(
                 n_bands,
                 band_planes,
                 root=root,
-                fingerprint=fingerprint or corpus_fingerprint(emb),
+                fingerprint=fingerprint
+                or plan_scalar(
+                    emb, "emb_fp", lambda: corpus_fingerprint(emb)
+                ),
             )
         except Exception:
             bt = None
@@ -1439,7 +1444,9 @@ def cosine_neardup_pairs_sharded(
     import os
     import tempfile
 
-    n = fingerprint[0] if fingerprint else emb.count()
+    from .memo import memoized_count, plan_scalar
+
+    n = fingerprint[0] if fingerprint else memoized_count(emb)
     n_bands, band_planes = adaptive_band_config(n)
     if n_shards in (None, "auto"):
         n_shards = auto_shard_count(n, n_bands)
@@ -1455,7 +1462,10 @@ def cosine_neardup_pairs_sharded(
             bt = cached_band_bits(
                 emb, n_bands, band_planes,
                 root=root,
-                fingerprint=fingerprint or corpus_fingerprint(emb),
+                fingerprint=fingerprint
+                or plan_scalar(
+                    emb, "emb_fp", lambda: corpus_fingerprint(emb)
+                ),
             )
         except Exception:
             bt = None

@@ -235,7 +235,11 @@ def materialize_winnow_artifact(
 
     from .artifacts import atomic_write_parquet, cache_root
 
-    n, h = fingerprint or text_corpus_fingerprint(docs)
+    from .memo import plan_scalar
+
+    n, h = fingerprint or plan_scalar(
+        docs, "text_fp", lambda: text_corpus_fingerprint(docs)
+    )
     return atomic_write_parquet(
         _winnow_fps_inline(docs, k, w),
         os.path.join(cache_root(root), f"wn_v1_n{n}_h{h}_k{k}_w{w}"),
@@ -340,10 +344,12 @@ def winnow_fingerprints(
     any other string is the cache root (bypassing the gate)."""
     from pyspark.storagelevel import StorageLevel
 
+    from .memo import memoized_count
+
     n_docs = fingerprint[0] if fingerprint else None
     if cache is not None and (
         cache != "auto"
-        or (n_docs if n_docs is not None else docs.count())
+        or (n_docs if n_docs is not None else memoized_count(docs))
         >= _WINNOW_ARTIFACT_MIN
     ):
         # optimization only: environmental failures (unwritable root,
