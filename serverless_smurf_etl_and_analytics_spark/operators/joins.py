@@ -282,7 +282,15 @@ def sku_copurchase_topk(txns: DataFrame, k: int = 3) -> DataFrame:
     basket count exactly (each order falls in one order_date shard;
     the additivity law in test_copurchase_daily compares against
     :func:`_sku_copurchase_direct` below), and co1/co2/tri1/tri2 then
-    share ONE basket scan + explode per session (guide §2.1)."""
+    share ONE basket scan + explode per session (guide §2.1).
+
+    Side effect (ADVICE r13): each call persists the per-day pair
+    table for its input plan via :func:`_co_daily_shared` — a DISTINCT
+    input (filtered facts, another corpus) registers a separate
+    MEMORY_AND_DISK entry that lives until
+    ``session.clear_operator_caches`` (or an explicit unpersist); the
+    registered consumers all pass the unfiltered base corpus, so one
+    entry per session is the norm."""
     return co_merge_topk(_co_daily_shared(txns), k)
 
 

@@ -178,7 +178,10 @@ def test_heavy_hitters_single_fact_scan(spark):
     per-SKU aggregation twice — two parquet scans, zero ReusedExchange
     and a measured 1.48x bench regression. The window-over-partial
     rewrite must keep it at ONE scan; this pins that."""
-    plan = _plan(spark, "hh1_heavy_hitters")
+    # counted on the cache-stripped plan (ADVICE r13): if hh1 ever
+    # consumes a persisted subtree, the raw string would count the
+    # materialized relation's stored plan as phantom scans
+    plan = _strip_cached_subplans(_plan(spark, "hh1_heavy_hitters"))
     assert plan.count("Scan parquet") == 1, plan[:1500]
 
 
@@ -206,17 +209,29 @@ def _strip_cached_subplans(plan: str) -> str:
     toString prints the stored plan twice (own Final + Initial Plan
     sections), so substring-counting "Scan parquet" over the raw
     string counts phantom scans that never execute (the reader is the
-    InMemoryTableScan). Keeps the relation line itself."""
+    InMemoryTableScan). Keeps the relation line itself.
+
+    Depth is measured after normalizing the tree-drawing characters
+    (':', '+', '-') to spaces (ADVICE r13): Spark renders non-last
+    join branches with ':'-prefixed lines at CONSTANT leading-space
+    depth, so raw leading-space indent would end the skip early for
+    an InMemoryRelation inside a ':' branch. Blank lines inside a
+    skipped body no longer reset the skip either — only a line at or
+    above the relation's depth does."""
     out = []
     skip_indent = None
+
+    def depth(ln: str) -> int:
+        norm = ln.replace(":", " ").replace("+", " ").replace("-", " ")
+        return len(norm) - len(norm.lstrip())
+
     for line in plan.splitlines():
-        indent = len(line) - len(line.rstrip("\n").lstrip())
         if skip_indent is not None:
-            if line.strip() and indent > skip_indent:
+            if not line.strip() or depth(line) > skip_indent:
                 continue
             skip_indent = None
         if "InMemoryRelation" in line:
-            skip_indent = indent
+            skip_indent = depth(line)
         out.append(line)
     return "\n".join(out)
 
