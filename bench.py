@@ -20,12 +20,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from serverless_smurf_etl_and_analytics_spark.plans import registry  # noqa: E402
 from serverless_smurf_etl_and_analytics_spark.session import get_spark  # noqa: E402
 
-# Headline set: the flagship materializations + the widest scans.
+# Headline set: the flagship materializations + the widest scans,
+# WIDENED r14 (VERDICT r13 item 5) with one representative per major
+# operator family so the driver's compact tail line carries a
+# 12-query cross-section instead of 4 — additive only (the original
+# four keep their names and positions), ~330 bytes of extra tail,
+# still well inside the ~2 KB capture budget.
 HEADLINE = [
     "a1_store_day_metrics",
     "a3_top5_products_store_day",
     "a4_company_daily",
     "a6_product_daily_exact",
+    "d6_simhash_neardup",
+    "d7_semantic_dedup",
+    "sim2_cosine_neardup",
+    "pr1_pagerank_stores",
+    "co1_sku_copurchase",
+    "sk3_kmv_set_overlap",
+    "tri1_copurchase_triangles",
+    "x6_export_manifest",
 ]
 
 
