@@ -56,6 +56,27 @@ def _merge14(key: str, value) -> None:
 
 r13._merge = _merge14
 
+
+def _spark_with_retries():
+    """Local-mode task retries for the long rehearsals (attempt-8 fix):
+    spark.task.maxFailures is IGNORED by the LocalSchedulerBackend —
+    the retry count must ride the MASTER URL (``local[N, maxFailures]``).
+    The verify tasks are idempotent (Spark commit protocol), so a
+    silently-killed straggler worker re-runs instead of aborting a
+    90-minute job."""
+    from serverless_smurf_etl_and_analytics_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    s = get_spark(
+        master=f"local[{cpus}, 4]",
+        shuffle_partitions=int(cpus),
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+r13._spark = _spark_with_retries
+
 STAGES = {
     "gen_emb10m": r13.stage_gen_emb10m,
     "emb10m": r13.stage_emb10m,
