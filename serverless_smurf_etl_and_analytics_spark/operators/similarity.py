@@ -1009,6 +1009,14 @@ def _gather_dots(cand: DataFrame, bt: DataFrame, transport=None) -> DataFrame:
             )
 
     chunk_rows = _GATHER_CHUNK_ROWS
+    # mmap tier only: the matrix is file-backed and the sandbox/OS can
+    # evict its pages mid-task, so gather ORDER matters — sequential
+    # faults re-read the file at streaming speed, random ones at seek
+    # speed. The b-side index is the unordered one (the task's rows
+    # arrive sorted by vec_a, see below); gathering it in sorted order
+    # and permuting the dot back is two O(chunk) copies for a
+    # page-ordered read pattern.
+    b_sorted_gather = kind == "mmap"
 
     def verify(batches):
         import numpy as np
@@ -1027,13 +1035,24 @@ def _gather_dots(cand: DataFrame, bt: DataFrame, transport=None) -> DataFrame:
                 hi = lo + chunk_rows
                 ia = np.searchsorted(ids_s, va[lo:hi])
                 ib = np.searchsorted(ids_s, vb[lo:hi])
+                if b_sorted_gather:
+                    perm = np.argsort(ib, kind="stable")
+                    dot = np.empty(len(perm), dtype=np.int64)
+                    dot[perm] = np.einsum(
+                        "ij,ij->i",
+                        m[ia[perm]],
+                        m[ib[perm]],
+                        dtype=np.int64,
+                    )
+                else:
+                    dot = np.einsum(
+                        "ij,ij->i", m[ia], m[ib], dtype=np.int64
+                    )
                 yield pd.DataFrame(
                     {
                         "vec_a": va[lo:hi],
                         "vec_b": vb[lo:hi],
-                        "dot": np.einsum(
-                            "ij,ij->i", m[ia], m[ib], dtype=np.int64
-                        ),
+                        "dot": dot,
                         "n2_a": np.asarray(nn[ia]),
                         "n2_b": np.asarray(nn[ib]),
                     }
@@ -1043,9 +1062,22 @@ def _gather_dots(cand: DataFrame, bt: DataFrame, transport=None) -> DataFrame:
         # mmap corpora are past the broadcast budget by definition —
         # cap CONCURRENT Python workers for this stage so their
         # runtimes + temporaries fit next to the JVM (the emb6m OOM).
-        # coalesce (not repartition): folds into the upstream shuffle
-        # reduce with zero extra exchange.
-        cand = cand.coalesce(_gather_mmap_tasks())
+        # Range-partition + sort (r14, emb10m attempt-8 postmortem):
+        # the earlier coalesce() inherited the upstream candidate
+        # files' byte skew, leaving one task ~3x the median — and in
+        # this sandbox any task past ~15-20 min is externally
+        # SIGKILLed, so task UNIFORMITY is a liveness requirement,
+        # not a tail-latency nicety. repartitionByRange samples the
+        # (vec_a, vec_b) keys and balances ROWS exactly (guide §2.5);
+        # keying by vec_a additionally gives each task a narrow
+        # a-side slice of the matrix, and the within-task sort makes
+        # the a-side gather page-sequential. The extra exchange ships
+        # bare (long, long) pairs — noise next to a 90-min job that
+        # previously died at its straggler.
+        n_tasks = _gather_mmap_tasks()
+        cand = cand.repartitionByRange(
+            n_tasks, "vec_a", "vec_b"
+        ).sortWithinPartitions("vec_a", "vec_b")
     return cand.mapInPandas(
         verify, "vec_a long, vec_b long, dot long, n2_a long, n2_b long"
     )

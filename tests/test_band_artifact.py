@@ -358,6 +358,32 @@ def test_chunked_verify_identical_to_unchunked(spark, emb, monkeypatch):
     assert chunked == base and len(chunked) > 0
 
 
+def test_mmap_sorted_gather_identical(spark, emb, tmp_path, monkeypatch):
+    """r14 (emb10m attempt-8 postmortem): the mmap tier's b-sorted
+    gather and the row-uniform range partitioning of the candidate
+    side are pure access-order changes — forcing the mmap transport
+    with a tiny chunk and a small task cap yields byte-identical
+    pairs to the broadcast kernel."""
+    monkeypatch.setenv("SMURF_ARTIFACT_CACHE", str(tmp_path / "cache"))
+    base = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.cosine_neardup_pairs(
+            emb, 0.3, band_cache=None
+        ).collect()
+    }
+    monkeypatch.setattr(similarity, "_GATHER_VERIFY_MAX", 0)
+    monkeypatch.setattr(similarity, "_GATHER_MMAP_BYTES", 0)
+    monkeypatch.setattr(similarity, "_GATHER_CHUNK_ROWS", 3)
+    monkeypatch.setenv("SMURF_GATHER_MMAP_TASKS", "3")
+    forced = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in similarity.cosine_neardup_pairs(
+            emb, 0.3, band_cache=None
+        ).collect()
+    }
+    assert forced == base and len(forced) > 0
+
+
 def test_fixed_matrix_raises_on_possible_dot_overflow():
     """ADVICE r11: int32-representable components can still overflow
     the int64 dot accumulator (64 dims of |fixed| ~ 2e9 give dots
