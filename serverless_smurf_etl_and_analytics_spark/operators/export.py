@@ -27,15 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..functions.money import dollars
-from .history import store_daily_cents
-from .insights import (
-    classify_anomalies,
-    classify_anomalies_from_daily,
-    recommendations,
-    recommendations_from,
-    trend_insights,
-    trend_insights_from_daily,
-)
+from .insights import shared_insight_frames
 from .metrics import store_day_metrics, top_products_per_store_day
 
 
@@ -142,7 +134,7 @@ def export_anomalies(txns: DataFrame) -> DataFrame:
     """Flattened anomalies dataset
     (``export-to-quicksight/lambda_function.py:251-285``) with the
     human-readable description line the reference assembles per row."""
-    return _export_anomalies_from(classify_anomalies(txns))
+    return _export_anomalies_from(shared_insight_frames(txns)["an"])
 
 
 def _export_anomalies_from(an: DataFrame) -> DataFrame:
@@ -166,7 +158,7 @@ def _export_anomalies_from(an: DataFrame) -> DataFrame:
 def export_trends(txns: DataFrame) -> DataFrame:
     """Flattened trends dataset
     (``export-to-quicksight/lambda_function.py:288-307``)."""
-    return _export_trends_from(trend_insights(txns))
+    return _export_trends_from(shared_insight_frames(txns)["trends"])
 
 
 def _export_trends_from(tr: DataFrame) -> DataFrame:
@@ -190,7 +182,7 @@ def export_recommendations(txns: DataFrame) -> DataFrame:
     (``export-to-quicksight/lambda_function.py:310-328``), with the O5
     priority rank as the sort key and an array_join'd affected list
     (``:283-284`` uses ``', '.join(affected_items)``)."""
-    return _export_recommendations_from(recommendations(txns))
+    return _export_recommendations_from(shared_insight_frames(txns)["recs"])
 
 
 def _export_recommendations_from(re: DataFrame) -> DataFrame:
@@ -221,19 +213,18 @@ def export_datasets(
     and ONE persisted anomaly set — a single fact scan feeds anomalies,
     trends, and recommendations, instead of each dataset re-running the
     whole window chain (the reference rereads its persisted store_daily
-    MV the same way, SURVEY §4)."""
-    daily = store_daily_cents(txns).persist(StorageLevel.MEMORY_AND_DISK)
-    an = classify_anomalies_from_daily(daily).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    MV the same way, SURVEY §4). The chain plans come from the
+    session-memoized :func:`shared_insight_frames`; the re-persist
+    calls keep cold-mode semantics after a cache clear."""
+    frames = shared_insight_frames(txns)
+    frames["daily"].persist(StorageLevel.MEMORY_AND_DISK)
+    frames["an"].persist(StorageLevel.MEMORY_AND_DISK)
     return {
         "store_summaries": export_store_summaries(txns, start, end),
         "top_products": export_top_products(txns, start, end),
-        "anomalies": _export_anomalies_from(an),
-        "trends": _export_trends_from(trend_insights_from_daily(daily)),
-        "recommendations": _export_recommendations_from(
-            recommendations_from(an)
-        ),
+        "anomalies": _export_anomalies_from(frames["an"]),
+        "trends": _export_trends_from(frames["trends"]),
+        "recommendations": _export_recommendations_from(frames["recs"]),
     }
 
 
@@ -275,18 +266,17 @@ def export_manifest(txns: DataFrame, start: str, end: str) -> DataFrame:
                 for name, df in export_datasets(txns, start, end).items()
             }
         )
-    daily = store_daily_cents(txns).persist(StorageLevel.MEMORY_AND_DISK)
-    an = classify_anomalies_from_daily(daily).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    frames = shared_insight_frames(txns)
+    daily = frames["daily"].persist(StorageLevel.MEMORY_AND_DISK)
+    an = frames["an"].persist(StorageLevel.MEMORY_AND_DISK)
     count_src = {
         "store_summaries": daily.filter(
             F.col("sale_date").between(start, end)
         ),
         "top_products": _ranked_top5_shared(txns, start, end),
         "anomalies": an,
-        "trends": _export_trends_from(trend_insights_from_daily(daily)),
-        "recommendations": recommendations_from(an),
+        "trends": _export_trends_from(frames["trends"]),
+        "recommendations": frames["recs"],
     }
     parts = [
         count_src[name]

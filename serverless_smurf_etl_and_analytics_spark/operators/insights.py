@@ -37,10 +37,48 @@ from .history import (
 )
 
 
+def shared_insight_frames(
+    txns: DataFrame, min_days: int = 3
+) -> dict[str, DataFrame]:
+    """The insight chain's four CONSTRUCTED (lazy) frames over one fact
+    table — the persisted store_daily_cents MV, the persisted anomaly
+    set, and the trend/recommendation plans derived from them —
+    memoized per (application id, min_days, analyzed plan of ``txns``).
+
+    What is memoized is plan ASSEMBLY only: the py4j Column composition
+    + Catalyst analysis of the window chain cost every consumer
+    (x3-x6, i1-i4, r1) 0.3-0.8 s per call at r14 while their executor
+    work was 0.1-0.4 s — the same redundant-driver-work class as the
+    gate-scalar memos (operators/memo.py, same staleness contract).
+    Results are never memoized: every action on these frames executes
+    the plan through the same session persists the per-call builders
+    already registered. After ``session.clear_operator_caches`` the
+    multi-output consumers (export_datasets, export_manifest,
+    combine_insights) re-``persist()`` the memoized objects per call,
+    so cold-mode semantics are unchanged."""
+    from .memo import plan_scalar
+
+    def build() -> dict[str, DataFrame]:
+        daily = store_daily_cents(txns).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        an = classify_anomalies_from_daily(daily, min_days).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        return {
+            "daily": daily,
+            "an": an,
+            "trends": trend_insights_from_daily(daily),
+            "recs": recommendations_from(an),
+        }
+
+    return plan_scalar(txns, f"insight_frames:{min_days}", build)
+
+
 def classify_anomalies(txns: DataFrame, min_days: int = 3) -> DataFrame:
     """Anomaly rows: store-days whose deviation vs the trailing average
     exceeds ±25%, with the reference's severity ladder."""
-    return classify_anomalies_from_daily(store_daily_cents(txns), min_days)
+    return shared_insight_frames(txns, min_days)["an"]
 
 
 def classify_anomalies_from_daily(
@@ -79,7 +117,7 @@ def trend_insights(txns: DataFrame) -> DataFrame:
     """Trend rows: stores whose ±5% recent-vs-earlier direction is not
     stable (insufficient_data rows are dropped, mirroring the >=
     history gates)."""
-    return trend_insights_from_daily(store_daily_cents(txns))
+    return shared_insight_frames(txns)["trends"]
 
 
 def trend_insights_from_daily(daily: DataFrame) -> DataFrame:
@@ -104,7 +142,7 @@ def recommendations(txns: DataFrame) -> DataFrame:
     """Recommendation rows from the anomaly set: the deterministic rule
     ladder (critical drop => urgent investigation; warning drop =>
     review; spike => restock), with the O5 priority sort key."""
-    return recommendations_from(classify_anomalies(txns))
+    return shared_insight_frames(txns)["recs"]
 
 
 def recommendations_from(an: DataFrame) -> DataFrame:
@@ -156,25 +194,37 @@ def combine_insights(txns: DataFrame) -> DataFrame:
     the anomaly and trend branches; the anomaly set is persisted and
     feeds both its own rows and the recommendations — the union's three
     branches read materialized inputs instead of re-running the window
-    chain per branch."""
-    daily = store_daily_cents(txns).persist(StorageLevel.MEMORY_AND_DISK)
-    anomalies = classify_anomalies_from_daily(daily).persist(
-        StorageLevel.MEMORY_AND_DISK
+    chain per branch (the chain plans themselves come from the
+    session-memoized :func:`shared_insight_frames`; the re-persist
+    calls keep cold-mode semantics after a cache clear). The union
+    assembly itself is also a pure plan function of ``txns`` and is
+    memoized (memo.plan_frame) with the re-persists outside it."""
+    from .memo import plan_frame
+
+    frames = shared_insight_frames(txns)
+    frames["daily"].persist(StorageLevel.MEMORY_AND_DISK)
+    frames["an"].persist(StorageLevel.MEMORY_AND_DISK)
+    return plan_frame(
+        txns, "combine_insights", lambda: _combine_insights(frames)
     )
+
+
+def _combine_insights(frames: dict[str, DataFrame]) -> DataFrame:
+    anomalies = frames["an"]
     an = anomalies.select(
         "insight_id", "insight_type", "store_id", "sale_date",
         F.col("anomaly_type").alias("detail"), "severity",
         F.lit(None).cast("string").alias("priority"),
         "deviation_pct",
     )
-    tr = trend_insights_from_daily(daily).select(
+    tr = frames["trends"].select(
         "insight_id", "insight_type", "store_id", "sale_date",
         F.col("trend_direction").alias("detail"),
         F.lit(None).cast("string").alias("severity"),
         F.lit(None).cast("string").alias("priority"),
         F.lit(None).cast("double").alias("deviation_pct"),
     )
-    re = recommendations_from(anomalies).select(
+    re = frames["recs"].select(
         "insight_id", "insight_type", "store_id", "sale_date",
         F.col("action").alias("detail"),
         F.lit(None).cast("string").alias("severity"),

@@ -41,7 +41,27 @@ def daily_report_lines(
 
     ``recs``: optionally a precomputed recommendations DataFrame (the
     pipeline passes its persisted anomaly-derived set so the report
-    does not re-run the window chain over the fact table)."""
+    does not re-run the window chain over the fact table).
+
+    The four-section assembly is a pure plan function of
+    ``(txns, date)`` and is session-memoized when ``recs`` is not
+    caller-supplied (operators/memo.plan_frame, r14: ~0.7 s of
+    py4j/Catalyst per repeat call); a caller-supplied ``recs`` frame
+    bypasses the memo entirely."""
+    if recs is None:
+        from .memo import plan_frame
+
+        return plan_frame(
+            txns,
+            f"daily_report:{date}",
+            lambda: _daily_report_lines(txns, date, None),
+        )
+    return _daily_report_lines(txns, date, recs)
+
+
+def _daily_report_lines(
+    txns: DataFrame, date: str, recs: DataFrame | None
+) -> DataFrame:
     day = txns.filter(F.col("sale_date") == date)
 
     daily = store_day_metrics(day)

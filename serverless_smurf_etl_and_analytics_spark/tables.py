@@ -24,6 +24,8 @@ columns unread).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,6 +43,32 @@ TABLES = (
 )
 
 
+# Constructed-frame memo for the loaders (r14): every query path
+# rebuilds the same parquet read (file listing + schema resolution,
+# ~0.10 s) and, for the fact table, the same 10-column mapping select
+# (~0.09 s of py4j/Catalyst) PER CALL — ~0.19 s of pure plan assembly
+# per query sample, the widest remaining slice of suite driver time
+# after the insight-frame memos. Keyed by (application id, loader,
+# absolute path[, table]); a different session or directory misses.
+# The memoized object is a LAZY plan — every action re-reads the
+# parquet files; no data is cached. The one masked mutation is a
+# directory whose FILE SET changes under the same path mid-session:
+# these loaders serve the immutable testdata snapshots, while the
+# maintained-corpus pipelines read their own ledgered table paths
+# directly (never through here) precisely because they mutate.
+_FRAME_MEMO: dict = {}
+
+
+def _frame_memo(spark: SparkSession, key_parts: tuple, build):
+    try:
+        key = (spark.sparkContext.applicationId,) + key_parts
+    except Exception:
+        return build()
+    if key not in _FRAME_MEMO:
+        _FRAME_MEMO[key] = build()
+    return _FRAME_MEMO[key]
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # every query path enters here — make sure a session we did not
     # build (the driver hands us its own) carries the runtime-settable
@@ -52,7 +80,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         tune_existing(spark)
         spark._smurf_tuned = True
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _frame_memo(
+        spark,
+        ("load", os.path.abspath(sf_dir), name),
+        lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet"),
+    )
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,7 +118,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem re-expressed in the reference's transaction-line-item shape."""
+    """lineitem re-expressed in the reference's transaction-line-item
+    shape. The mapping select is memoized with the load (one plan
+    assembly per session per directory — see ``_FRAME_MEMO``)."""
+    return _frame_memo(
+        spark,
+        ("transactions", os.path.abspath(sf_dir)),
+        lambda: _transactions(spark, sf_dir),
+    )
+
+
+def _transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.select(
         F.col("l_orderkey").alias("transaction_id"),

@@ -46,6 +46,61 @@ def test_plan_scalar_distinguishes_plans_and_kinds(spark):
     )
 
 
+def test_shared_insight_frames_assemble_once_and_match(spark):
+    """r14: the insight chain's plan assembly is memoized per
+    (application, min_days, fact plan) — repeat consumer calls get the
+    SAME lazy frame objects — and the frames are value-identical to an
+    independently assembled chain (plan memoization never touches
+    results)."""
+    from serverless_smurf_etl_and_analytics_spark.operators import (
+        history,
+        insights,
+    )
+
+    txns = tables.transactions(spark, SF_DIR)
+    frames = insights.shared_insight_frames(txns)
+    # consumer entry points serve the memoized objects
+    assert insights.classify_anomalies(txns) is frames["an"]
+    assert insights.trend_insights(txns) is frames["trends"]
+    assert insights.recommendations(txns) is frames["recs"]
+    # an equal fact plan built independently hits the same entry
+    txns2 = tables.transactions(spark, SF_DIR)
+    assert insights.shared_insight_frames(txns2)["an"] is frames["an"]
+    # a different min_days is an independent entry, not a stale hit
+    assert (
+        insights.shared_insight_frames(txns, min_days=5)["an"]
+        is not frames["an"]
+    )
+    # value parity vs a fresh, memo-free assembly of the same chain
+    daily = history.store_daily_cents(txns)
+    fresh = insights.recommendations_from(
+        insights.classify_anomalies_from_daily(daily)
+    )
+    got = {tuple(r) for r in frames["recs"].collect()}
+    want = {tuple(r) for r in fresh.collect()}
+    assert got == want and len(got) > 0
+    # plan invariance: the memoized frame IS the per-call assembly —
+    # same analyzed plan (persist markers do not alter it), so the
+    # memo is invisible to the verify window
+    assert (
+        frames["recs"]._jdf.queryExecution().analyzed().semanticHash()
+        == fresh._jdf.queryExecution().analyzed().semanticHash()
+    )
+
+
+def test_table_loaders_memoized_per_path(spark):
+    """r14: the testdata loaders hand back ONE constructed frame per
+    (application, directory[, table]) — repeat calls skip the parquet
+    listing/schema/mapping assembly — and distinct directories never
+    share an entry."""
+    txns = tables.transactions(spark, SF_DIR)
+    assert tables.transactions(spark, SF_DIR) is txns
+    assert tables.transactions(spark, "/root/testdata/sf0.01") is not txns
+    docs = tables.load(spark, SF_DIR, "documents")
+    assert tables.load(spark, SF_DIR, "documents") is docs
+    assert tables.load(spark, SF_DIR, "embeddings") is not docs
+
+
 def test_manifest_counts_match_real_datasets(spark):
     """x6's row counts come from shared persisted sources (the daily
     MV, the anomaly set, the shared rank rows) — each a row-preserving
